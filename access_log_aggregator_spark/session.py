@@ -1,0 +1,49 @@
+"""SparkSession factory with scale-oriented defaults.
+
+All jobs and tests build sessions here so the whole repo runs with the same
+physical posture: AQE on (coalesce + skew join), Arrow on for pandas UDFs,
+UTC session timezone (parity with the oracle and with DuckDB), bounded
+shuffle partitions sized for the sandbox but overridable for a real cluster.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+
+
+def get_spark(
+    app_name: str = "access-log-aggregator-spark",
+    master: str | None = None,
+    shuffle_partitions: int = DEFAULT_SHUFFLE_PARTITIONS,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    master = master or os.environ.get(
+        "SPARK_GRAFT_MASTER",
+        f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
+    )
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # Correctness posture
+        .config("spark.sql.session.timeZone", "UTC")
+        # Arrow batch transfer for pandas UDFs (the vectorized parse path)
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Adaptive execution: runtime coalesce + skew-join splitting
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Keep scans bounded at scale; local runs read small files anyway
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
