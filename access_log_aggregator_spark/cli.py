@@ -1,0 +1,101 @@
+"""spark-submit entry point.
+
+Mirrors the reference CLI's flag surface (internal/config/flags.go:10-14)
+on Spark terms:
+
+    -file (repeatable)  ->  --pages-table DIR   (the snapshot table replaces
+                            the tailed-file list; partition-parallel scan
+                            replaces goroutine fan-in)
+    -from-start         ->  --from-start        (ignore checkpoint, process
+                            every snapshot from the beginning)
+    -interval           ->  one invocation == one batch tick; schedule
+                            invocations (or use the streaming mode) for the
+                            periodic-emit behavior
+
+Run:  spark-submit --py-files alas.zip -m access_log_aggregator_spark.cli ...
+or:   python -m access_log_aggregator_spark.cli --generate 20000 ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="access-log-aggregator-spark")
+    ap.add_argument("--pages-table", help="pages SnapshotTable root dir")
+    ap.add_argument("--out", help="output root (routed sink + aggregates)")
+    ap.add_argument("--checkpoint", help="checkpoint JSON path")
+    ap.add_argument("--from-start", action="store_true",
+                    help="ignore checkpoint; process all snapshots (flags.go:11 analog)")
+    ap.add_argument("--generate", type=int, metavar="N",
+                    help="synthesize an N-row pages corpus first (seeded)")
+    ap.add_argument("--data-dir", help="root dir when using --generate")
+    ap.add_argument("--snapshots", type=int, default=4,
+                    help="number of snapshots to split --generate data into")
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--salt-buckets", type=int, default=None,
+                    help="enable explicit salted aggregation with N buckets")
+    ap.add_argument("--no-arrow-udf", action="store_true",
+                    help="use the pure-JVM regexp extractor instead of the pandas UDF")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+
+    from .plans.checkpoint import Checkpoint, run_incremental
+    from .plans.pipeline import Pipeline
+    from .session import get_spark
+    from .sources.pages import generate_host_lookup, generate_pages
+    from .sources.tableio import SnapshotTable
+
+    if args.generate:
+        if not args.data_dir:
+            ap.error("--generate requires --data-dir")
+        root = Path(args.data_dir)
+        args.pages_table = str(root / "pages")
+        args.out = args.out or str(root / "out")
+        args.checkpoint = args.checkpoint or str(root / "checkpoint.json")
+
+    if not (args.pages_table and args.out and args.checkpoint):
+        ap.error("--pages-table, --out and --checkpoint are required (or use --generate)")
+
+    spark = get_spark(master=args.master)
+    try:
+        pages_table = SnapshotTable.create(args.pages_table, "pages")
+        if args.generate:
+            pdf = generate_pages(args.generate, seed=args.seed)
+            step = (len(pdf) + args.snapshots - 1) // args.snapshots
+            for lo in range(0, len(pdf), step):
+                pages_table.append_pandas(pdf.iloc[lo: lo + step],
+                                          marker=f"gen-{args.seed}-{lo}")
+            print(f"generated {len(pdf)} pages into {args.snapshots} snapshots",
+                  file=sys.stderr)
+
+        lookup = spark.createDataFrame(generate_host_lookup(seed=args.seed))
+        pipe = Pipeline(spark, args.out, lookup,
+                        use_arrow_udf=not args.no_arrow_udf,
+                        salt_buckets=args.salt_buckets)
+        cp = Checkpoint(args.checkpoint)
+        results = run_incremental(spark, pages_table, pipe, cp,
+                                  from_start=args.from_start)
+
+        totals = {"parsed": 0, "unparsed": 0, "bot": 0, "error": 0}
+        rows_in = 0
+        for r in results:
+            rows_in += r.rows_in
+            for k, v in r.sink_counts.items():
+                totals[k] += v
+        print(json.dumps({"batches": len(results), "rows_in": rows_in,
+                          "sink_counts": totals,
+                          "malformed": totals["unparsed"] + totals["error"]}))
+        # the reference's final summary table (print.go:26-49)
+        print(pipe.summary_text())
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,102 @@
+"""Aggregations: per-host / per-status-bucket / per-time-window counters.
+
+Re-expresses the reference's three-accumulator fold
+(internal/accesslog/summaries.go:3-27) as Spark hash aggregates:
+
+    requestTotal  -> count(*)
+    request2xx    -> count_if(200 <= status < 300)   (summaries.go:6-8)
+    durationTotal -> sum(duration)  [+ an exact decimal twin]
+
+plus the derived columns of print.go:43-44 (non-2xx, avg) and the graft's
+north_star extensions (status bucket = floor(status/100); hourly tumbling
+window on the record's own event time).
+
+Scale notes:
+- Spark's partial (map-side) aggregation already absorbs most key skew for
+  algebraic aggregates; ``salt_buckets`` adds the explicit two-phase salted
+  variant the north_rule asks for (hot host 74% of rows): partial groupBy
+  (host, hash(url) % N) then final groupBy(host). Tests assert both paths
+  produce identical results.
+- ``sum_duration_dec`` aggregates on decimal(38,18) so the total is
+  order-independent and exactly reproducible across partitionings; the
+  double column keeps reference parity at the 1e-9 tolerance the
+  reference's own tests use (summaries_test.go:88,200).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+IS_2XX = "(status_code >= 200) AND (status_code < 300)"
+
+
+def _host_aggs() -> list[Column]:
+    return [
+        F.count(F.lit(1)).alias("total_requests"),
+        F.count_if(F.expr(IS_2XX)).alias("requests_2xx"),
+        F.sum("duration").alias("sum_duration_s"),
+        F.sum(F.col("duration").cast("decimal(38,18)")).alias("sum_duration_dec"),
+    ]
+
+
+def _finish_host(df: DataFrame) -> DataFrame:
+    return (
+        df.withColumn("requests_non_2xx", F.col("total_requests") - F.col("requests_2xx"))
+        .withColumn("avg_duration_s", F.col("sum_duration_s") / F.col("total_requests"))
+        .select(
+            "host", "total_requests", "requests_2xx", "requests_non_2xx",
+            "sum_duration_s", "sum_duration_dec", "avg_duration_s",
+        )
+        .orderBy("host")  # lexicographic, print.go:10-24 (binary collation both sides)
+    )
+
+
+def aggregate_by_host(valid: DataFrame, salt_buckets: Optional[int] = None) -> DataFrame:
+    """The reference summary table. ``salt_buckets=N`` switches to the
+    explicit two-phase salted aggregation (identical results)."""
+    if not salt_buckets:
+        return _finish_host(valid.groupBy("host").agg(*_host_aggs()))
+    partial = (
+        valid.withColumn("_salt", F.pmod(F.xxhash64(F.col("url")), F.lit(salt_buckets)))
+        .groupBy("host", "_salt")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.count_if(F.expr(IS_2XX)).alias("_n2"),
+            F.sum("duration").alias("_sd"),
+            F.sum(F.col("duration").cast("decimal(38,18)")).alias("_sdd"),
+        )
+    )
+    final = partial.groupBy("host").agg(
+        F.sum("_n").alias("total_requests"),
+        F.sum("_n2").alias("requests_2xx"),
+        F.sum("_sd").alias("sum_duration_s"),
+        F.sum("_sdd").alias("sum_duration_dec"),
+    )
+    return _finish_host(final)
+
+
+def aggregate_by_status_bucket(valid: DataFrame) -> DataFrame:
+    """hits per status bucket (1xx..5xx analog: floor(status/100))."""
+    return (
+        valid.groupBy(F.floor(F.col("status_code") / 100).alias("status_bucket"))
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .orderBy("status_bucket")
+    )
+
+
+def aggregate_by_window(valid: DataFrame, duration: str = "1 hour") -> DataFrame:
+    """hits per (tumbling event-time window, host) on the record's log time.
+
+    Batch-mode window(): a pure grouping key — no watermark needed, and late
+    data is counted regardless of age, which IS the reference's semantics
+    (it never reads the time field after validation — SURVEY.md §2.6).
+    """
+    return (
+        valid.groupBy(F.window("log_ts", duration).alias("w"), F.col("host"))
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .select(F.col("w.start").alias("window_start"), "host", "hits")
+        .orderBy("window_start", "host")
+    )

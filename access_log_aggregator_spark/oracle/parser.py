@@ -146,20 +146,25 @@ def classify_page(
 
     Priority: invalid-UTF-8 html => error; no payload / unmatchable line /
     invalid field => unparsed; valid + bot host => bot; else parsed.
+
+    Extraction is independent of html validity: error rows still carry their
+    extracted payload (byte-parity holds for EVERY url, including errors).
     """
+    html_ok = True
     if html is not None:
         try:
             html.decode("utf-8")
         except UnicodeDecodeError:
-            return PageClassification(X.CLASS_ERROR, X.REASON_INVALID_UTF8, None, None)
+            html_ok = False
 
-    if text is None:
-        return PageClassification(X.CLASS_UNPARSED, X.REASON_NO_PAYLOAD, None, None)
+    line = X.extract_line(text) if text is not None else None
+    line_b = line.encode("utf-8") if line is not None else None
 
-    line = X.extract_line(text)
-    if line is None:
+    if not html_ok:
+        return PageClassification(X.CLASS_ERROR, X.REASON_INVALID_UTF8, line_b, None)
+
+    if line is None or line_b is None:
         return PageClassification(X.CLASS_UNPARSED, X.REASON_NO_PAYLOAD, None, None)
-    line_b = line.encode("utf-8")
 
     fields = X.parse_fields(line)
     if fields is None:

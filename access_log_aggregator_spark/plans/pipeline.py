@@ -1,0 +1,186 @@
+"""The full parse -> enrich -> route -> aggregate job.
+
+One scan of the pages table feeds everything (SURVEY.md §4.2 item 6):
+
+    pages ──parse_stage──▶ enrich(broadcast dim) ──route──▶ narrow routed
+        └─ html/text dropped here; only ~100-byte columns continue
+    routed ──single write, partitionBy(match_class)──▶ routed sink table
+    routed sink (columnar, partition-pruned) ──▶ per-class views + aggregates
+
+Writing the routed table once with ``partitionBy(match_class)`` and deriving
+the four sinks as partition-pruned views is the idiomatic Spark fan-out
+(SURVEY.md §2.5 K3): a single pass over the TB-scale input, no persist()
+memory pressure, and each aggregate then scans only the small, narrow,
+column-pruned routed data.
+
+Per-batch metrics come from ``observe()`` (the malformRecord-counter analog,
+internal/app/aggregate.go:15,38-41) and per-partition lineage from the
+``source_partition`` column stamped at parse time.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import extract as X
+from ..operators.aggregate import (
+    aggregate_by_host,
+    aggregate_by_status_bucket,
+    aggregate_by_window,
+)
+from ..operators.enrich import enrich
+from ..operators.parse import parse_stage
+from ..operators.route import route
+from ..sources.tableio import SnapshotTable
+
+#: columns persisted to the routed sink (narrow — html/text already dropped)
+ROUTED_COLUMNS = [
+    "url", "warc_ts", "lang", "lang_norm", "extracted_text", "log_time_str",
+    "host", "status_code", "duration", "log_ts", "geo", "category",
+    "reject_reason", "source_partition", "match_class",
+]
+
+
+def build_routed(pages: DataFrame, lookup: DataFrame, use_arrow_udf: bool = True) -> DataFrame:
+    """The lazy logical plan for one batch (no action taken)."""
+    parsed = parse_stage(pages, use_arrow_udf=use_arrow_udf)
+    enriched = enrich(parsed, lookup)
+    routed = route(enriched)
+    return routed.select(*ROUTED_COLUMNS)
+
+
+@dataclass
+class BatchResult:
+    batch_id: str
+    snapshot_id: Optional[int]          # routed-table snapshot committed
+    sink_counts: dict[str, int] = field(default_factory=dict)
+    malformed: int = 0
+    rows_in: int = 0
+
+
+class Pipeline:
+    """Batch pipeline bound to a routed sink table + aggregate tables."""
+
+    def __init__(self, spark: SparkSession, out_root: str | Path,
+                 lookup: DataFrame, use_arrow_udf: bool = True,
+                 salt_buckets: Optional[int] = None):
+        self.spark = spark
+        self.out_root = Path(out_root)
+        self.lookup = lookup
+        self.use_arrow_udf = use_arrow_udf
+        self.salt_buckets = salt_buckets
+        self.routed_table = SnapshotTable.create(self.out_root / "routed", "routed")
+
+    # -- one batch ------------------------------------------------------------
+    def process_batch(self, pages: DataFrame, batch_id: str) -> BatchResult:
+        """Parse+enrich+route one batch of pages and commit it to the routed
+        sink (idempotent on batch_id). Counts come from observe() metrics on
+        the write action itself — no second scan of the input."""
+        routed = build_routed(pages, self.lookup, self.use_arrow_udf)
+
+        obs = Observation(f"route_metrics_{batch_id}")
+        counted = routed.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows_in"),
+            *[
+                F.count_if(F.col("match_class") == c).alias(c)
+                for c in (X.CLASS_PARSED, X.CLASS_UNPARSED, X.CLASS_BOT, X.CLASS_ERROR)
+            ],
+        )
+        snap = self._append_partitioned(counted, marker=batch_id)
+        got = obs.get if snap is not None else {}
+        counts = {c: int(got.get(c, 0)) for c in
+                  (X.CLASS_PARSED, X.CLASS_UNPARSED, X.CLASS_BOT, X.CLASS_ERROR)}
+        return BatchResult(
+            batch_id=batch_id,
+            snapshot_id=snap,
+            sink_counts=counts,
+            malformed=counts[X.CLASS_UNPARSED] + counts[X.CLASS_ERROR],
+            rows_in=int(got.get("rows_in", 0)),
+        )
+
+    def _append_partitioned(self, routed: DataFrame, marker: str) -> Optional[int]:
+        """Write once, hive-partitioned by match_class (the single-pass fan-out)."""
+        t = self.routed_table
+        if marker in t.committed_markers():
+            return None  # idempotent re-run: batch already committed
+        import shutil
+        import uuid
+
+        staging = t.root / f"_staging-{uuid.uuid4().hex}"
+        routed.write.mode("overwrite").partitionBy("match_class").parquet(str(staging))
+        moved = []
+        rows = 0
+        import pyarrow.parquet as pq
+
+        for p in sorted(staging.glob("match_class=*/*.parquet")):
+            rel_dir = p.parent.name  # match_class=<value>
+            dest_dir = t.root / "data" / rel_dir
+            dest_dir.mkdir(parents=True, exist_ok=True)
+            dest = dest_dir / f"part-{uuid.uuid4().hex}.parquet"
+            shutil.move(str(p), dest)
+            rows += pq.read_metadata(dest).num_rows
+            moved.append(dest)
+        shutil.rmtree(staging, ignore_errors=True)
+        return t._commit_files(moved, rows, marker)
+
+    # -- reads over the routed sink -------------------------------------------
+    def routed(self) -> Optional[DataFrame]:
+        files = self.routed_table.data_files()
+        if not files:
+            return None
+        return (
+            self.spark.read.option("basePath", str(self.routed_table.root / "data"))
+            .parquet(*files)
+        )
+
+    def sink(self, match_class: str) -> Optional[DataFrame]:
+        """Per-class sink view — partition-pruned scan of the routed table."""
+        df = self.routed()
+        return None if df is None else df.filter(F.col("match_class") == match_class)
+
+    def valid_records(self) -> Optional[DataFrame]:
+        """All reference-valid records (parsed ∪ bot) — the exact domain the
+        reference aggregates over (it has no bot concept; SURVEY.md §2.5)."""
+        df = self.routed()
+        if df is None:
+            return None
+        return df.filter(F.col("match_class").isin(X.CLASS_PARSED, X.CLASS_BOT))
+
+    # -- aggregate views --------------------------------------------------------
+    def agg_by_host(self) -> Optional[DataFrame]:
+        v = self.valid_records()
+        return None if v is None else aggregate_by_host(v, self.salt_buckets)
+
+    def agg_by_status_bucket(self) -> Optional[DataFrame]:
+        v = self.valid_records()
+        return None if v is None else aggregate_by_status_bucket(v)
+
+    def agg_by_window(self, duration: str = "1 hour") -> Optional[DataFrame]:
+        v = self.valid_records()
+        return None if v is None else aggregate_by_window(v, duration)
+
+    def summary_text(self, now=None) -> str:
+        """Reference-format table (print.go:26-49) rendered from the aggregate."""
+        from ..oracle.summaries import Summaries, Summary, format_summaries
+
+        agg = self.agg_by_host()
+        ss = Summaries()
+        if agg is not None:
+            for r in agg.collect():
+                ss.by_host[r["host"]] = Summary(
+                    request_total=r["total_requests"],
+                    request_2xx=r["requests_2xx"],
+                    duration_total=float(r["sum_duration_s"]),
+                )
+        return format_summaries(ss, now=now)
+
+
+def lookup_df(spark: SparkSession, lookup_pdf: pd.DataFrame) -> DataFrame:
+    return spark.createDataFrame(lookup_pdf)

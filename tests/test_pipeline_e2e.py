@@ -1,0 +1,174 @@
+"""End-to-end pipeline parity: sinks, aggregates, formatting, resumability."""
+
+from __future__ import annotations
+
+from datetime import datetime
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from access_log_aggregator_spark.oracle.summaries import format_summaries
+from access_log_aggregator_spark.plans.checkpoint import Checkpoint, run_incremental
+from access_log_aggregator_spark.plans.pipeline import Pipeline
+from access_log_aggregator_spark.sources.tableio import SnapshotTable
+
+
+@pytest.fixture(scope="module")
+def pipe(spark, corpus, lookup_sdf, tmp_path_factory):
+    """Full corpus processed as 3 incremental snapshots through a checkpoint."""
+    root = tmp_path_factory.mktemp("pipe")
+    pages_table = SnapshotTable.create(root / "pages", "pages")
+    n = len(corpus.pages)
+    for i, lo in enumerate(range(0, n, (n + 2) // 3)):
+        pages_table.append_pandas(corpus.pages.iloc[lo: lo + (n + 2) // 3])
+    p = Pipeline(spark, root / "out", lookup_sdf)
+    cp = Checkpoint(root / "checkpoint.json")
+    results = run_incremental(spark, pages_table, p, cp)
+    return p, cp, pages_table, results
+
+
+def test_sink_counts_match_oracle(pipe, corpus):
+    p, _, _, results = pipe
+    got = {c: 0 for c in corpus.golden_counts}
+    for r in results:
+        for c, v in r.sink_counts.items():
+            got[c] += v
+    assert got == corpus.golden_counts
+    # and the physical sink row counts agree with the observed metrics
+    for c, v in corpus.golden_counts.items():
+        assert p.sink(c).count() == v
+
+
+def test_sink_counts_sum_to_input(pipe, corpus):
+    p, _, _, _ = pipe
+    assert p.routed().count() == len(corpus.pages)
+
+
+def test_routed_row_equality(pipe, corpus):
+    """Set equality on url per sink (the routed-row equality gate)."""
+    p, _, _, _ = pipe
+    for cls in ("parsed", "unparsed", "bot", "error"):
+        want = {
+            page.url
+            for page, c in zip(corpus.pages.itertuples(), corpus.classifications)
+            if c.match_class == cls
+        }
+        got = {r["url"] for r in p.sink(cls).select("url").collect()}
+        assert got == want, f"sink {cls}: {len(got ^ want)} urls differ"
+
+
+def test_agg_by_host_matches_oracle(pipe, corpus):
+    p, _, _, _ = pipe
+    rows = p.agg_by_host().collect()
+    golden = corpus.golden.rows()  # (host, total, 2xx, non2xx, avg) sorted
+    assert [r["host"] for r in rows] == [g[0] for g in golden]
+    for r, g in zip(rows, golden):
+        assert r["total_requests"] == g[1]
+        assert r["requests_2xx"] == g[2]
+        assert r["requests_non_2xx"] == g[3]
+        # float sum: reference's own tolerance (summaries_test.go:88)
+        assert abs(float(r["sum_duration_s"]) - corpus.golden.by_host[g[0]].duration_total) <= 1e-9
+        assert abs(float(r["avg_duration_s"]) - g[4]) <= 1e-9
+
+
+def test_agg_decimal_exact(pipe, corpus):
+    """Decimal sums are order-independent: exact equality vs oracle Decimal."""
+    p, _, _, _ = pipe
+    for r in p.agg_by_host().collect():
+        host = r["host"]
+        # oracle twin: sum of per-record Decimal(38,18) quantizations
+        want = sum(
+            Decimal(repr(c.record.duration)).quantize(Decimal("1." + "0" * 18))
+            for c in corpus.classifications
+            if c.record is not None and c.record.host == host
+        )
+        assert r["sum_duration_dec"] == want, host
+
+
+def test_salted_agg_identical(pipe, spark, corpus):
+    from access_log_aggregator_spark.operators.aggregate import aggregate_by_host
+
+    p, _, _, _ = pipe
+    v = p.valid_records()
+    plain = aggregate_by_host(v).drop("sum_duration_s", "avg_duration_s").collect()
+    salted = aggregate_by_host(v, salt_buckets=16).drop("sum_duration_s", "avg_duration_s").collect()
+    assert plain == salted
+
+
+def test_agg_by_status_bucket(pipe, corpus):
+    p, _, _, _ = pipe
+    got = {r["status_bucket"]: r["hits"] for r in p.agg_by_status_bucket().collect()}
+    want: dict[int, int] = {}
+    for c in corpus.classifications:
+        if c.record is not None:
+            want[c.record.status_code // 100] = want.get(c.record.status_code // 100, 0) + 1
+    assert got == want
+
+
+def test_agg_by_window(pipe, corpus):
+    p, _, _, _ = pipe
+    got = {(r["window_start"], r["host"]): r["hits"] for r in p.agg_by_window().collect()}
+    want: dict[tuple, int] = {}
+    for c in corpus.classifications:
+        if c.record is not None:
+            ws = c.record.time.replace(minute=0, second=0, microsecond=0, tzinfo=None)
+            want[(ws, c.record.host)] = want.get((ws, c.record.host), 0) + 1
+    assert got == want
+
+
+def test_summary_format_matches_oracle(pipe, corpus):
+    p, _, _, _ = pipe
+    now = datetime(2026, 1, 2, 3, 4, 5)
+    assert p.summary_text(now=now) == format_summaries(corpus.golden, now=now)
+
+
+def test_malformed_counter(pipe, corpus):
+    _, _, _, results = pipe
+    assert sum(r.malformed for r in results) == (
+        corpus.golden_counts["unparsed"] + corpus.golden_counts["error"]
+    )
+
+
+def test_resume_is_idempotent(pipe, spark, corpus, lookup_sdf, tmp_path_factory):
+    """Kill-between-batches: partial run + resumed run == single run."""
+    root = tmp_path_factory.mktemp("resume")
+    pages_table = SnapshotTable.create(root / "pages", "pages")
+    n = len(corpus.pages)
+    step = (n + 3) // 4
+    for lo in range(0, n, step):
+        pages_table.append_pandas(corpus.pages.iloc[lo: lo + step])
+
+    p = Pipeline(spark, root / "out", lookup_sdf)
+    cp = Checkpoint(root / "checkpoint.json")
+    # process 2 of 4 batches, then "crash"
+    first = run_incremental(spark, pages_table, p, cp, max_batches=2)
+    assert len(first) == 2
+    # resume — only the remaining 2 run
+    second = run_incremental(spark, pages_table, p, cp)
+    assert len(second) == 2
+    # re-run again: nothing to do
+    assert run_incremental(spark, pages_table, p, cp) == []
+
+    baseline, _, _, _ = pipe
+    a = p.agg_by_host().select("host", "total_requests", "requests_2xx", "sum_duration_dec")
+    b = baseline.agg_by_host().select("host", "total_requests", "requests_2xx", "sum_duration_dec")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_duplicate_batch_commit_is_noop(pipe, spark, corpus, lookup_sdf, tmp_path_factory):
+    """Sink idempotence marker: re-committing a batch id doesn't double rows."""
+    root = tmp_path_factory.mktemp("dup")
+    p = Pipeline(spark, root / "out", lookup_sdf)
+    pages = spark.createDataFrame(corpus.pages.iloc[:200])
+    r1 = p.process_batch(pages, batch_id="b1")
+    n1 = p.routed().count()
+    r2 = p.process_batch(pages, batch_id="b1")  # same marker => no-op
+    assert r2.snapshot_id is None
+    assert p.routed().count() == n1 == r1.rows_in == 200
+
+
+def test_lineage_column_present(pipe):
+    p, _, _, _ = pipe
+    parts = p.routed().select("source_partition").distinct().count()
+    assert parts >= 1
