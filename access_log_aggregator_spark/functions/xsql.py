@@ -1,0 +1,186 @@
+"""Cross-engine SQL snippet builders (Spark SQL + DuckDB dialects).
+
+The correctness gate runs every query on Spark AND on DuckDB and compares
+value hashes, so hash/dedup/similarity operators need *bit-identical*
+results from both engines. These helpers emit the SAME formula in each
+dialect; determinism rules proven by experiment in this sandbox:
+
+- integer folds (polynomial hash, minhash, simhash) are exact in both;
+- double folds are bit-identical when both engines (a) cast every element
+  to double BEFORE multiplying and (b) reduce sequentially in index order;
+- decimal sums are order-independent => cast the final decimal to double
+  for a stable cross-engine column type.
+
+DuckDB quirks handled here: ``list_reduce`` has no init value and errors on
+empty lists (guards added on BOTH sides so the formulas stay identical),
+and lambdas/array functions use different names (list_transform vs
+transform, etc.).
+"""
+
+from __future__ import annotations
+
+SPARK = "spark"
+DUCK = "duck"
+
+#: modulus for all integer hashes (< 2^30 so a*h stays well inside int64)
+P = 1_000_000_007
+
+#: minhash coefficient pairs (a_k, b_k) — 8 hash functions
+MINHASH_COEFFS = [
+    (2, 1), (3, 7), (5, 31), (7, 127),
+    (11, 709), (13, 5381), (17, 52711), (19, 648391),
+]
+
+SIMHASH_BITS = 16
+
+
+def transform(arr: str, var: str, body: str, d: str) -> str:
+    f = "transform" if d == SPARK else "list_transform"
+    return f"{f}({arr}, {var} -> {body})"
+
+
+def arr_sum(arr: str, d: str) -> str:
+    """Exact integer sum of an array, 0 for empty (identical both sides)."""
+    if d == SPARK:
+        inner = f"aggregate({arr}, 0L, (acc, x) -> acc + x)"
+    else:
+        inner = f"list_reduce({arr}, (acc, x) -> acc + x)"
+    return f"(case when size({arr}) > 0 then {inner} else 0 end)" if d == SPARK else \
+           f"(case when length({arr}) > 0 then {inner} else 0 end)"
+
+
+def arr_fold_double(arr: str, d: str) -> str:
+    """Sequential (index-order) double fold — bit-identical across engines."""
+    if d == SPARK:
+        inner = f"aggregate({arr}, 0D, (acc, x) -> acc + x)"
+        return f"(case when size({arr}) > 0 then {inner} else 0D end)"
+    inner = f"list_reduce({arr}, (acc, x) -> acc + x)"
+    return f"(case when length({arr}) > 0 then {inner} else 0.0::DOUBLE end)"
+
+
+def arr_min(arr: str, d: str) -> str:
+    return f"array_min({arr})" if d == SPARK else f"list_aggregate({arr}, 'min')"
+
+
+def arr_distinct(arr: str, d: str) -> str:
+    return f"array_distinct({arr})" if d == SPARK else f"list_distinct({arr})"
+
+
+def arr_size(arr: str, d: str) -> str:
+    return f"size({arr})" if d == SPARK else f"length({arr})"
+
+
+def tokens(expr: str, d: str) -> str:
+    """Whitespace tokenization (parity verified)."""
+    if d == SPARK:
+        return f"split(trim({expr}), '\\\\s+')"
+    return f"regexp_split_to_array(trim({expr}), '\\s+')"
+
+
+def char_codes(expr: str, d: str) -> str:
+    if d == SPARK:
+        return f"transform(split({expr}, ''), c -> ascii(c))"
+    return f"list_transform(split({expr}, ''), c -> ascii(c)::BIGINT)"
+
+
+def polyhash(expr: str, d: str) -> str:
+    """Polynomial rolling hash over UTF code points: fold (acc*31+c) % P.
+
+    The shared hash primitive backing fingerprints, minhash and simhash —
+    exact integer arithmetic, identical in both engines (verified).
+    """
+    codes = char_codes(expr, d)
+    if d == SPARK:
+        inner = f"aggregate({codes}, 0L, (acc, c) -> (acc * 31 + c) % {P})"
+    else:
+        inner = f"list_reduce({codes}, (acc, c) -> (acc * 31 + c) % {P})"
+    return f"(case when length({expr}) > 0 then {inner} else 0 end)"
+
+
+def char_shingles(expr: str, n: int, d: str) -> str:
+    """All overlapping n-character shingles of a string (parity verified)."""
+    if d == SPARK:
+        seq = f"sequence(1, length({expr}) - {n - 1})"
+        body = f"transform({seq}, i -> substring({expr}, i, {n}))"
+        return f"(case when length({expr}) >= {n} then {body} else array() end)"
+    seq = f"generate_series(1, length({expr}) - {n - 1})"
+    body = f"list_transform({seq}, i -> substring({expr}, i, {n}))"
+    return f"(case when length({expr}) >= {n} then {body} else [] end)"
+
+
+def word_ngrams(tok_arr: str, n: int, d: str) -> str:
+    """Word n-gram shingles (space-joined) from a token array column."""
+    if d == SPARK:
+        seq = f"sequence(1, size({tok_arr}) - {n - 1})"
+        gram = " || ' ' || ".join(f"element_at({tok_arr}, i + {k})" for k in range(n))
+        body = f"transform({seq}, i -> {gram})"
+        return f"(case when size({tok_arr}) >= {n} then {body} else array() end)"
+    seq = f"generate_series(1, length({tok_arr}) - {n - 1})"
+    gram = " || ' ' || ".join(f"{tok_arr}[i + {k}]" for k in range(n))
+    body = f"list_transform({seq}, i -> {gram})"
+    return f"(case when length({tok_arr}) >= {n} then {body} else [] end)"
+
+
+def minhash_exprs(hash_arr: str, d: str) -> list[str]:
+    """K minhash values over a precomputed array of shingle hashes."""
+    out = []
+    for a, b in MINHASH_COEFFS:
+        mapped = transform(hash_arr, "h", f"({a} * h + {b}) % {P}", d)
+        out.append(arr_min(mapped, d))
+    return out
+
+
+def simhash_expr(hash_arr: str, d: str) -> str:
+    """SIMHASH_BITS-bit simhash of an array of token hashes.
+
+    bit j is set iff sum over tokens of (+1 if hash bit j set else -1) > 0.
+    Pure int arithmetic — exact in both engines.
+    """
+    terms = []
+    for j in range(SIMHASH_BITS):
+        shifted = f"shiftright(h, {j})" if d == SPARK else f"(h >> {j})"
+        signed = transform(
+            hash_arr, "h", f"(case when {shifted} % 2 = 1 then 1 else -1 end)", d
+        )
+        terms.append(f"(case when {arr_sum(signed, d)} > 0 then {1 << j} else 0 end)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def dot_double(vec_a: str, vec_b: str, dim: int, d: str) -> str:
+    """Bit-identical dot product: per-element double cast + sequential fold."""
+    if d == SPARK:
+        prods = (
+            f"zip_with(cast({vec_a} as array<double>), "
+            f"cast({vec_b} as array<double>), (x, y) -> x * y)"
+        )
+        return f"aggregate({prods}, 0D, (acc, v) -> acc + v)"
+    prods = (
+        f"list_transform(generate_series(1, {dim}), "
+        f"i -> {vec_a}[i]::DOUBLE * {vec_b}[i]::DOUBLE)"
+    )
+    return f"list_reduce({prods}, (acc, v) -> acc + v)"
+
+
+def norm_double(vec: str, dim: int, d: str) -> str:
+    return f"sqrt({dot_double(vec, vec, dim, d)})"
+
+
+def cosine_double(vec_a: str, vec_b: str, dim: int, d: str) -> str:
+    return (
+        f"({dot_double(vec_a, vec_b, dim, d)} / "
+        f"({norm_double(vec_a, dim, d)} * {norm_double(vec_b, dim, d)}))"
+    )
+
+
+def dec_sum_double(expr: str, d: str) -> str:
+    """Order-independent sum of a double column: exact decimal accumulate,
+    then one cast to double (identical across engines and partitionings).
+
+    Scale 4 keeps the scaled integer total < 2^53 at every tested SF, so
+    DuckDB's int128-decimal -> double cast (double(S)/10^scale, two steps)
+    is exact-then-correctly-rounded and matches Spark's BigDecimal cast
+    bit-for-bit. (Scale 12 diverges: S overflows 2^53 and DuckDB
+    double-rounds — found by experiment.)"""
+    if d == SPARK:
+        return f"cast(sum(cast({expr} as decimal(18,4))) as double)"
+    return f"(sum(({expr})::decimal(18,4)))::double"

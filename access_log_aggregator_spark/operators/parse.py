@@ -63,17 +63,22 @@ def parse_stage(pages: DataFrame, use_arrow_udf: bool = True) -> DataFrame:
     df = df.withColumn("extracted_text", extractor(F.col("text")))
 
     et = F.col("extracted_text")
-    # time_str is non-null-matched only when the full FIELD_PATTERN matched:
-    # regexp_extract returns '' both for no-match and for empty groups, so we
-    # gate on an explicit rlike of the anchored pattern.
+    # Gate on one anchored rlike, then pack all four capture groups in a
+    # SINGLE regexp_replace pass (separator \x01 — unreachable: the capture
+    # grammar admits no control chars from the generator corpus, and a page
+    # that did smuggle one would fail parity tests immediately). 2 regex
+    # evaluations per row instead of 5 (rlike + 4 regexp_extract).
     field_matched = et.rlike(X.FIELD_PATTERN)
     df = df.withColumn("field_matched", F.coalesce(field_matched, F.lit(False)))
-
-    for i, name in enumerate(["log_time_str", "host_raw", "status_str", "duration_str"], start=1):
-        df = df.withColumn(
-            name,
-            F.when(F.col("field_matched"), F.regexp_extract(et, X.FIELD_PATTERN, i)),
-        )
+    df = df.withColumn(
+        "_packed",
+        F.when(
+            F.col("field_matched"),
+            F.regexp_replace(et, X.FIELD_PATTERN, "$1$2$3$4"),
+        ),
+    )
+    for i, name in enumerate(["log_time_str", "host_raw", "status_str", "duration_str"]):
+        df = df.withColumn(name, F.split(F.col("_packed"), "").getItem(i))
 
     df = (
         df.withColumn("log_ts", _log_ts(F.col("log_time_str")))
@@ -106,7 +111,7 @@ def parse_stage(pages: DataFrame, use_arrow_udf: bool = True) -> DataFrame:
     df = df.withColumn("host", F.when(F.col("record_valid"), F.col("host_raw")))
     # per-partition lineage (north_rule: per-partition lineage + metrics)
     df = df.withColumn("source_partition", F.spark_partition_id())
-    return df.drop("host_raw", "status_str", "duration_str", "field_matched")
+    return df.drop("host_raw", "status_str", "duration_str", "field_matched", "_packed")
 
 
 #: The narrow column set that survives past the parse stage — html/text are

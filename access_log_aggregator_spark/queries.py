@@ -1,0 +1,651 @@
+"""Query registry backing ``__spark_entry__.py`` (the driver contract).
+
+Each entry pairs a Spark implementation (DataFrame API or Spark SQL) with an
+ANSI/DuckDB oracle over the SAME parquet tables, with identical column names
+and deterministic, engine-portable values (see functions/xsql.py for the
+determinism rules). Coverage maps to SURVEY.md §2 plus the training-data
+operator suite (dedup / similarity / text analysis / multimodal plumbing).
+
+Table views available in both engines: region nation customer supplier part
+orders lineitem events documents embeddings.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions import xsql as x
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def load_views(spark: SparkSession, sf_dir: str) -> None:
+    for t in TABLES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+@dataclass
+class QuerySpec:
+    spark_fn: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]          # DuckDB SQL, or None -> rows-only check
+    headline: bool = False         # include in bench.py
+
+
+def _sql_pair(build: Callable[[str], str], headline: bool = False) -> QuerySpec:
+    """A query defined once as dialect-parameterized SQL text."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        load_views(spark, sf_dir)
+        return spark.sql(build(x.SPARK))
+
+    return QuerySpec(run, build(x.DUCK), headline)
+
+
+# ---------------------------------------------------------------------------
+# 1. Log-pipeline analogs over `events` (parse -> enrich -> route -> agg).
+#    The reference semantics (SURVEY.md §2.2-§2.4) re-expressed on the
+#    driver's telemetry table so DuckDB can oracle-check them.
+# ---------------------------------------------------------------------------
+
+_ROUTE_CASE_SQL = (
+    "case when event_type = 'error' then 'error' "
+    "when user_id % 50 = 0 then 'bot' "
+    "when json_k is not null and value > 0 then 'parsed' "
+    "else 'unparsed' end"
+)
+
+
+def _events_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The router analog (operators/route.py semantics) on events."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.withColumn("json_k", F.get_json_object("props", "$.k").cast("long"))
+        .withColumn("match_class", F.expr(_ROUTE_CASE_SQL))
+    )
+
+
+_DUCK_ROUTED = (
+    "select *, " + _ROUTE_CASE_SQL + " as match_class from ("
+    "select *, json_extract_string(props, '$.k')::BIGINT as json_k from events)"
+)
+
+
+def _q_events_route_fanout(spark, sf_dir):
+    return (
+        _events_routed(spark, sf_dir)
+        .groupBy("match_class")
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .orderBy("match_class")
+    )
+
+
+def _q_events_agg_by_type(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("total_requests"),
+            F.count_if(F.expr("value >= 100 and value < 300")).alias("requests_ok"),
+            F.expr(x.dec_sum_double("value", x.SPARK)).alias("sum_value"),
+        )
+        .withColumn("requests_non_ok", F.col("total_requests") - F.col("requests_ok"))
+        .withColumn("avg_value", F.col("sum_value") / F.col("total_requests"))
+        .select("event_type", "total_requests", "requests_ok", "requests_non_ok",
+                "sum_value", "avg_value")
+        .orderBy("event_type")
+    )
+
+
+_Q_EVENTS_AGG_BY_TYPE_ORACLE = f"""
+select event_type,
+       count(*) as total_requests,
+       count(*) filter (where value >= 100 and value < 300) as requests_ok,
+       count(*) - count(*) filter (where value >= 100 and value < 300) as requests_non_ok,
+       {x.dec_sum_double('value', x.DUCK)} as sum_value,
+       {x.dec_sum_double('value', x.DUCK)} / count(*) as avg_value
+from events group by event_type order by event_type
+"""
+
+
+def _q_events_agg_by_hour(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("hits"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.expr(x.dec_sum_double("value", x.SPARK)).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("hour_start"), "hits", "n_users", "sum_value")
+        .orderBy("hour_start")
+    )
+
+
+_Q_EVENTS_AGG_BY_HOUR_ORACLE = f"""
+select date_trunc('hour', ts) as hour_start,
+       count(*) as hits,
+       count(distinct user_id) as n_users,
+       {x.dec_sum_double('value', x.DUCK)} as sum_value
+from events group by 1 order by 1
+"""
+
+
+def _q_events_agg_type_window(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .select(F.col("w.start").alias("hour_start"), "event_type", "hits")
+        .orderBy("hour_start", "event_type")
+    )
+
+
+def _q_events_enrich_broadcast(spark, sf_dir):
+    """Broadcast-join enrichment (operators/enrich.py semantics)."""
+    e = _t(spark, sf_dir, "events")
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment"), F.col("c_nationkey")
+    )
+    return (
+        e.join(F.broadcast(c), e.user_id == c.c_custkey, "left")
+        .groupBy(F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("hits"),
+            F.expr(x.dec_sum_double("value", x.SPARK)).alias("sum_value"),
+        )
+        .orderBy("segment")
+    )
+
+
+_Q_EVENTS_ENRICH_ORACLE = f"""
+select coalesce(c_mktsegment, 'UNKNOWN') as segment,
+       count(*) as hits,
+       {x.dec_sum_double('value', x.DUCK)} as sum_value
+from events left join customer on user_id = c_custkey
+group by 1 order by 1
+"""
+
+
+def _q_events_parse_props(spark, sf_dir):
+    """Vector of the parse stage: JSON field extraction + bucketing."""
+    return (
+        _events_routed(spark, sf_dir)
+        .groupBy((F.col("json_k") % 10).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("hits"),
+            F.min("json_k").alias("min_k"),
+            F.max("json_k").alias("max_k"),
+        )
+        .orderBy("k_bucket")
+    )
+
+
+def _q_events_malformed(spark, sf_dir):
+    """The malformRecord-counter analog (aggregate.go:15): one audit row."""
+    e = _events_routed(spark, sf_dir)
+    return e.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        F.count_if(F.expr("json_k is null or value <= 0 or ts is null")).alias("malformed"),
+        F.count_if(F.expr("not (json_k is null or value <= 0 or ts is null)")).alias("valid"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. Relational operator coverage (joins / windows / set ops / top-k) on the
+#    TPC-H-ish tables.
+# ---------------------------------------------------------------------------
+
+def _q1_build(d: str) -> str:
+    qty = x.dec_sum_double("l_quantity", d)
+    base = x.dec_sum_double("l_extendedprice", d)
+    # inputs carry 2 decimal digits -> scale-4 products are exact, and the
+    # scaled sum stays < 2^53 (see xsql.dec_sum_double note)
+    if d == x.SPARK:
+        disc = ("cast(sum(cast(l_extendedprice as decimal(18,2)) * "
+                "cast(1 - l_discount as decimal(8,2))) as double)")
+    else:
+        disc = ("(sum((l_extendedprice)::decimal(18,2) * "
+                "(1 - l_discount)::decimal(8,2)))::double")
+    return f"""
+select l_returnflag, l_linestatus,
+       {qty} as sum_qty,
+       {base} as sum_base_price,
+       {disc} as sum_disc_price,
+       {qty} / count(*) as avg_qty,
+       {base} / count(*) as avg_price,
+       count(*) as count_order
+from lineitem
+where l_shipdate <= date '1998-09-02'
+group by l_returnflag, l_linestatus
+order by l_returnflag, l_linestatus
+"""
+
+
+def _q3_build(d: str) -> str:
+    if d == x.SPARK:
+        rev = ("cast(sum(cast(l_extendedprice as decimal(18,2)) * "
+               "cast(1 - l_discount as decimal(8,2))) as double)")
+    else:
+        rev = ("(sum((l_extendedprice)::decimal(18,2) * "
+               "(1 - l_discount)::decimal(8,2)))::double")
+    return f"""
+select o_orderpriority, {rev} as revenue, count(*) as n_items
+from customer
+join orders on c_custkey = o_custkey
+join lineitem on l_orderkey = o_orderkey
+where c_mktsegment = 'FURNITURE'
+  and o_orderdate < date '1997-06-01'
+  and l_shipdate > date '1997-06-01'
+group by o_orderpriority
+order by o_orderpriority
+"""
+
+
+def _topk_build(d: str) -> str:
+    spend = x.dec_sum_double("o_totalprice", d)
+    return f"""
+select c_custkey, c_name, {spend} as total_spend, count(*) as n_orders
+from orders join customer on o_custkey = c_custkey
+group by c_custkey, c_name
+order by total_spend desc, c_custkey asc
+limit 10
+"""
+
+
+def _region_rollup_build(d: str) -> str:
+    return """
+select r_name, count(*) as n_customers,
+       count(distinct n_name) as n_nations
+from customer
+join nation on c_nationkey = n_nationkey
+join region on n_regionkey = r_regionkey
+group by r_name
+order by r_name
+"""
+
+
+def _anti_join_build(d: str) -> str:
+    # customers with no orders (anti join); same SQL runs on both engines
+    return """
+select c_custkey, c_mktsegment
+from customer
+where not exists (select 1 from orders where o_custkey = c_custkey)
+order by c_custkey
+"""
+
+
+def _semi_join_build(d: str) -> str:
+    return """
+select c_mktsegment, count(*) as n_customers_with_urgent
+from customer
+where exists (select 1 from orders
+              where o_custkey = c_custkey and o_orderpriority = '1-URGENT')
+group by c_mktsegment
+order by c_mktsegment
+"""
+
+
+def _rank_window_build(d: str) -> str:
+    return """
+select o_custkey, o_orderkey, o_totalprice, rn
+from (
+  select o_custkey, o_orderkey, o_totalprice,
+         row_number() over (partition by o_custkey
+                            order by o_totalprice desc, o_orderkey asc) as rn
+  from orders
+) t
+where rn <= 2
+order by o_custkey, rn
+"""
+
+
+def _setop_build(d: str) -> str:
+    # nations that have customers but no suppliers (EXCEPT)
+    return """
+select n_name from (
+  select distinct n_name
+  from customer join nation on c_nationkey = n_nationkey
+  except
+  select distinct n_name
+  from supplier join nation on s_nationkey = n_nationkey
+) t
+order by n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# 3. Training-data operators: dedup / similarity / text analysis.
+# ---------------------------------------------------------------------------
+
+def _dedup_exact_build(d: str) -> str:
+    return """
+select count(*) as n_docs,
+       count(distinct md5(text)) as n_unique_texts,
+       count(*) - count(distinct md5(text)) as n_exact_dupes
+from documents
+"""
+
+
+def _fingerprint_build(d: str) -> str:
+    toks = x.tokens("text", d)
+    return f"""
+select doc_id,
+       {x.polyhash('text', d)} as fingerprint,
+       {x.arr_size(toks, d)} as n_tokens
+from documents
+order by doc_id
+"""
+
+
+def _minhash_build(d: str) -> str:
+    sh = x.char_shingles("text", 5, d)
+    hs = x.transform(x.arr_distinct(sh, d), "s", x.polyhash("s", d), d)
+    mh = x.minhash_exprs("hs", d)
+    cols = ", ".join(f"{e} as mh{i}" for i, e in enumerate(mh))
+    return f"""
+with t as (select doc_id, {hs} as hs from documents)
+select doc_id, {cols} from t order by doc_id
+"""
+
+
+def _minhash_lsh_pairs_build(d: str) -> str:
+    """LSH banding: 8 minhashes -> 4 bands of 2; candidate pairs share a band."""
+    sh = x.char_shingles("text", 5, d)
+    hs = x.transform(x.arr_distinct(sh, d), "s", x.polyhash("s", d), d)
+    mh = x.minhash_exprs("hs", d)
+    mh_cols = ", ".join(f"{e} as mh{i}" for i, e in enumerate(mh))
+    bands = ", ".join(
+        f"(mh{2 * b} * 31 + mh{2 * b + 1}) % {x.P} as band{b}" for b in range(4)
+    )
+    band_union = " union all ".join(
+        f"select doc_id, {b} as band_no, band{b} as band_val from sig" for b in range(4)
+    )
+    return f"""
+with t as (select doc_id, {hs} as hs from documents),
+sig as (select doc_id, {mh_cols} from t),
+sigb as (select doc_id, {bands} from sig),
+bandrows as ({band_union.replace('from sig', 'from sigb')})
+select distinct a.doc_id as doc_a, b.doc_id as doc_b
+from bandrows a join bandrows b
+  on a.band_no = b.band_no and a.band_val = b.band_val and a.doc_id < b.doc_id
+order by doc_a, doc_b
+"""
+
+
+def _simhash_build(d: str) -> str:
+    toks = x.tokens("text", d)
+    th = x.transform(toks, "t", x.polyhash("t", d), d)
+    return f"""
+with t as (select doc_id, {th} as th from documents)
+select doc_id, {x.simhash_expr('th', d)} as simhash from t order by doc_id
+"""
+
+
+def _simhash_pairs_build(d: str) -> str:
+    toks = x.tokens("text", d)
+    th = x.transform(toks, "t", x.polyhash("t", d), d)
+    ham = "bit_count(a.simhash ^ b.simhash)" if d == x.SPARK else \
+          "bit_count(xor(a.simhash, b.simhash))"
+    return f"""
+with t as (select doc_id, {th} as th from documents),
+s as (select doc_id, {x.simhash_expr('th', d)} as simhash from t)
+select a.doc_id as doc_a, b.doc_id as doc_b, {ham} as hamming
+from s a join s b on a.doc_id < b.doc_id
+where {ham} <= 3
+order by doc_a, doc_b
+"""
+
+
+def _jaccard_pairs_build(d: str) -> str:
+    """Word-3-gram Jaccard near-dup pairs (shingle-join bounded)."""
+    toks = x.tokens("text", d)
+    grams = x.arr_distinct(x.word_ngrams(toks, 3, d), d)
+    expl = "explode(grams)" if d == x.SPARK else "unnest(grams)"
+    return f"""
+with g as (select doc_id, {grams} as grams from documents),
+sz as (select doc_id, {x.arr_size('grams', d)} as n from g),
+e as (select doc_id, {expl} as gram from g),
+inter as (
+  select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as n_common
+  from e a join e b on a.gram = b.gram and a.doc_id < b.doc_id
+  group by a.doc_id, b.doc_id
+)
+select doc_a, doc_b, n_common,
+       cast(n_common as double) / cast(sa.n + sb.n - n_common as double) as jaccard
+from inter
+join sz sa on sa.doc_id = doc_a
+join sz sb on sb.doc_id = doc_b
+where cast(n_common as double) / cast(sa.n + sb.n - n_common as double) >= 0.2
+order by doc_a, doc_b
+"""
+
+
+def _ann_topk_build(d: str) -> str:
+    cos = x.cosine_double("a.embedding", "q.embedding", 64, d)
+    return f"""
+with q as (select embedding from embeddings where vec_id = 0)
+select a.vec_id, {cos} as cosine
+from embeddings a cross join q
+where a.vec_id <> 0
+order by cosine desc, a.vec_id asc
+limit 10
+"""
+
+
+def _ann_lsh_buckets_build(d: str) -> str:
+    """Sign-LSH bucketing over 4 deterministic integer hyperplanes."""
+    terms = []
+    for j in range(4):
+        if d == x.SPARK:
+            prods = (f"transform(sequence(1, 64), i -> "
+                     f"element_at(cast(embedding as array<double>), i) * "
+                     f"(((i * {j + 3} + 11) % 17) - 8))")
+            dot = f"aggregate({prods}, 0D, (acc, v) -> acc + v)"
+        else:
+            prods = (f"list_transform(generate_series(1, 64), i -> "
+                     f"embedding[i]::DOUBLE * (((i * {j + 3} + 11) % 17) - 8))")
+            dot = f"list_reduce({prods}, (acc, v) -> acc + v)"
+        terms.append(f"(case when {dot} > 0 then {1 << j} else 0 end)")
+    bucket = "(" + " + ".join(terms) + ")"
+    return f"""
+select {bucket} as bucket, count(*) as n_vecs
+from embeddings
+group by 1 order by 1
+"""
+
+
+def _embedding_norms_build(d: str) -> str:
+    return f"""
+select vec_id, label, {x.norm_double('embedding', 64, d)} as l2_norm
+from embeddings
+order by vec_id
+"""
+
+
+def _token_stats_build(d: str) -> str:
+    toks = x.tokens("text", d)
+    n = x.arr_size(toks, d)
+    return f"""
+select lang, count(*) as n_docs,
+       cast(sum({n}) as bigint) as total_tokens,
+       cast(sum({n}) as double) / count(*) as avg_tokens
+from documents
+group by lang order by lang
+"""
+
+
+_STOPWORDS = {
+    "en": ["the", "of", "and", "to", "in"],
+    "es": ["el", "la", "de", "que", "y"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "les", "et", "des", "un"],
+}
+
+
+def _langid_build(d: str) -> str:
+    toks = x.tokens("text", d)
+    filt = "filter" if d == x.SPARK else "list_filter"
+    hits = {}
+    for lang, words in _STOPWORDS.items():
+        inlist = ", ".join(f"'{w}'" for w in words)
+        hits[lang] = x.arr_size(f"{filt}(toks, t -> t in ({inlist}))", d)
+    order = ["en", "es", "de", "fr"]
+    guess = "case "
+    for i, lang in enumerate(order):
+        others = [hits[o] for o in order if o != lang]
+        cond = " and ".join(f"{hits[lang]} >= {o}" for o in others)
+        guess += f"when {cond} then '{lang}' "
+    guess += "else 'und' end"
+    return f"""
+with t as (select doc_id, lang, {toks} as toks from documents)
+select doc_id, lang,
+       {hits['en']} as hits_en, {hits['es']} as hits_es,
+       {hits['de']} as hits_de, {hits['fr']} as hits_fr,
+       {guess} as guessed_lang
+from t order by doc_id
+"""
+
+
+def _quality_build(d: str) -> str:
+    toks = x.tokens("text", d)
+    n = x.arr_size(toks, d)
+    return f"""
+select doc_id,
+       {n} as n_tokens,
+       length(text) as n_chars,
+       (cast({n} as double) / (length(text) + 1)) *
+         (case when {n} >= 10 and {n} <= 1000
+               then cast(1.0 as double) else cast(0.5 as double) end) as quality_score
+from documents
+order by doc_id
+"""
+
+
+def _top_tokens_build(d: str) -> str:
+    toks = x.tokens("text", d)
+    expl = f"explode({toks})" if d == x.SPARK else f"unnest({toks})"
+    return f"""
+select token, count(*) as cnt
+from (select {expl} as token from documents) t
+group by token
+order by cnt desc, token asc
+limit 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# 4. Pages pipeline + multimodal plumbing (Spark-only; rows-only checks).
+# ---------------------------------------------------------------------------
+
+def _pages_routed(spark: SparkSession, _sf_dir: str) -> DataFrame:
+    from .plans.pipeline import build_routed
+    from .sources.pages import generate_host_lookup, generate_pages
+
+    pages = spark.createDataFrame(generate_pages(2000)).repartition(8)
+    lookup = spark.createDataFrame(generate_host_lookup())
+    return build_routed(pages, lookup)
+
+
+def _q_pipeline_agg_by_host(spark, sf_dir):
+    from .operators.aggregate import aggregate_by_host
+
+    routed = _pages_routed(spark, sf_dir)
+    valid = routed.filter(F.col("match_class").isin("parsed", "bot"))
+    return aggregate_by_host(valid, salt_buckets=8).drop("sum_duration_dec")
+
+
+def _q_pipeline_route_counts(spark, sf_dir):
+    return (
+        _pages_routed(spark, sf_dir)
+        .groupBy("match_class")
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .orderBy("match_class")
+    )
+
+
+def _q_multimodal_features(spark, sf_dir):
+    from .operators.multimodal import extract_stub_features
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode(F.col("text"), "UTF-8")
+    )
+    return extract_stub_features(docs).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, QuerySpec] = {
+    # log-pipeline analogs (events)
+    "events_route_fanout": QuerySpec(
+        _q_events_route_fanout,
+        f"select match_class, count(*) as hits from ({_DUCK_ROUTED}) t "
+        "group by match_class order by match_class",
+        headline=True,
+    ),
+    "events_agg_by_type": QuerySpec(
+        _q_events_agg_by_type, _Q_EVENTS_AGG_BY_TYPE_ORACLE, headline=True
+    ),
+    "events_agg_by_hour": QuerySpec(_q_events_agg_by_hour, _Q_EVENTS_AGG_BY_HOUR_ORACLE),
+    "events_agg_type_window": QuerySpec(
+        _q_events_agg_type_window,
+        "select date_trunc('hour', ts) as hour_start, event_type, count(*) as hits "
+        "from events group by 1, 2 order by 1, 2",
+    ),
+    "events_enrich_broadcast": QuerySpec(
+        _q_events_enrich_broadcast, _Q_EVENTS_ENRICH_ORACLE, headline=True
+    ),
+    "events_parse_props": QuerySpec(
+        _q_events_parse_props,
+        f"select json_k % 10 as k_bucket, count(*) as hits, "
+        f"min(json_k) as min_k, max(json_k) as max_k "
+        f"from ({_DUCK_ROUTED}) t group by 1 order by 1",
+    ),
+    "events_malformed_audit": QuerySpec(
+        _q_events_malformed,
+        f"select count(*) as total_rows, "
+        f"count(*) filter (where json_k is null or value <= 0 or ts is null) as malformed, "
+        f"count(*) filter (where not (json_k is null or value <= 0 or ts is null)) as valid "
+        f"from ({_DUCK_ROUTED}) t",
+    ),
+    # relational coverage
+    "q1_pricing_summary": _sql_pair(_q1_build, headline=True),
+    "q3_revenue_by_priority": _sql_pair(_q3_build, headline=True),
+    "top_customers_by_spend": _sql_pair(_topk_build),
+    "region_customer_rollup": _sql_pair(_region_rollup_build),
+    "anti_join_customers_no_orders": _sql_pair(_anti_join_build),
+    "semi_join_urgent_customers": _sql_pair(_semi_join_build),
+    "rank_orders_per_customer": _sql_pair(_rank_window_build),
+    "except_nations_without_suppliers": _sql_pair(_setop_build),
+    # training-data ops
+    "dedup_exact": _sql_pair(_dedup_exact_build),
+    "doc_fingerprints": _sql_pair(_fingerprint_build, headline=True),
+    "dedup_minhash_signatures": _sql_pair(_minhash_build, headline=True),
+    "dedup_minhash_lsh_pairs": _sql_pair(_minhash_lsh_pairs_build),
+    "dedup_simhash": _sql_pair(_simhash_build),
+    "dedup_simhash_near_pairs": _sql_pair(_simhash_pairs_build),
+    "dedup_ngram_jaccard_pairs": _sql_pair(_jaccard_pairs_build),
+    "ann_cosine_topk": _sql_pair(_ann_topk_build, headline=True),
+    "ann_lsh_buckets": _sql_pair(_ann_lsh_buckets_build),
+    "embedding_norms": _sql_pair(_embedding_norms_build),
+    "text_token_stats": _sql_pair(_token_stats_build),
+    "text_langid": _sql_pair(_langid_build),
+    "text_quality_score": _sql_pair(_quality_build),
+    "text_top_tokens": _sql_pair(_top_tokens_build),
+    # pages pipeline + multimodal (Spark-only, rows-only checks)
+    "pipeline_agg_by_host": QuerySpec(_q_pipeline_agg_by_host, None, headline=True),
+    "pipeline_route_counts": QuerySpec(_q_pipeline_route_counts, None),
+    "multimodal_stub_features": QuerySpec(_q_multimodal_features, None),
+}

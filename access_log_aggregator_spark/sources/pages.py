@@ -99,11 +99,27 @@ def _page_text(rng: random.Random, payload: Optional[str]) -> str:
     return "\n".join(lines)
 
 
+#: generation is chunked so corpora parallelize: chunk k is seeded by
+#: (seed, chunk_start) and rows are independent across chunks, making
+#: generate_pages(n) == concat(generate_pages_chunk(k*CHUNK, ...)) for any
+#: worker layout.
+CHUNK_ROWS = 10_000
+
+
 def generate_pages(n_rows: int, seed: int = 42) -> pd.DataFrame:
     """Build the pages corpus as a pandas DataFrame (row order == url order)."""
-    rng = random.Random(seed)
+    parts = [
+        generate_pages_chunk(lo, min(CHUNK_ROWS, n_rows - lo), seed)
+        for lo in range(0, n_rows, CHUNK_ROWS)
+    ]
+    return pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+
+
+def generate_pages_chunk(start: int, n_rows: int, seed: int = 42) -> pd.DataFrame:
+    """Rows [start, start+n_rows) of the corpus (deterministic per chunk)."""
+    rng = random.Random((seed << 32) ^ start)
     rows = []
-    for i in range(n_rows):
+    for i in range(start, start + n_rows):
         r = rng.random()
         variant = "valid"
         acc = 0.0

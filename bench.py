@@ -1,0 +1,151 @@
+"""Benchmark harness (driver contract).
+
+Times the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the full pages
+pipeline (parse -> enrich -> route, the north-star throughput metric) over a
+deterministic synthesized corpus. Prints exactly ONE JSON line to stdout:
+
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "pipeline_pages_per_sec": ...}
+
+All diagnostics go to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+PIPELINE_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "200000"))
+PIPELINE_TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def _write_chunk(args) -> str:
+    start, count, dest = args
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from access_log_aggregator_spark.sources.pages import generate_pages_chunk
+
+    pdf = generate_pages_chunk(start, count)
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), dest)
+    return dest
+
+
+def _cached_pages(n: int) -> Path:
+    """Generate-once corpus cache (deterministic, seed 42).
+
+    Chunks are generated in parallel (process pool) and written one parquet
+    file per chunk, so the scan parallelizes naturally (files >> cores) —
+    no repartition shuffle in the measured job, exactly like a real
+    many-file table at cluster scale.
+    """
+    from multiprocessing import Pool
+
+    from access_log_aggregator_spark.sources.pages import CHUNK_ROWS
+
+    cache = REPO / ".bench_cache" / f"pages_{n}"
+    if not (cache / "_DONE").exists():
+        log(f"generating {n}-page corpus ...")
+        t0 = time.time()
+        cache.mkdir(parents=True, exist_ok=True)
+        jobs = [
+            (lo, min(CHUNK_ROWS, n - lo), str(cache / f"part-{lo // CHUNK_ROWS:05d}.parquet"))
+            for lo in range(0, n, CHUNK_ROWS)
+        ]
+        with Pool(min(32, len(jobs))) as pool:
+            pool.map(_write_chunk, jobs)
+        (cache / "_DONE").touch()
+        log(f"generated in {time.time() - t0:.1f}s -> {cache}")
+    return cache
+
+
+def bench_scan_conf(pages_dir: Path, cores: int) -> dict[str, str]:
+    """Size scan splits so the small bench corpus yields >= 2 tasks/core
+    (a real TB-scale table has natural file parallelism instead)."""
+    total = sum(f.stat().st_size for f in pages_dir.glob("*.parquet"))
+    target = max(1_048_576, total // (cores * 2))
+    return {
+        "spark.sql.files.maxPartitionBytes": str(target),
+        "spark.sql.files.openCostInBytes": str(target // 8),
+    }
+
+
+def _noop_run(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from access_log_aggregator_spark.queries import QUERIES
+    from access_log_aggregator_spark.session import get_spark
+    from access_log_aggregator_spark.sources.pages import generate_host_lookup
+
+    pages_path = _cached_pages(PIPELINE_PAGES)
+
+    spark = get_spark(app_name="alas-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=int(cpus),
+                      extra_conf=bench_scan_conf(pages_path, int(cpus)))
+    timings: dict[str, float] = {}
+    try:
+        # warm-up: JVM + parquet reader + python workers
+        log("warm-up ...")
+        QUERIES["events_agg_by_type"].spark_fn(spark, sf_dir).collect()
+
+        for name, spec in QUERIES.items():
+            if not spec.headline:
+                continue
+            t0 = time.time()
+            _noop_run(spec.spark_fn(spark, sf_dir))
+            timings[name] = round(time.time() - t0, 3)
+            log(f"{name}: {timings[name]}s")
+
+        # north-star: full pipeline throughput over the synthesized corpus
+        # (1 warm-up run — python workers + codegen — then best of N trials)
+        from access_log_aggregator_spark.plans.pipeline import build_routed
+
+        lookup = spark.createDataFrame(generate_host_lookup())
+        pages = spark.read.parquet(str(pages_path))  # scan-parallel, no shuffle
+        _noop_run(build_routed(pages, lookup))
+        pipe_sec = math.inf
+        for i in range(PIPELINE_TRIALS):
+            t0 = time.time()
+            _noop_run(build_routed(pages, lookup))
+            dt = time.time() - t0
+            log(f"pipeline trial {i + 1}: {dt:.3f}s")
+            pipe_sec = min(pipe_sec, dt)
+        timings["pipeline_full"] = round(pipe_sec, 3)
+        pages_per_sec = round(PIPELINE_PAGES / pipe_sec, 1)
+        log(f"pipeline_full: {pipe_sec:.3f}s = {pages_per_sec} pages/s")
+
+        total = round(sum(timings.values()), 3)
+        print(json.dumps({
+            "metric": "headline_queries_plus_pipeline_wall_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(sf),
+            "pipeline_pages": PIPELINE_PAGES,
+            "pipeline_pages_per_sec": pages_per_sec,
+        }))
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,62 @@
+"""Streaming mode produces the same sinks/aggregates as batch mode."""
+
+from __future__ import annotations
+
+import pytest
+
+from access_log_aggregator_spark.plans.pipeline import Pipeline
+from access_log_aggregator_spark.sources.tableio import SnapshotTable
+from access_log_aggregator_spark.streaming.stream import run_streaming
+
+
+@pytest.fixture(scope="module")
+def stream_run(spark, corpus, lookup_sdf, tmp_path_factory):
+    root = tmp_path_factory.mktemp("stream")
+    pages_table = SnapshotTable.create(root / "pages", "pages")
+    n = len(corpus.pages)
+    step = (n + 2) // 3
+    for lo in range(0, n, step):
+        pages_table.append_pandas(corpus.pages.iloc[lo: lo + step])
+    pipe = Pipeline(spark, root / "out", lookup_sdf)
+    processed = run_streaming(spark, pages_table, pipe, root / "stream_ckpt")
+    return pipe, pages_table, root, processed
+
+
+def test_stream_drains_everything(stream_run, corpus):
+    pipe, _, _, processed = stream_run
+    assert len(processed) >= 1
+    assert pipe.routed().count() == len(corpus.pages)
+
+
+def test_stream_sink_counts_match_oracle(stream_run, corpus):
+    pipe, _, _, _ = stream_run
+    for cls, want in corpus.golden_counts.items():
+        assert pipe.sink(cls).count() == want, cls
+
+
+def test_stream_agg_matches_oracle(stream_run, corpus):
+    pipe, _, _, _ = stream_run
+    rows = pipe.agg_by_host().collect()
+    golden = corpus.golden.rows()
+    assert [r["host"] for r in rows] == [g[0] for g in golden]
+    for r, g in zip(rows, golden):
+        assert (r["total_requests"], r["requests_2xx"]) == (g[1], g[2])
+
+
+def test_stream_restart_is_noop(stream_run, spark, lookup_sdf, corpus):
+    """AvailableNow restart with same checkpoint: nothing new to process."""
+    pipe, pages_table, root, _ = stream_run
+    before = pipe.routed().count()
+    run_streaming(spark, pages_table, pipe, root / "stream_ckpt")
+    assert pipe.routed().count() == before
+
+
+def test_stream_picks_up_new_snapshot(stream_run, spark, corpus):
+    """Appending a new snapshot then re-triggering processes ONLY it."""
+    pipe, pages_table, root, _ = stream_run
+    before = pipe.routed().count()
+    extra = corpus.pages.iloc[:100].copy()
+    extra["url"] = extra["url"] + "&rerun=1"  # distinct urls
+    pages_table.append_pandas(extra)
+    run_streaming(spark, pages_table, pipe, root / "stream_ckpt")
+    assert pipe.routed().count() == before + 100
