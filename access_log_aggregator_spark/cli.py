@@ -87,9 +87,11 @@ def main(argv: list[str] | None = None) -> int:
             rows_in += r.rows_in
             for k, v in r.sink_counts.items():
                 totals[k] += v
+        agg_rows = pipe.write_aggregates() if results else {}
         print(json.dumps({"batches": len(results), "rows_in": rows_in,
                           "sink_counts": totals,
-                          "malformed": totals["unparsed"] + totals["error"]}))
+                          "malformed": totals["unparsed"] + totals["error"],
+                          "aggregate_tables": agg_rows}))
         # the reference's final summary table (print.go:26-49)
         print(pipe.summary_text())
         return 0
@@ -98,4 +100,11 @@ def main(argv: list[str] | None = None) -> int:
 
 
 if __name__ == "__main__":
+    if __package__ in (None, ""):
+        # spark-submit runs this file as a plain script: resolve the package
+        # from --py-files (already on sys.path) or from the repo checkout.
+        sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+        from access_log_aggregator_spark.cli import main as _pkg_main
+
+        sys.exit(_pkg_main())
     sys.exit(main())

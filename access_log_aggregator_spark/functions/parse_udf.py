@@ -28,6 +28,40 @@ from . import extract as X
 # pandas .str.extract needs a capture group; wrap the canonical pattern.
 _EXTRACT_RE = re.compile("(" + X.LINE_PATTERN + ")", re.MULTILINE)
 
+#: RE2 form for pyarrow.compute.extract_regex: named group + inline (?m).
+#: On the pattern subset used (ASCII literals, '.', anchors) RE2 and Python
+#: re produce identical leftmost matches over valid UTF-8 — asserted per-url
+#: by the byte-parity suite.
+_EXTRACT_RE2 = "(?m)(?P<line>" + X.LINE_PATTERN + ")"
+
+
+def _extract_arrow(s: pd.Series) -> pd.Series:
+    """C++-vectorized first-match extraction (RE2 via pyarrow.compute).
+
+    GIL-free and ~10x faster than pandas .str.extract — this is what keeps
+    the Python stage from capping pipeline scaling at high core counts.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = pa.Array.from_pandas(s, type=pa.string())
+    line = pc.struct_field(pc.extract_regex(arr, _EXTRACT_RE2), "line")
+    return line.to_pandas()
+
+
+def _extract_pandas(s: pd.Series) -> pd.Series:
+    """Fallback path: pandas .str.extract (Python re, first match)."""
+    out = s.str.extract(_EXTRACT_RE, expand=True)[0]
+    return out.where(out.notna(), None)
+
+
+try:  # prefer the RE2 path when the runtime supports it
+    import pyarrow.compute as _pc
+
+    _EXTRACT_IMPL = _extract_arrow if hasattr(_pc, "extract_regex") else _extract_pandas
+except Exception:  # pragma: no cover
+    _EXTRACT_IMPL = _extract_pandas
+
 
 # explicit DataType (not a DDL string) so the UDF can be defined without an
 # active SparkSession (the DDL parser needs one)
@@ -35,13 +69,12 @@ _EXTRACT_RE = re.compile("(" + X.LINE_PATTERN + ")", re.MULTILINE)
 def extract_payload_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
     """Series[str] text -> Series[str|None] first JSON-object-looking line.
 
-    ``Series.str.extract`` takes the FIRST match, exactly like the oracle's
-    ``LINE_RE.search`` (functions/extract.py). NaN/None text => None.
+    First match per row, exactly like the oracle's ``LINE_RE.search``
+    (functions/extract.py). NaN/None text => None.
     """
-    pat = _EXTRACT_RE  # bound once per worker process
+    impl = _EXTRACT_IMPL  # bound once per worker process
     for s in batches:
-        out = s.str.extract(pat, expand=True)[0]
-        yield out.where(out.notna(), None)
+        yield impl(s)
 
 
 def extract_payload_expr(text: Column) -> Column:

@@ -1,0 +1,132 @@
+"""Deduplication operators (exact, MinHash+LSH, SimHash, n-gram Jaccard).
+
+DataFrame-API surface over the same canonical formulas as the SQL registry
+(functions/xsql.py SPARK dialect), so results are identical to the
+DuckDB-oracled queries. Scale notes per operator:
+
+- exact: one hash-groupBy shuffle on md5(text) — the cheapest possible
+  exact dedup; at 100 TB bucket/partition the table by the hash prefix.
+- minhash_lsh: signatures are embarrassingly parallel (no shuffle); the
+  band join shuffles only (doc_id, band) pairs — tiny rows — and AQE
+  handles banding skew (hot bands from boilerplate-heavy corpora).
+- simhash: same shape; near-pair join is a self-equi-join on simhash
+  prefix buckets at scale (here: direct hamming filter for exactness).
+- ngram_jaccard: the shingle inverted-index join explodes |doc|·|grams|
+  rows; at scale, cap per-gram document frequency (drop stop-shingles)
+  before the self-join — the df_cap parameter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import xsql as x
+
+
+def _e(sql: str) -> Column:
+    return F.expr(sql)
+
+
+def exact_dedup_keep_first(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id row per exact text (hash groupBy + semi join)."""
+    keep = df.groupBy(F.md5(F.col(text_col)).alias("_h")).agg(
+        F.min(id_col).alias(id_col)
+    )
+    return df.join(keep.select(id_col), on=id_col, how="left_semi")
+
+
+def with_minhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append mh0..mh{K-1} minhash signature columns (no shuffle)."""
+    sh = x.char_shingles(text_col, 5, x.SPARK)
+    hs = x.transform(x.arr_distinct(sh, x.SPARK), "s", x.polyhash("s", x.SPARK), x.SPARK)
+    out = df.withColumn("_hs", _e(hs))
+    for i, expr in enumerate(x.minhash_exprs("_hs", x.SPARK)):
+        out = out.withColumn(f"mh{i}", _e(expr))
+    return out.drop("_hs")
+
+
+def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """Candidate near-dup pairs sharing at least one LSH band (4 bands x 2)."""
+    sig = with_minhash(df.select(id_col, text_col), text_col)
+    bands = None
+    for b in range(4):
+        part = sig.select(
+            F.col(id_col),
+            F.lit(b).alias("band_no"),
+            ((F.col(f"mh{2 * b}") * 31 + F.col(f"mh{2 * b + 1}")) % x.P).alias("band_val"),
+        )
+        bands = part if bands is None else bands.unionAll(part)
+    a, b_ = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col(f"a.band_no") == F.col("b.band_no"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+
+
+def with_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append a SIMHASH_BITS-bit simhash column over token hashes."""
+    th = x.transform(x.tokens(text_col, x.SPARK), "t", x.polyhash("t", x.SPARK), x.SPARK)
+    return df.withColumn("_th", _e(th)).withColumn(
+        "simhash", _e(x.simhash_expr("_th", x.SPARK))
+    ).drop("_th")
+
+
+def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", max_hamming: int = 3) -> DataFrame:
+    s = with_simhash(df.select(id_col, text_col), text_col).select(id_col, "simhash")
+    a, b = s.alias("a"), s.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .where(ham <= max_hamming)
+        .select(F.col(f"a.{id_col}").alias("doc_a"),
+                F.col(f"b.{id_col}").alias("doc_b"),
+                ham.alias("hamming"))
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 3,
+                        threshold: float = 0.2,
+                        df_cap: int | None = None) -> DataFrame:
+    """Jaccard similarity over word n-gram sets via a shingle inverted index.
+
+    ``df_cap`` drops shingles appearing in more than that many docs before
+    the self-join (the stop-shingle guard that keeps the join bounded at
+    corpus scale); None keeps exact semantics.
+    """
+    toks = x.tokens(text_col, x.SPARK)
+    grams_expr = x.arr_distinct(x.word_ngrams(toks, n, x.SPARK), x.SPARK)
+    g = df.select(id_col, _e(grams_expr).alias("grams"))
+    sz = g.select(id_col, F.size("grams").alias("n"))
+    e = g.select(id_col, F.explode("grams").alias("gram"))
+    if df_cap is not None:
+        rare = e.groupBy("gram").count().where(F.col("count") <= df_cap).select("gram")
+        e = e.join(F.broadcast(rare), "gram")
+    a, b = e.alias("a"), e.alias("b")
+    inter = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sz.withColumnRenamed(id_col, "doc_a").withColumnRenamed("n", "na")
+    sb = sz.withColumnRenamed(id_col, "doc_b").withColumnRenamed("n", "nb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    ).cast("double")
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )

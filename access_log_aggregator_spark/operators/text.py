@@ -1,0 +1,68 @@
+"""Text-analysis operators: tokens, quality, language ID, fingerprints.
+
+DataFrame-API surface over the canonical cross-engine formulas
+(functions/xsql.py). Everything is built-in Catalyst expressions — no
+Python on any path — so these run inside whole-stage codegen and scale as
+pure map work (zero shuffles until an aggregation is asked for).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import xsql as x
+
+STOPWORDS = {
+    "en": ["the", "of", "and", "to", "in"],
+    "es": ["el", "la", "de", "que", "y"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "les", "et", "des", "un"],
+}
+
+
+def _e(sql: str) -> Column:
+    return F.expr(sql)
+
+
+def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    toks = x.tokens(text_col, x.SPARK)
+    return df.withColumn("n_tokens", _e(x.arr_size(toks, x.SPARK)))
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Polynomial rolling-hash document fingerprint (exact both engines)."""
+    return df.withColumn("fingerprint", _e(x.polyhash(text_col, x.SPARK)))
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic quality heuristic: token density, damped outside a
+    sane token-count band (same formula as the oracle SQL)."""
+    toks = x.tokens(text_col, x.SPARK)
+    n = x.arr_size(toks, x.SPARK)
+    expr = (
+        f"(cast({n} as double) / (length({text_col}) + 1)) * "
+        f"(case when {n} >= 10 and {n} <= 1000 then cast(1.0 as double) "
+        f"else cast(0.5 as double) end)"
+    )
+    return with_token_count(df, text_col).withColumn("quality_score", _e(expr))
+
+
+def with_lang_guess(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-ratio language ID; ties break by the fixed language order."""
+    toks = x.tokens(text_col, x.SPARK)
+    out = df.withColumn("_toks", _e(toks))
+    hits = {}
+    for lang, words in STOPWORDS.items():
+        inlist = ", ".join(f"'{w}'" for w in words)
+        hits[lang] = f"size(filter(_toks, t -> t in ({inlist})))"
+        out = out.withColumn(f"hits_{lang}", _e(hits[lang]))
+    order = list(STOPWORDS)
+    guess = "case "
+    for lang in order:
+        cond = " and ".join(
+            f"hits_{lang} >= hits_{o}" for o in order if o != lang
+        )
+        guess += f"when {cond} then '{lang}' "
+    guess += "else 'und' end"
+    return out.withColumn("guessed_lang", _e(guess)).drop("_toks")

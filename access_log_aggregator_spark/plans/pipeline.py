@@ -166,6 +166,24 @@ class Pipeline:
         v = self.valid_records()
         return None if v is None else aggregate_by_window(v, duration)
 
+    def write_aggregates(self) -> dict[str, int]:
+        """Materialize the three aggregate views as sink tables
+        (overwrite-by-job semantics — SURVEY.md §2.5 K1: the authoritative
+        sinks are tables, stdout is presentation). Returns rows per table."""
+        out: dict[str, int] = {}
+        for name, df in (
+            ("agg_by_host", self.agg_by_host()),
+            ("agg_by_status_bucket", self.agg_by_status_bucket()),
+            ("agg_by_window", self.agg_by_window()),
+        ):
+            if df is None:
+                continue
+            t = SnapshotTable.create(self.out_root / name, name)
+            t.truncate()
+            t.append_spark(df)
+            out[name] = t.row_count()
+        return out
+
     def summary_text(self, now=None) -> str:
         """Reference-format table (print.go:26-49) rendered from the aggregate."""
         from ..oracle.summaries import Summaries, Summary, format_summaries

@@ -92,8 +92,9 @@ def _boilerplate(rng: random.Random, n: int) -> list[str]:
     return [" ".join(rng.choices(_WORDS, k=rng.randint(4, 12))) for _ in range(n)]
 
 
-def _page_text(rng: random.Random, payload: Optional[str]) -> str:
-    lines = _boilerplate(rng, rng.randint(2, 6))
+def _page_text(rng: random.Random, payload: Optional[str],
+               lines_range: tuple[int, int] = (2, 6)) -> str:
+    lines = _boilerplate(rng, rng.randint(*lines_range))
     if payload is not None:
         lines.insert(rng.randrange(len(lines) + 1), payload)
     return "\n".join(lines)
@@ -106,16 +107,23 @@ def _page_text(rng: random.Random, payload: Optional[str]) -> str:
 CHUNK_ROWS = 10_000
 
 
-def generate_pages(n_rows: int, seed: int = 42) -> pd.DataFrame:
-    """Build the pages corpus as a pandas DataFrame (row order == url order)."""
+def generate_pages(n_rows: int, seed: int = 42,
+                   lines: tuple[int, int] = (2, 6)) -> pd.DataFrame:
+    """Build the pages corpus as a pandas DataFrame (row order == url order).
+
+    ``lines`` sets the boilerplate line-count range per page: the default
+    keeps unit corpora tiny; bench corpora use (15, 40) for KB-scale pages
+    (Common-Crawl-realistic parse density).
+    """
     parts = [
-        generate_pages_chunk(lo, min(CHUNK_ROWS, n_rows - lo), seed)
+        generate_pages_chunk(lo, min(CHUNK_ROWS, n_rows - lo), seed, lines)
         for lo in range(0, n_rows, CHUNK_ROWS)
     ]
     return pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
 
 
-def generate_pages_chunk(start: int, n_rows: int, seed: int = 42) -> pd.DataFrame:
+def generate_pages_chunk(start: int, n_rows: int, seed: int = 42,
+                         lines: tuple[int, int] = (2, 6)) -> pd.DataFrame:
     """Rows [start, start+n_rows) of the corpus (deterministic per chunk)."""
     rng = random.Random((seed << 32) ^ start)
     rows = []
@@ -165,7 +173,7 @@ def generate_pages_chunk(start: int, n_rows: int, seed: int = 42) -> pd.DataFram
         else:  # error
             payload = _log_line(rng, host)
 
-        text = _page_text(rng, payload)
+        text = _page_text(rng, payload, lines)
         html = b"<html><body>" + text.encode("utf-8") + b"</body></html>"
         if variant == "error":
             html = b"<html><body>\x80\xfe\xff" + text.encode("utf-8") + b"</body></html>"

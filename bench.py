@@ -31,6 +31,11 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+#: bench corpora use KB-scale page texts (Common-Crawl-realistic parse
+#: density); unit-test corpora keep the small default.
+BENCH_LINES = (15, 40)
+
+
 def _write_chunk(args) -> str:
     start, count, dest = args
     import pyarrow as pa
@@ -38,7 +43,7 @@ def _write_chunk(args) -> str:
 
     from access_log_aggregator_spark.sources.pages import generate_pages_chunk
 
-    pdf = generate_pages_chunk(start, count)
+    pdf = generate_pages_chunk(start, count, lines=BENCH_LINES)
     pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), dest)
     return dest
 
@@ -55,7 +60,7 @@ def _cached_pages(n: int) -> Path:
 
     from access_log_aggregator_spark.sources.pages import CHUNK_ROWS
 
-    cache = REPO / ".bench_cache" / f"pages_{n}"
+    cache = REPO / ".bench_cache" / f"pages_{n}_l{BENCH_LINES[0]}-{BENCH_LINES[1]}"
     if not (cache / "_DONE").exists():
         log(f"generating {n}-page corpus ...")
         t0 = time.time()

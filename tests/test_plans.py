@@ -1,0 +1,74 @@
+"""Physical-plan audits: the scale posture is a tested invariant, not a hope.
+
+These assert the *shape* of the plans Catalyst produces — a regression here
+means a future change silently introduced a shuffle or lost the broadcast.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df, mode="formatted") -> str:
+    jmode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+@pytest.fixture(scope="module")
+def routed_plan(spark, corpus, lookup_sdf, tmp_path_factory):
+    """Plan over a parquet-backed scan (the real input shape)."""
+    from access_log_aggregator_spark.plans.pipeline import build_routed
+
+    p = str(tmp_path_factory.mktemp("planpages") / "pages.parquet")
+    spark.createDataFrame(corpus.pages).write.parquet(p)
+    return _plan(build_routed(spark.read.parquet(p), lookup_sdf))
+
+
+def test_pipeline_has_no_shuffle(routed_plan):
+    """parse->enrich->route is a single pass: no hash/range exchange."""
+    assert "Exchange hashpartitioning" not in routed_plan
+    assert "Exchange rangepartitioning" not in routed_plan
+
+
+def test_enrich_is_broadcast_join(routed_plan):
+    assert "BroadcastHashJoin" in routed_plan
+    assert "SortMergeJoin" not in routed_plan
+
+
+def test_parse_reads_input_once(routed_plan):
+    """One scan of the pages relation feeds the whole fan-out (formatted
+    plans name each node once in the tree and once in the details, so count
+    unique '(n) Scan parquet' detail headers)."""
+    import re
+
+    assert len(re.findall(r"^\(\d+\) Scan parquet", routed_plan, re.M)) == 1
+
+
+def test_agg_is_partial_final(spark, pages_df, lookup_sdf):
+    """Host aggregate uses two-phase hash aggregation (map-side combine)."""
+    from access_log_aggregator_spark.operators.aggregate import aggregate_by_host
+    from access_log_aggregator_spark.plans.pipeline import build_routed
+
+    valid = build_routed(pages_df, lookup_sdf).filter(
+        F.col("match_class").isin("parsed", "bot")
+    )
+    plan = _plan(aggregate_by_host(valid))
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_events_enrich_broadcasts(spark):
+    from access_log_aggregator_spark.queries import QUERIES
+
+    df = QUERIES["events_enrich_broadcast"].spark_fn(spark, "/root/testdata/sf0.001")
+    assert "BroadcastHashJoin" in _plan(df)
+
+
+def test_scan_prunes_columns(spark, tmp_path, corpus):
+    """A narrow projection reaches the parquet reader (ReadSchema pruned)."""
+    p = str(tmp_path / "pages.parquet")
+    spark.createDataFrame(corpus.pages).write.parquet(p)
+    df = spark.read.parquet(p).select("url", "lang")
+    plan = _plan(df)
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "html" not in read_schema and "text" not in read_schema

@@ -1,0 +1,114 @@
+"""DataFrame-API training-data operators == their SQL-registry twins.
+
+The SQL registry (queries.py) is oracle-checked against DuckDB; these tests
+close the triangle by asserting the DataFrame-API operators produce the
+same results as the SQL formulations.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from access_log_aggregator_spark.operators import dedup, similarity, text
+from access_log_aggregator_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def _same(a, b):
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_minhash_matches_sql(spark, docs):
+    api = dedup.with_minhash(docs.select("doc_id", "text")).drop("text")
+    sql = QUERIES["dedup_minhash_signatures"].spark_fn(spark, SF)
+    _same(api.select(sql.columns), sql)
+
+
+def test_lsh_pairs_match_sql(spark, docs):
+    api = dedup.minhash_lsh_candidates(docs)
+    sql = QUERIES["dedup_minhash_lsh_pairs"].spark_fn(spark, SF)
+    _same(api, sql.select(api.columns))
+
+
+def test_simhash_matches_sql(spark, docs):
+    api = dedup.with_simhash(docs.select("doc_id", "text")).select("doc_id", "simhash")
+    sql = QUERIES["dedup_simhash"].spark_fn(spark, SF)
+    _same(api, sql)
+
+
+def test_jaccard_matches_sql(spark, docs):
+    api = dedup.ngram_jaccard_pairs(docs)
+    sql = QUERIES["dedup_ngram_jaccard_pairs"].spark_fn(spark, SF)
+    _same(api.select(sql.columns), sql)
+
+
+def test_jaccard_df_cap_is_subset(spark, docs):
+    """The stop-shingle guard only removes pairs, never fabricates them."""
+    full = dedup.ngram_jaccard_pairs(docs).select("doc_a", "doc_b")
+    capped = dedup.ngram_jaccard_pairs(docs, df_cap=50).select("doc_a", "doc_b")
+    assert capped.exceptAll(full).count() == 0
+
+
+def test_exact_dedup_keep_first(spark, docs):
+    out = dedup.exact_dedup_keep_first(docs)
+    # sf corpus has no exact dupes -> identity; and the op is idempotent
+    assert out.count() == docs.count()
+    dup = docs.union(docs.withColumn("doc_id", F.col("doc_id") + 100000))
+    assert dedup.exact_dedup_keep_first(dup).count() == docs.count()
+
+
+def test_topk_cosine_matches_sql(spark, emb):
+    q = emb.where(F.col("vec_id") == 0)
+    api = similarity.topk_cosine(emb, q, k=10, exclude_id=0)
+    sql = QUERIES["ann_cosine_topk"].spark_fn(spark, SF)
+    _same(api, sql)
+
+
+def test_lsh_bucket_counts_match_sql(spark, emb):
+    api = (similarity.with_lsh_bucket(emb)
+           .groupBy(F.col("lsh_bucket").alias("bucket"))
+           .agg(F.count(F.lit(1)).alias("n_vecs")))
+    sql = QUERIES["ann_lsh_buckets"].spark_fn(spark, SF)
+    _same(api, sql)
+
+
+def test_lsh_topk_is_bucket_subset(spark, emb):
+    """LSH top-k results all share the query's bucket and are a subset of
+    the brute-force ranking's candidate pool."""
+    q = emb.where(F.col("vec_id") == 0)
+    rows = similarity.lsh_topk_cosine(emb, q, k=5).collect()
+    assert len(rows) >= 1
+    buckets = {r["lsh_bucket"] for r in rows}
+    assert len(buckets) == 1
+
+
+def test_text_ops_match_sql(spark, docs):
+    api = text.with_quality_score(docs).select(
+        "doc_id", "n_tokens", F.length("text").alias("n_chars"), "quality_score"
+    )
+    sql = QUERIES["text_quality_score"].spark_fn(spark, SF)
+    _same(api, sql)
+
+    api2 = text.with_lang_guess(docs).select(
+        "doc_id", "lang", "hits_en", "hits_es", "hits_de", "hits_fr", "guessed_lang"
+    )
+    sql2 = QUERIES["text_langid"].spark_fn(spark, SF)
+    _same(api2, sql2)
+
+    api3 = text.with_fingerprint(text.with_token_count(docs)).select(
+        "doc_id", "fingerprint", "n_tokens"
+    )
+    sql3 = QUERIES["doc_fingerprints"].spark_fn(spark, SF)
+    _same(api3, sql3)
