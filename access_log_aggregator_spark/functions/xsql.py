@@ -172,6 +172,26 @@ def cosine_double(vec_a: str, vec_b: str, dim: int, d: str) -> str:
     )
 
 
+def lsh_bucket(vec: str, dim: int, n_planes: int, d: str) -> str:
+    """Sign-random-projection LSH bucket id over deterministic integer
+    hyperplanes (w[j][i] = ((i*(j+3)+11) % 17) - 8). Same per-element double
+    cast + sequential fold as :func:`dot_double`, so Spark and DuckDB assign
+    identical buckets bit-for-bit."""
+    terms = []
+    for j in range(n_planes):
+        if d == SPARK:
+            prods = (f"transform(sequence(1, {dim}), i -> "
+                     f"element_at(cast({vec} as array<double>), i) * "
+                     f"(((i * {j + 3} + 11) % 17) - 8))")
+            dot = f"aggregate({prods}, 0D, (acc, v) -> acc + v)"
+        else:
+            prods = (f"list_transform(generate_series(1, {dim}), i -> "
+                     f"{vec}[i]::DOUBLE * (((i * {j + 3} + 11) % 17) - 8))")
+            dot = f"list_reduce({prods}, (acc, v) -> acc + v)"
+        terms.append(f"(case when {dot} > 0 then {1 << j} else 0 end)")
+    return "(" + " + ".join(terms) + ")"
+
+
 def dec_sum_double(expr: str, d: str) -> str:
     """Order-independent sum of a double column: exact decimal accumulate,
     then one cast to double (identical across engines and partitionings).

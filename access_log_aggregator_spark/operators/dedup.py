@@ -94,6 +94,35 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
+                             vec_col: str = "embedding", dim: int = 64,
+                             threshold: float = 0.35,
+                             n_planes: int = 4) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucket blocked.
+
+    Sign-random-projection buckets (xsql.lsh_bucket) are the blocking key:
+    the self-join is an equi-join on bucket, so only (bucket, id, vec) rows
+    shuffle — never the full O(n^2) cross product. Cosine uses the
+    bit-identical double-fold recipe, so the DuckDB oracle (same bucket
+    constraint + same formula) matches exactly. At 100 TB, raise n_planes
+    (buckets ~ 2^planes) to keep per-bucket candidate counts bounded and let
+    AQE split skewed buckets.
+    """
+    b = df.select(id_col, vec_col).withColumn(
+        "_bucket", _e(x.lsh_bucket(vec_col, dim, n_planes, x.SPARK))
+    )
+    a, c = b.alias("a"), b.alias("b")
+    cos = _e(x.cosine_double(f"a.{vec_col}", f"b.{vec_col}", dim, x.SPARK))
+    return (
+        a.join(c, (F.col("a._bucket") == F.col("b._bucket"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("vec_a"),
+                F.col(f"b.{id_col}").alias("vec_b"),
+                cos.alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 3,
                         threshold: float = 0.2,

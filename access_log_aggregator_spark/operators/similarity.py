@@ -45,14 +45,9 @@ def with_lsh_bucket(df: DataFrame, dim: int = 64, n_planes: int = 4,
                     vec_col: str = "embedding") -> DataFrame:
     """Sign-LSH bucket id from deterministic integer hyperplanes
     (w[j][i] = ((i*(j+3)+11) % 17) - 8) — same formula as the oracle SQL."""
-    terms = []
-    for j in range(n_planes):
-        prods = (f"transform(sequence(1, {dim}), i -> "
-                 f"element_at(cast({vec_col} as array<double>), i) * "
-                 f"(((i * {j + 3} + 11) % 17) - 8))")
-        dot = f"aggregate({prods}, 0D, (acc, v) -> acc + v)"
-        terms.append(f"(case when {dot} > 0 then {1 << j} else 0 end)")
-    return df.withColumn("lsh_bucket", _e("(" + " + ".join(terms) + ")"))
+    return df.withColumn(
+        "lsh_bucket", _e(x.lsh_bucket(vec_col, dim, n_planes, x.SPARK))
+    )
 
 
 def lsh_topk_cosine(df: DataFrame, query_df: DataFrame, k: int = 10, dim: int = 64,

@@ -445,23 +445,28 @@ limit 10
 
 def _ann_lsh_buckets_build(d: str) -> str:
     """Sign-LSH bucketing over 4 deterministic integer hyperplanes."""
-    terms = []
-    for j in range(4):
-        if d == x.SPARK:
-            prods = (f"transform(sequence(1, 64), i -> "
-                     f"element_at(cast(embedding as array<double>), i) * "
-                     f"(((i * {j + 3} + 11) % 17) - 8))")
-            dot = f"aggregate({prods}, 0D, (acc, v) -> acc + v)"
-        else:
-            prods = (f"list_transform(generate_series(1, 64), i -> "
-                     f"embedding[i]::DOUBLE * (((i * {j + 3} + 11) % 17) - 8))")
-            dot = f"list_reduce({prods}, (acc, v) -> acc + v)"
-        terms.append(f"(case when {dot} > 0 then {1 << j} else 0 end)")
-    bucket = "(" + " + ".join(terms) + ")"
+    bucket = x.lsh_bucket("embedding", 64, 4, d)
     return f"""
 select {bucket} as bucket, count(*) as n_vecs
 from embeddings
 group by 1 order by 1
+"""
+
+
+def _embedding_near_dup_build(d: str) -> str:
+    """Embedding-cosine near-dup pairs, LSH-bucket blocked (equi-join on
+    bucket, never the O(n^2) cross product — operators/dedup.py twin)."""
+    bucket = x.lsh_bucket("embedding", 64, 4, d)
+    cos = x.cosine_double("a.embedding", "b.embedding", 64, d)
+    return f"""
+with bk as (select vec_id, embedding, {bucket} as bucket from embeddings),
+p as (
+  select a.vec_id as vec_a, b.vec_id as vec_b, {cos} as cosine
+  from bk a join bk b on a.bucket = b.bucket and a.vec_id < b.vec_id
+)
+select vec_a, vec_b, cosine from p
+where cosine >= 0.35
+order by vec_a, vec_b
 """
 
 
@@ -574,13 +579,41 @@ def _q_pipeline_route_counts(spark, sf_dir):
     )
 
 
+def _media_docs(spark, sf_dir):
+    """documents with the text re-encoded as an opaque binary media payload
+    (the sandbox ships no codecs; the binary-column plumbing is the point)."""
+    return _t(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode(F.col("text"), "UTF-8")
+    )
+
+
 def _q_multimodal_features(spark, sf_dir):
     from .operators.multimodal import extract_stub_features
 
-    docs = _t(spark, sf_dir, "documents").withColumn(
-        "payload", F.encode(F.col("text"), "UTF-8")
-    )
-    return extract_stub_features(docs).orderBy("doc_id")
+    return extract_stub_features(_media_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def _q_multimodal_resize(spark, sf_dir):
+    from .operators.multimodal import resize_stub
+
+    out = resize_stub(_media_docs(spark, sf_dir))
+    # project blob -> length+hash so the result is comparable/hashable
+    return out.select(
+        "doc_id", "width", "height", "out_width", "out_height",
+        F.length("resized").alias("resized_bytes"),
+        F.md5("resized").alias("resized_md5"),
+    ).orderBy("doc_id")
+
+
+def _q_multimodal_frame_sample(spark, sf_dir):
+    from .operators.multimodal import frame_sample_stub
+
+    out = frame_sample_stub(_media_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", "frame_no", "frame_offset",
+        F.length("frame").alias("frame_bytes"),
+        F.md5("frame").alias("frame_md5"),
+    ).orderBy("doc_id", "frame_no")
 
 
 # ---------------------------------------------------------------------------
@@ -639,6 +672,7 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_ngram_jaccard_pairs": _sql_pair(_jaccard_pairs_build),
     "ann_cosine_topk": _sql_pair(_ann_topk_build, headline=True),
     "ann_lsh_buckets": _sql_pair(_ann_lsh_buckets_build),
+    "dedup_embedding_cosine_pairs": _sql_pair(_embedding_near_dup_build),
     "embedding_norms": _sql_pair(_embedding_norms_build),
     "text_token_stats": _sql_pair(_token_stats_build),
     "text_langid": _sql_pair(_langid_build),
@@ -648,4 +682,6 @@ QUERIES: dict[str, QuerySpec] = {
     "pipeline_agg_by_host": QuerySpec(_q_pipeline_agg_by_host, None, headline=True),
     "pipeline_route_counts": QuerySpec(_q_pipeline_route_counts, None),
     "multimodal_stub_features": QuerySpec(_q_multimodal_features, None),
+    "multimodal_resize": QuerySpec(_q_multimodal_resize, None),
+    "multimodal_frame_sample": QuerySpec(_q_multimodal_frame_sample, None),
 }

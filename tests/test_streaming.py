@@ -51,6 +51,43 @@ def test_stream_restart_is_noop(stream_run, spark, lookup_sdf, corpus):
     assert pipe.routed().count() == before
 
 
+def test_stateful_cumulative_summaries(spark, corpus, tmp_path_factory):
+    """applyInPandasWithState fold == the oracle's cumulative summary.
+
+    3 input files with maxFilesPerTrigger=1 force multiple micro-batches, so
+    the GroupState genuinely carries accumulators across batches (the
+    reference's cumulative-since-start semantics, summaries.go:13-27)."""
+    from access_log_aggregator_spark.streaming.stateful import run_stateful_summary
+
+    root = tmp_path_factory.mktemp("stateful")
+    pages_table = SnapshotTable.create(root / "pages", "pages")
+    n = len(corpus.pages)
+    step = (n + 2) // 3
+    for lo in range(0, n, step):
+        pages_table.append_pandas(corpus.pages.iloc[lo: lo + step])
+
+    run_stateful_summary(
+        spark, str(pages_table.root / "data"), str(root / "ckpt"),
+        query_name="t_host_summaries",
+    )
+    emitted = spark.sql("select * from t_host_summaries").collect()
+    assert len(emitted) > len(corpus.golden.by_host)  # >1 emission per host
+    final: dict[str, tuple] = {}
+    for r in emitted:  # cumulative totals are monotone -> max is the final
+        cur = final.get(r["host"])
+        if cur is None or r["total_requests"] > cur[0]:
+            final[r["host"]] = (
+                r["total_requests"], r["requests_2xx"],
+                r["non_2xx_requests"], r["sum_duration_s"],
+            )
+    assert set(final) == set(corpus.golden.by_host)
+    for host, s in corpus.golden.by_host.items():
+        tot, n2xx, non2xx, dur = final[host]
+        assert (tot, n2xx) == (s.request_total, s.request_2xx)
+        assert non2xx == s.request_total - s.request_2xx
+        assert dur == pytest.approx(s.duration_total, abs=1e-9)
+
+
 def test_stream_picks_up_new_snapshot(stream_run, spark, corpus):
     """Appending a new snapshot then re-triggering processes ONLY it."""
     pipe, pages_table, root, _ = stream_run

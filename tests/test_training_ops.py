@@ -54,6 +54,13 @@ def test_jaccard_matches_sql(spark, docs):
     _same(api.select(sql.columns), sql)
 
 
+def test_embedding_near_dup_matches_sql(spark, emb):
+    api = dedup.embedding_near_dup_pairs(emb)
+    sql = QUERIES["dedup_embedding_cosine_pairs"].spark_fn(spark, SF)
+    _same(api.select(sql.columns), sql)
+    assert api.count() > 0  # the threshold actually selects pairs
+
+
 def test_jaccard_df_cap_is_subset(spark, docs):
     """The stop-shingle guard only removes pairs, never fabricates them."""
     full = dedup.ngram_jaccard_pairs(docs).select("doc_a", "doc_b")
