@@ -83,6 +83,22 @@ def char_codes(expr: str, d: str) -> str:
     return f"list_transform(split({expr}, ''), c -> ascii(c)::BIGINT)"
 
 
+#: GPT-2-style "BPE-ish" pre-tokenizer regex, restricted to the subset where
+#: Java regex (Spark) and RE2 (DuckDB) agree: no lookahead, Unicode \p{L}/
+#: \p{N} classes, ASCII \s. Contraction suffixes | space-prefixed letter runs
+#: | digit runs | punctuation runs | whitespace runs.
+BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count(expr: str, d: str) -> str:
+    """Number of BPE-ish pre-tokens of a string (parity verified)."""
+    if d == SPARK:
+        pat = BPE_PATTERN.replace("\\", "\\\\").replace("'", "\\'")
+        return f"size(regexp_extract_all({expr}, '{pat}', 0))"
+    pat = BPE_PATTERN.replace("'", "''")
+    return f"len(regexp_extract_all({expr}, '{pat}'))"
+
+
 def polyhash(expr: str, d: str) -> str:
     """Polynomial rolling hash over UTF code points: fold (acc*31+c) % P.
 

@@ -30,6 +30,13 @@ def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("n_tokens", _e(x.arr_size(toks, x.SPARK)))
 
 
+def with_bpe_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """GPT-2-style pre-tokenizer count (xsql.BPE_PATTERN) — the token-budget
+    estimator a training pipeline runs before real BPE; pure Catalyst
+    regexp_extract_all, no Python."""
+    return df.withColumn("n_bpe_tokens", _e(x.bpe_token_count(text_col, x.SPARK)))
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Polynomial rolling-hash document fingerprint (exact both engines)."""
     return df.withColumn("fingerprint", _e(x.polyhash(text_col, x.SPARK)))

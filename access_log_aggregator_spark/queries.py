@@ -498,6 +498,17 @@ _STOPWORDS = {
 }
 
 
+def _bpe_token_stats_build(d: str) -> str:
+    n = x.bpe_token_count("text", d)
+    return f"""
+select lang, count(*) as n_docs,
+       cast(sum({n}) as bigint) as total_bpe_tokens,
+       cast(sum({n}) as double) / count(*) as avg_bpe_tokens
+from documents
+group by lang order by lang
+"""
+
+
 def _langid_build(d: str) -> str:
     toks = x.tokens("text", d)
     filt = "filter" if d == x.SPARK else "list_filter"
@@ -554,10 +565,22 @@ limit 10
 # ---------------------------------------------------------------------------
 
 def _pages_routed(spark: SparkSession, _sf_dir: str) -> DataFrame:
+    """Routed pages frame for the pipeline_* queries. The deterministic
+    corpus is generated once per interpreter and parked as parquet, so
+    repeated query runs (and the bench) measure the PIPELINE, not
+    driver-side row generation + createDataFrame serialization."""
+    import tempfile
+    from pathlib import Path
+
     from .plans.pipeline import build_routed
     from .sources.pages import generate_host_lookup, generate_pages
 
-    pages = spark.createDataFrame(generate_pages(2000)).repartition(8)
+    cache = Path(tempfile.gettempdir()) / "alas_q_pages_2000"
+    if not (cache / "_SUCCESS").exists():
+        spark.createDataFrame(generate_pages(2000)).repartition(8).write.mode(
+            "overwrite"
+        ).parquet(str(cache))
+    pages = spark.read.parquet(str(cache))
     lookup = spark.createDataFrame(generate_host_lookup())
     return build_routed(pages, lookup)
 
@@ -675,6 +698,7 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_embedding_cosine_pairs": _sql_pair(_embedding_near_dup_build),
     "embedding_norms": _sql_pair(_embedding_norms_build),
     "text_token_stats": _sql_pair(_token_stats_build),
+    "text_bpe_token_stats": _sql_pair(_bpe_token_stats_build),
     "text_langid": _sql_pair(_langid_build),
     "text_quality_score": _sql_pair(_quality_build),
     "text_top_tokens": _sql_pair(_top_tokens_build),

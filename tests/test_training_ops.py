@@ -119,3 +119,24 @@ def test_text_ops_match_sql(spark, docs):
     )
     sql3 = QUERIES["doc_fingerprints"].spark_fn(spark, SF)
     _same(api3, sql3)
+
+
+def test_bpe_token_stats_match_sql(spark, docs):
+    """Java-regex and RE2 agree on the BPE-ish pre-tokenizer count: the
+    per-lang aggregate from the DataFrame op == the SQL-registry query."""
+    api = (
+        text.with_bpe_token_count(docs)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bpe_tokens").cast("bigint").alias("total_bpe_tokens"),
+            (F.sum("n_bpe_tokens").cast("double") / F.count(F.lit(1))).alias(
+                "avg_bpe_tokens"
+            ),
+        )
+    )
+    sql = QUERIES["text_bpe_token_stats"].spark_fn(spark, SF)
+    _same(api.select(sql.columns), sql)
+    # sanity: BPE-ish pre-tokens are at least as fine-grained as whitespace
+    both = text.with_bpe_token_count(text.with_token_count(docs))
+    assert both.filter(F.col("n_bpe_tokens") < F.col("n_tokens")).count() == 0
