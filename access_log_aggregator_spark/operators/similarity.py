@@ -50,6 +50,64 @@ def with_lsh_bucket(df: DataFrame, dim: int = 64, n_planes: int = 4,
     )
 
 
+def ivf_assign(df: DataFrame, n_cells: int = 8, dim: int = 64,
+               vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest centroid.
+
+    Centroids are the embeddings of the ``n_cells`` lowest-id vectors — a
+    deterministic, data-dependent coarse codebook (a k-means codebook drops
+    in unchanged; assignment logic is what matters here). Assignment is a
+    broadcast of the tiny centroid table + argmax over n_cells cosines per
+    row: embarrassingly parallel, no shuffle of the big side. Ties break to
+    the lowest cell id (same rule in the DuckDB oracle).
+    """
+    cents = df.where(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cell"), F.col(vec_col).alias("_cvec")
+    )
+    cos = x.cosine_double(vec_col, "_cvec", dim, x.SPARK)
+    scored = df.crossJoin(F.broadcast(cents)).withColumn("_cos_c", _e(cos))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.col("_cos_c").desc(), F.col("cell").asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "_cvec", "_cos_c")
+    )
+
+
+def ivf_topk_cosine(df: DataFrame, query_df: DataFrame, k: int = 10,
+                    n_cells: int = 8, nprobe: int = 2, dim: int = 64,
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    exclude_id=None) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's ``nprobe``
+    closest cells (the IVF scale path — at 100 TB the assigned table is
+    written partitioned by cell, so probing is partition pruning, not a
+    scan)."""
+    assigned = ivf_assign(df, n_cells, dim, vec_col, id_col)
+    cents = df.where(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cell"), F.col(vec_col).alias("_cvec")
+    )
+    qcos = x.cosine_double(vec_col, "_cvec", dim, x.SPARK)
+    probe = (
+        query_df.crossJoin(F.broadcast(cents))
+        .select(F.col("cell"), _e(qcos).alias("_qc"))
+        .orderBy(F.col("_qc").desc(), F.col("cell").asc())
+        .limit(nprobe)
+        .select("cell")
+    )
+    q = query_df.select(F.col(vec_col).alias("_qvec"))
+    cand = assigned.join(F.broadcast(probe), "cell").crossJoin(F.broadcast(q))
+    if exclude_id is not None:
+        cand = cand.where(F.col(id_col) != exclude_id)
+    cos = x.cosine_double(vec_col, "_qvec", dim, x.SPARK)
+    return (
+        cand.select(id_col, "cell", _e(cos).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def lsh_topk_cosine(df: DataFrame, query_df: DataFrame, k: int = 10, dim: int = 64,
                     vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
     """Approximate top-k: only candidates in the query's LSH bucket are scored."""

@@ -470,6 +470,41 @@ order by vec_a, vec_b
 """
 
 
+def _ann_ivf_topk_build(d: str) -> str:
+    """IVF approximate top-k (operators/similarity.py ivf_topk_cosine twin):
+    8 deterministic coarse centroids (lowest-id vectors), argmax-cosine cell
+    assignment, probe the query's 2 closest cells."""
+    assign_cos = x.cosine_double("e.embedding", "c.cvec", 64, d)
+    probe_cos = x.cosine_double("c.cvec", "q.qvec", 64, d)
+    final_cos = x.cosine_double("a.embedding", "q.qvec", 64, d)
+    return f"""
+with cents as (
+  select vec_id as cell, embedding as cvec from embeddings where vec_id < 8
+),
+scored as (
+  select e.vec_id, e.embedding, c.cell,
+         row_number() over (
+           partition by e.vec_id
+           order by {assign_cos} desc, c.cell asc
+         ) as rn
+  from embeddings e cross join cents c
+),
+assigned as (select vec_id, embedding, cell from scored where rn = 1),
+q as (select embedding as qvec from embeddings where vec_id = 0),
+probe as (
+  select cell from (
+    select c.cell, row_number() over (order by {probe_cos} desc, c.cell asc) as prn
+    from cents c cross join q
+  ) t where prn <= 2
+)
+select a.vec_id, a.cell, {final_cos} as cosine
+from assigned a join probe p on a.cell = p.cell cross join q
+where a.vec_id <> 0
+order by cosine desc, a.vec_id asc
+limit 10
+"""
+
+
 def _embedding_norms_build(d: str) -> str:
     return f"""
 select vec_id, label, {x.norm_double('embedding', 64, d)} as l2_norm
@@ -696,6 +731,7 @@ QUERIES: dict[str, QuerySpec] = {
     "ann_cosine_topk": _sql_pair(_ann_topk_build, headline=True),
     "ann_lsh_buckets": _sql_pair(_ann_lsh_buckets_build),
     "dedup_embedding_cosine_pairs": _sql_pair(_embedding_near_dup_build),
+    "ann_ivf_topk": _sql_pair(_ann_ivf_topk_build),
     "embedding_norms": _sql_pair(_embedding_norms_build),
     "text_token_stats": _sql_pair(_token_stats_build),
     "text_bpe_token_stats": _sql_pair(_bpe_token_stats_build),

@@ -91,6 +91,23 @@ def test_lsh_bucket_counts_match_sql(spark, emb):
     _same(api, sql)
 
 
+def test_ivf_topk_matches_sql(spark, emb):
+    q = emb.where(F.col("vec_id") == 0)
+    api = similarity.ivf_topk_cosine(emb, q, exclude_id=0)
+    sql = QUERIES["ann_ivf_topk"].spark_fn(spark, SF)
+    _same(api.select(sql.columns), sql)
+    assert api.count() == 10
+
+
+def test_ivf_assign_covers_all_vectors(spark, emb):
+    assigned = similarity.ivf_assign(emb)
+    assert assigned.count() == emb.count()  # exactly one cell per vector
+    assert assigned.select("cell").distinct().count() <= 8
+    # each centroid vector is assigned to its own cell (cosine 1 with itself)
+    own = assigned.where(F.col("vec_id") < 8).where(F.col("vec_id") != F.col("cell"))
+    assert own.count() == 0
+
+
 def test_lsh_topk_is_bucket_subset(spark, emb):
     """LSH top-k results all share the query's bucket and are a subset of
     the brute-force ranking's candidate pool."""
