@@ -146,6 +146,67 @@ def minhash_exprs(hash_arr: str, d: str) -> list[str]:
     return out
 
 
+def minhash_fast_spark(text_col: str) -> tuple[str, str, str]:
+    """Spark-only faster equivalent of the canonical minhash pipeline
+    (:func:`char_shingles` -> :func:`polyhash` over distinct shingles ->
+    :func:`minhash_exprs`). Values are identical:
+
+    - the 5-char shingle hash is the weighted char-code sum mod P, which is
+      congruent to the stepwise ``(acc*31+c) % P`` fold (intermediates stay
+      below 2^63);
+    - ``distinct`` is dropped — duplicates never change a minimum;
+    - all K affine minima ride one aggregate pass in a struct accumulator
+      instead of K transform+array_min passes.
+
+    Returns (codes_expr, hs_expr(_codes), agg_expr(_hs)); the caller selects
+    ``case when size(_hs) > 0 then _mh.m{{i}} end`` to reproduce the
+    canonical NULL for shingle-less strings. DuckDB keeps the canonical
+    formulation; cross-engine equality is enforced by the oracle checks.
+    """
+    n = 5
+    codes = f"transform(split({text_col}, ''), c -> cast(ascii(c) as bigint))"
+    term = " + ".join(
+        f"element_at(_codes, i + {k}) * {31 ** (n - 1 - k)}" for k in range(n)
+    )
+    hs = (
+        f"(case when length({text_col}) >= {n} then "
+        f"transform(sequence(1, length({text_col}) - {n - 1}), i -> ({term}) % {P}) "
+        f"else array() end)"
+    )
+    init = ", ".join(f"'m{i}', cast({P} as bigint)" for i in range(len(MINHASH_COEFFS)))
+    upd = ", ".join(
+        f"'m{i}', least(acc.m{i}, ({a} * h + {b}) % {P})"
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    )
+    agg = f"aggregate(_hs, named_struct({init}), (acc, h) -> named_struct({upd}))"
+    return codes, hs, agg
+
+
+def minhash_sig_sql(table: str, id_col: str, text_col: str, d: str) -> str:
+    """Dialect-appropriate ``select {id}, mh0..mhK from {table}`` body:
+    the fast single-pass plan on Spark, the canonical formulation on DuckDB
+    (same values — see :func:`minhash_fast_spark`)."""
+    k = len(MINHASH_COEFFS)
+    if d == SPARK:
+        codes, hs, agg = minhash_fast_spark(text_col)
+        cols = ", ".join(
+            f"case when size(_hs) > 0 then _mh.m{i} end as mh{i}" for i in range(k)
+        )
+        return (
+            f"with c as (select {id_col}, {text_col}, {codes} as _codes from {table}), "
+            f"h as (select {id_col}, {hs} as _hs from c), "
+            f"m as (select {id_col}, _hs, {agg} as _mh from h) "
+            f"select {id_col}, {cols} from m"
+        )
+    sh = char_shingles(text_col, 5, d)
+    hs = transform(arr_distinct(sh, d), "s", polyhash("s", d), d)
+    cols = ", ".join(f"{e} as mh{i}" for i, e in enumerate(minhash_exprs("hs", d)))
+    return (
+        f"with t as (select {id_col}, {hs} as hs from {table}) "
+        f"select {id_col}, {cols} from t"
+    )
+
+
 def simhash_expr(hash_arr: str, d: str) -> str:
     """SIMHASH_BITS-bit simhash of an array of token hashes.
 

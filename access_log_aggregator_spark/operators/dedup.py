@@ -38,27 +38,55 @@ def exact_dedup_keep_first(df: DataFrame, text_col: str = "text",
 
 
 def with_minhash(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Append mh0..mh{K-1} minhash signature columns (no shuffle)."""
-    sh = x.char_shingles(text_col, 5, x.SPARK)
-    hs = x.transform(x.arr_distinct(sh, x.SPARK), "s", x.polyhash("s", x.SPARK), x.SPARK)
-    out = df.withColumn("_hs", _e(hs))
-    for i, expr in enumerate(x.minhash_exprs("_hs", x.SPARK)):
-        out = out.withColumn(f"mh{i}", _e(expr))
-    return out.drop("_hs")
+    """Append mh0..mh{K-1} minhash signature columns (no shuffle).
+
+    Computes exactly the canonical values (xsql: distinct 5-char shingles ->
+    polyhash -> K affine mins) through a faster equivalent plan:
+
+    - shingle hash = weighted char-code sum mod P (congruent to the
+      stepwise ``(acc*31+c) % P`` fold — intermediates stay < 2^63);
+    - no ``distinct``: duplicate shingles can never change a minimum;
+    - one aggregate pass carries all K minima in a struct accumulator
+      instead of K transform+array_min passes over K temporary arrays.
+
+    The API==SQL parity test pins the equivalence.
+    """
+    codes, hs, agg = x.minhash_fast_spark(text_col)
+    out = (
+        df.withColumn("_codes", _e(codes))
+        .withColumn("_hs", _e(hs))
+        .withColumn("_mh", _e(agg))
+    )
+    for i in range(len(x.MINHASH_COEFFS)):
+        # canonical array_min over an empty shingle set is NULL
+        out = out.withColumn(
+            f"mh{i}",
+            F.when(F.size("_hs") > 0, F.col("_mh").getField(f"m{i}")),
+        )
+    return out.drop("_codes", "_hs", "_mh")
 
 
 def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text") -> DataFrame:
-    """Candidate near-dup pairs sharing at least one LSH band (4 bands x 2)."""
+    """Candidate near-dup pairs sharing at least one LSH band (4 bands x 2).
+
+    The band rows are tiny (id, band_no, band_val) but their plan subtree —
+    the full signature computation — would otherwise be re-evaluated once
+    per band projection per self-join side (Catalyst inlines the shared
+    subquery: 4 x 2 recomputations). ``persist()`` makes the banding a
+    materialization point, which is also the 100 TB shape: write the
+    signature table once, band-join the narrow table.
+    """
     sig = with_minhash(df.select(id_col, text_col), text_col)
-    bands = None
-    for b in range(4):
-        part = sig.select(
-            F.col(id_col),
-            F.lit(b).alias("band_no"),
-            ((F.col(f"mh{2 * b}") * 31 + F.col(f"mh{2 * b + 1}")) % x.P).alias("band_val"),
-        )
-        bands = part if bands is None else bands.unionAll(part)
+    # one pass over sig: explode the 4 band values instead of 4 projections
+    band_structs = ", ".join(
+        f"named_struct('band_no', {b}, "
+        f"'band_val', (mh{2 * b} * 31 + mh{2 * b + 1}) % {x.P})"
+        for b in range(4)
+    )
+    bands = sig.select(
+        F.col(id_col), F.expr(f"inline(array({band_structs}))")
+    ).persist()
     a, b_ = bands.alias("a"), bands.alias("b")
     return (
         a.join(

@@ -349,33 +349,37 @@ order by doc_id
 
 
 def _minhash_build(d: str) -> str:
-    sh = x.char_shingles("text", 5, d)
-    hs = x.transform(x.arr_distinct(sh, d), "s", x.polyhash("s", d), d)
-    mh = x.minhash_exprs("hs", d)
-    cols = ", ".join(f"{e} as mh{i}" for i, e in enumerate(mh))
+    """Signatures via the dialect-appropriate plan (fast single-pass on
+    Spark, canonical on DuckDB — identical values, xsql.minhash_sig_sql)."""
     return f"""
-with t as (select doc_id, {hs} as hs from documents)
-select doc_id, {cols} from t order by doc_id
+with s as ({x.minhash_sig_sql('documents', 'doc_id', 'text', d)})
+select * from s order by doc_id
 """
+
+
+def _q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame implementation (operators/dedup.py): the banded self-join
+    needs a materialization point for the signature subtree — a pure-SQL
+    formulation recomputes it per band per join side (8x). The DuckDB
+    oracle keeps the single-string canonical SQL."""
+    from .operators.dedup import minhash_lsh_candidates
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(docs).orderBy("doc_a", "doc_b")
 
 
 def _minhash_lsh_pairs_build(d: str) -> str:
     """LSH banding: 8 minhashes -> 4 bands of 2; candidate pairs share a band."""
-    sh = x.char_shingles("text", 5, d)
-    hs = x.transform(x.arr_distinct(sh, d), "s", x.polyhash("s", d), d)
-    mh = x.minhash_exprs("hs", d)
-    mh_cols = ", ".join(f"{e} as mh{i}" for i, e in enumerate(mh))
     bands = ", ".join(
         f"(mh{2 * b} * 31 + mh{2 * b + 1}) % {x.P} as band{b}" for b in range(4)
     )
     band_union = " union all ".join(
-        f"select doc_id, {b} as band_no, band{b} as band_val from sig" for b in range(4)
+        f"select doc_id, {b} as band_no, band{b} as band_val from sigb" for b in range(4)
     )
     return f"""
-with t as (select doc_id, {hs} as hs from documents),
-sig as (select doc_id, {mh_cols} from t),
+with sig as ({x.minhash_sig_sql('documents', 'doc_id', 'text', d)}),
 sigb as (select doc_id, {bands} from sig),
-bandrows as ({band_union.replace('from sig', 'from sigb')})
+bandrows as ({band_union})
 select distinct a.doc_id as doc_a, b.doc_id as doc_b
 from bandrows a join bandrows b
   on a.band_no = b.band_no and a.band_val = b.band_val and a.doc_id < b.doc_id
@@ -724,7 +728,9 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": _sql_pair(_dedup_exact_build),
     "doc_fingerprints": _sql_pair(_fingerprint_build, headline=True),
     "dedup_minhash_signatures": _sql_pair(_minhash_build, headline=True),
-    "dedup_minhash_lsh_pairs": _sql_pair(_minhash_lsh_pairs_build),
+    "dedup_minhash_lsh_pairs": QuerySpec(
+        _q_minhash_lsh_pairs, _minhash_lsh_pairs_build(x.DUCK)
+    ),
     "dedup_simhash": _sql_pair(_simhash_build),
     "dedup_simhash_near_pairs": _sql_pair(_simhash_pairs_build),
     "dedup_ngram_jaccard_pairs": _sql_pair(_jaccard_pairs_build),
