@@ -64,6 +64,30 @@ def test_events_enrich_broadcasts(spark):
     assert "BroadcastHashJoin" in _plan(df)
 
 
+def test_embedding_near_dup_is_equi_join(spark):
+    """The LSH-blocked pair join must plan as an equi-join on bucket —
+    a cartesian/nested-loop plan would be the O(n^2) blowup the blocking
+    exists to prevent."""
+    from access_log_aggregator_spark.operators.dedup import embedding_near_dup_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = _plan(embedding_near_dup_pairs(emb))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_assign_broadcasts_centroids(spark):
+    """IVF assignment broadcasts the tiny centroid table; the big side never
+    shuffles (the cross join is broadcast-nested-loop over 8 rows)."""
+    from access_log_aggregator_spark.operators.similarity import ivf_assign
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = _plan(ivf_assign(emb))
+    assert "BroadcastNestedLoopJoin" in plan
+    # the only exchange is the per-vector argmax window over vec_id
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
 def test_scan_prunes_columns(spark, tmp_path, corpus):
     """A narrow projection reaches the parquet reader (ReadSchema pruned)."""
     p = str(tmp_path / "pages.parquet")
