@@ -109,16 +109,54 @@ def with_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
-                       text_col: str = "text", max_hamming: int = 3) -> DataFrame:
+                       text_col: str = "text", max_hamming: int = 3,
+                       blocked: bool = True) -> DataFrame:
+    """Pairs within ``max_hamming`` simhash bits, EXACT under both plans.
+
+    ``blocked`` (the scale path) splits the simhash into ``max_hamming + 1``
+    bit-bands: two hashes within hamming distance h differ in at most h
+    bands, so by pigeonhole they AGREE on at least one band — a banded
+    equi-join finds every qualifying pair, and the exact hamming filter
+    removes band-collision false positives. The self-join shuffles only
+    (band, id, simhash) rows instead of planning an O(n^2) nested loop;
+    the band frame is persisted so the signature subtree runs once.
+    ``blocked=False`` keeps the brute-force nested-loop formulation (the
+    equivalence of the two is a test).
+    """
     s = with_simhash(df.select(id_col, text_col), text_col).select(id_col, "simhash")
-    a, b = s.alias("a"), s.alias("b")
+    if not blocked:
+        a, b = s.alias("a"), s.alias("b")
+        ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+        return (
+            a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .where(ham <= max_hamming)
+            .select(F.col(f"a.{id_col}").alias("doc_a"),
+                    F.col(f"b.{id_col}").alias("doc_b"),
+                    ham.alias("hamming"))
+        )
+    n_bands = max_hamming + 1
+    if x.SIMHASH_BITS % n_bands:
+        raise ValueError(f"SIMHASH_BITS={x.SIMHASH_BITS} not divisible by {n_bands}")
+    width = x.SIMHASH_BITS // n_bands
+    band_structs = ", ".join(
+        f"named_struct('band_no', {b}, "
+        f"'band_val', shiftright(simhash, {b * width}) % {1 << width})"
+        for b in range(n_bands)
+    )
+    bands = s.select(
+        F.col(id_col), F.col("simhash"), F.expr(f"inline(array({band_structs}))")
+    ).persist()
+    a, b = bands.alias("a"), bands.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
-        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        a.join(b, (F.col("a.band_no") == F.col("b.band_no"))
+               & (F.col("a.band_val") == F.col("b.band_val"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .where(ham <= max_hamming)
         .select(F.col(f"a.{id_col}").alias("doc_a"),
                 F.col(f"b.{id_col}").alias("doc_b"),
                 ham.alias("hamming"))
+        .distinct()
     )
 
 

@@ -396,6 +396,15 @@ select doc_id, {x.simhash_expr('th', d)} as simhash from t order by doc_id
 """
 
 
+def _q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame implementation: banded equi-join (exact via pigeonhole +
+    hamming filter) instead of the oracle's O(n^2) nested loop."""
+    from .operators.dedup import simhash_near_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_pairs(docs).orderBy("doc_a", "doc_b")
+
+
 def _simhash_pairs_build(d: str) -> str:
     toks = x.tokens("text", d)
     th = x.transform(toks, "t", x.polyhash("t", d), d)
@@ -732,7 +741,9 @@ QUERIES: dict[str, QuerySpec] = {
         _q_minhash_lsh_pairs, _minhash_lsh_pairs_build(x.DUCK)
     ),
     "dedup_simhash": _sql_pair(_simhash_build),
-    "dedup_simhash_near_pairs": _sql_pair(_simhash_pairs_build),
+    "dedup_simhash_near_pairs": QuerySpec(
+        _q_simhash_near_pairs, _simhash_pairs_build(x.DUCK)
+    ),
     "dedup_ngram_jaccard_pairs": _sql_pair(_jaccard_pairs_build),
     "ann_cosine_topk": _sql_pair(_ann_topk_build, headline=True),
     "ann_lsh_buckets": _sql_pair(_ann_lsh_buckets_build),

@@ -54,6 +54,16 @@ def test_jaccard_matches_sql(spark, docs):
     _same(api.select(sql.columns), sql)
 
 
+def test_simhash_pairs_blocked_equals_brute(spark, docs):
+    """The banded equi-join is EXACT: pigeonhole guarantees every pair
+    within max_hamming shares a band, the hamming filter kills collisions."""
+    blocked = dedup.simhash_near_pairs(docs)
+    brute = dedup.simhash_near_pairs(docs, blocked=False)
+    _same(blocked, brute)
+    sql = QUERIES["dedup_simhash_near_pairs"].spark_fn(spark, SF)
+    _same(blocked.select(sql.columns), sql)
+
+
 def test_embedding_near_dup_matches_sql(spark, emb):
     api = dedup.embedding_near_dup_pairs(emb)
     sql = QUERIES["dedup_embedding_cosine_pairs"].spark_fn(spark, SF)
