@@ -41,6 +41,13 @@ def main(argv: list[str] | None = None) -> int:
                     help="enable explicit salted aggregation with N buckets")
     ap.add_argument("--no-arrow-udf", action="store_true",
                     help="use the pure-JVM regexp extractor instead of the pandas UDF")
+    ap.add_argument("--stream", action="store_true",
+                    help="Structured Streaming mode: foreachBatch fan-out with "
+                         "a streaming checkpoint (drains all unseen snapshots)")
+    ap.add_argument("--trigger-interval", default=None, metavar="DUR",
+                    help="with --stream: processingTime trigger, e.g. '10 seconds' "
+                         "(the -interval ticker analog, flags.go:13); default is "
+                         "an AvailableNow drain")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -77,18 +84,33 @@ def main(argv: list[str] | None = None) -> int:
         pipe = Pipeline(spark, args.out, lookup,
                         use_arrow_udf=not args.no_arrow_udf,
                         salt_buckets=args.salt_buckets)
-        cp = Checkpoint(args.checkpoint)
-        results = run_incremental(spark, pages_table, pipe, cp,
-                                  from_start=args.from_start)
+        if args.stream:
+            from .operators.route import sink_counts
+            from .streaming.stream import run_streaming
 
-        totals = {"parsed": 0, "unparsed": 0, "bot": 0, "error": 0}
-        rows_in = 0
-        for r in results:
-            rows_in += r.rows_in
-            for k, v in r.sink_counts.items():
-                totals[k] += v
-        agg_rows = pipe.write_aggregates() if results else {}
-        print(json.dumps({"batches": len(results), "rows_in": rows_in,
+            processed = run_streaming(
+                spark, pages_table, pipe,
+                checkpoint_dir=Path(args.checkpoint).with_suffix(".stream_ckpt"),
+                available_now=args.trigger_interval is None,
+                processing_time=args.trigger_interval,
+            )
+            routed = pipe.routed()
+            totals = sink_counts(routed) if routed is not None else {
+                "parsed": 0, "unparsed": 0, "bot": 0, "error": 0}
+            n_batches, rows_in = len(processed), sum(totals.values())
+        else:
+            cp = Checkpoint(args.checkpoint)
+            results = run_incremental(spark, pages_table, pipe, cp,
+                                      from_start=args.from_start)
+            totals = {"parsed": 0, "unparsed": 0, "bot": 0, "error": 0}
+            rows_in = 0
+            for r in results:
+                rows_in += r.rows_in
+                for k, v in r.sink_counts.items():
+                    totals[k] += v
+            n_batches = len(results)
+        agg_rows = pipe.write_aggregates() if rows_in else {}
+        print(json.dumps({"batches": n_batches, "rows_in": rows_in,
                           "sink_counts": totals,
                           "malformed": totals["unparsed"] + totals["error"],
                           "aggregate_tables": agg_rows}))
