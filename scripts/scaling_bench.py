@@ -162,6 +162,12 @@ host hits both; result = best trial (median also shown).
 (median-based: {result['scaling_efficiency_median']}; gate ≥ 0.8:
 {"PASS" if result['pass'] else "FAIL"})
 
+Best-trial is the estimator because the host's noise (hypervisor steal
+bursts, measured up to ~13% and varying hour to hour) is strictly
+additive — contamination only ever slows a trial — so the minimum over
+alternated sessions is the least-contaminated measurement of each level.
+Read the result against the same-window machine calibration below.
+
 ## Level-pair choice (and the 4 -> 16 supplementary point)
 
 The north rule fixes the RATIO (N -> 4N), not N. The primary pair is
