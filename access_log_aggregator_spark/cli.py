@@ -86,14 +86,37 @@ def main(argv: list[str] | None = None) -> int:
                         salt_buckets=args.salt_buckets)
         if args.stream:
             from .operators.route import sink_counts
-            from .streaming.stream import run_streaming
+            from .streaming.stream import run_streaming, start_live_stream
 
-            processed = run_streaming(
-                spark, pages_table, pipe,
-                checkpoint_dir=Path(args.checkpoint).with_suffix(".stream_ckpt"),
-                available_now=args.trigger_interval is None,
-                processing_time=args.trigger_interval,
-            )
+            ckpt_dir = Path(args.checkpoint).with_suffix(".stream_ckpt")
+            if args.trigger_interval:
+                # live ticker: run until SIGINT/SIGTERM, then drain the
+                # in-flight batch before the final summary (the reference's
+                # signal.NotifyContext + drain loop, main.go:23 +
+                # aggregate.go:28-41). A handler + 1 s awaitTermination poll
+                # keeps the signal out of the blocking py4j call.
+                import signal
+
+                stop_flag = {"stop": False}
+
+                def _on_signal(_sig, _frame):
+                    stop_flag["stop"] = True
+
+                signal.signal(signal.SIGINT, _on_signal)
+                signal.signal(signal.SIGTERM, _on_signal)
+                q, processed = start_live_stream(
+                    spark, pages_table, pipe, ckpt_dir,
+                    processing_time=args.trigger_interval,
+                )
+                while q.isActive and not stop_flag["stop"]:
+                    q.awaitTermination(1)
+                if stop_flag["stop"]:
+                    print("Gracefully shutting down...", file=sys.stderr)
+                    q.stop()  # waits for the running batch: full drain
+            else:
+                processed = run_streaming(
+                    spark, pages_table, pipe, ckpt_dir, available_now=True
+                )
             routed = pipe.routed()
             totals = sink_counts(routed) if routed is not None else {
                 "parsed": 0, "unparsed": 0, "bot": 0, "error": 0}

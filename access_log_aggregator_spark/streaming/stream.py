@@ -85,3 +85,38 @@ def run_streaming(
     else:  # caller manages lifetime
         return processed
     return processed
+
+
+def start_live_stream(
+    spark: SparkSession,
+    pages_table: SnapshotTable,
+    pipeline: Pipeline,
+    checkpoint_dir: str | Path,
+    processing_time: str = "10 seconds",
+):
+    """The live ticker mode (the reference's ``-interval`` loop,
+    internal/app/aggregate.go:12,24-26): fires a micro-batch every
+    ``processing_time`` and keeps running until the caller stops it.
+
+    Returns ``(StreamingQuery, processed)`` where ``processed`` is a live
+    list of batch ids, appended as batches commit. ``query.stop()`` waits
+    for the in-flight batch to finish — the graceful-shutdown drain
+    (aggregate.go:28-41): everything enqueued is counted before exit.
+    """
+    processed: list[str] = []
+
+    def handle(batch_df, batch_id: int) -> None:
+        bid = f"stream-{batch_id}"
+        pipeline.process_batch(batch_df, batch_id=bid)
+        processed.append(bid)
+
+    q = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(str(pages_table.root / "data"))
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(checkpoint_dir))
+        .trigger(processingTime=processing_time)
+        .start()
+    )
+    return q, processed

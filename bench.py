@@ -24,7 +24,7 @@ REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
 PIPELINE_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "200000"))
-PIPELINE_TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
+PIPELINE_TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "5"))
 
 
 def log(*a):

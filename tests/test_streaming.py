@@ -51,6 +51,37 @@ def test_stream_restart_is_noop(stream_run, spark, lookup_sdf, corpus):
     assert pipe.routed().count() == before
 
 
+def test_live_trigger_processes_and_drains(spark, corpus, lookup_sdf, tmp_path_factory):
+    """processingTime mode (the -interval ticker): batches fire on the
+    trigger, new snapshots are picked up while running, and stop() drains
+    the in-flight batch (aggregate.go:28-41 analog)."""
+    import time
+
+    from access_log_aggregator_spark.streaming.stream import start_live_stream
+
+    root = tmp_path_factory.mktemp("live")
+    pages_table = SnapshotTable.create(root / "pages", "pages")
+    pages_table.append_pandas(corpus.pages.iloc[:300])
+    pipe = Pipeline(spark, root / "out", lookup_sdf)
+
+    q, processed = start_live_stream(
+        spark, pages_table, pipe, root / "ckpt", processing_time="1 second"
+    )
+    try:
+        deadline = time.time() + 60
+        while not processed and time.time() < deadline:
+            time.sleep(0.5)
+        assert processed, "first tick never fired"
+        pages_table.append_pandas(corpus.pages.iloc[300:500])  # arrives mid-run
+        while (pipe.routed() is None or pipe.routed().count() < 500) \
+                and time.time() < deadline:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    assert pipe.routed().count() == 500  # everything enqueued was counted
+
+
 def test_stateful_cumulative_summaries(spark, corpus, tmp_path_factory):
     """applyInPandasWithState fold == the oracle's cumulative summary.
 

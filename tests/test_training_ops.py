@@ -54,6 +54,34 @@ def test_jaccard_matches_sql(spark, docs):
     _same(api.select(sql.columns), sql)
 
 
+def test_minhash_fast_path_edge_cases(spark):
+    """The fast single-pass minhash == the canonical formulation on
+    adversarial strings: empty, shorter than the shingle width, exactly the
+    width, repeated shingles, multi-byte chars, embedded control chars."""
+    from access_log_aggregator_spark.functions import xsql as x
+
+    cases = ["", "a", "abcd", "abcde", "aaaaaaaaaa", "héllo wörld",
+             "tab\there\nand\x01ctrl", "ααααα βββββ", "abcde" * 50]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(cases)], "doc_id long, text string"
+    )
+    fast = dedup.with_minhash(df).orderBy("doc_id")
+    df.createOrReplaceTempView("_mh_edge")
+    # canonical formulation, evaluated by Spark itself
+    sh = x.char_shingles("text", 5, x.SPARK)
+    hs = x.transform(x.arr_distinct(sh, x.SPARK), "s", x.polyhash("s", x.SPARK), x.SPARK)
+    cols = ", ".join(
+        f"{e} as mh{i}" for i, e in enumerate(x.minhash_exprs("hs", x.SPARK))
+    )
+    canon = spark.sql(
+        f"with t as (select doc_id, {hs} as hs from _mh_edge) "
+        f"select doc_id, {cols} from t order by doc_id"
+    )
+    assert [r.asDict() for r in fast.select(canon.columns).collect()] == [
+        r.asDict() for r in canon.collect()
+    ]
+
+
 def test_simhash_pairs_blocked_equals_brute(spark, docs):
     """The banded equi-join is EXACT: pigeonhole guarantees every pair
     within max_hamming shares a band, the hamming filter kills collisions."""
