@@ -141,6 +141,22 @@ from events group by 1 order by 1
 """
 
 
+def _events_rollup_build(d: str) -> str:
+    """GROUP BY ROLLUP over (event_type, status bucket analog): per-cell,
+    per-type-subtotal and grand-total rows in one aggregate (SURVEY.md §2.6
+    grouping-sets row — ANSI rollup, identical null-marker semantics in
+    both engines)."""
+    return f"""
+select event_type,
+       (case when value >= 0 then cast(floor(value / 100) as bigint) else -1 end) as value_bucket,
+       count(*) as hits,
+       {x.dec_sum_double('value', d)} as sum_value
+from events
+group by rollup(event_type, (case when value >= 0 then cast(floor(value / 100) as bigint) else -1 end))
+order by event_type nulls first, value_bucket nulls first
+"""
+
+
 def _q_events_agg_type_window(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     return (
@@ -703,6 +719,7 @@ QUERIES: dict[str, QuerySpec] = {
         _q_events_agg_by_type, _Q_EVENTS_AGG_BY_TYPE_ORACLE, headline=True
     ),
     "events_agg_by_hour": QuerySpec(_q_events_agg_by_hour, _Q_EVENTS_AGG_BY_HOUR_ORACLE),
+    "events_agg_rollup": _sql_pair(_events_rollup_build),
     "events_agg_type_window": QuerySpec(
         _q_events_agg_type_window,
         "select date_trunc('hour', ts) as hour_start, event_type, count(*) as hits "
