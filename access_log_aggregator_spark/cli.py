@@ -39,6 +39,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--salt-buckets", type=int, default=None,
                     help="enable explicit salted aggregation with N buckets")
+    ap.add_argument("--write-partitions", type=int, default=None, metavar="N",
+                    help="explicit repartition(N, url) before the sink write "
+                         "(balances write tasks / bounds file count under skew)")
     ap.add_argument("--no-arrow-udf", action="store_true",
                     help="use the pure-JVM regexp extractor instead of the pandas UDF")
     ap.add_argument("--stream", action="store_true",
@@ -83,7 +86,8 @@ def main(argv: list[str] | None = None) -> int:
         lookup = spark.createDataFrame(generate_host_lookup(seed=args.seed))
         pipe = Pipeline(spark, args.out, lookup,
                         use_arrow_udf=not args.no_arrow_udf,
-                        salt_buckets=args.salt_buckets)
+                        salt_buckets=args.salt_buckets,
+                        write_partitions=args.write_partitions)
         if args.stream:
             from .operators.route import sink_counts
             from .streaming.stream import run_streaming, start_live_stream

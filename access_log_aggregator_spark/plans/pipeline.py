@@ -69,12 +69,19 @@ class Pipeline:
 
     def __init__(self, spark: SparkSession, out_root: str | Path,
                  lookup: DataFrame, use_arrow_udf: bool = True,
-                 salt_buckets: Optional[int] = None):
+                 salt_buckets: Optional[int] = None,
+                 write_partitions: Optional[int] = None):
         self.spark = spark
         self.out_root = Path(out_root)
         self.lookup = lookup
         self.use_arrow_udf = use_arrow_udf
         self.salt_buckets = salt_buckets
+        #: explicit pre-write repartition on url (north_rule: "handles
+        #: warc_ts/url skew via explicit repartitioning"): url hashes spread
+        #: uniformly regardless of host/warc_ts skew, so write tasks balance
+        #: and the routed table gets a bounded file count per batch. None =
+        #: keep the zero-shuffle plan (right for small batches).
+        self.write_partitions = write_partitions
         self.routed_table = SnapshotTable.create(self.out_root / "routed", "routed")
 
     # -- one batch ------------------------------------------------------------
@@ -114,6 +121,8 @@ class Pipeline:
         import uuid
 
         staging = t.root / f"_staging-{uuid.uuid4().hex}"
+        if self.write_partitions:
+            routed = routed.repartition(self.write_partitions, F.col("url"))
         routed.write.mode("overwrite").partitionBy("match_class").parquet(str(staging))
         moved = []
         rows = 0

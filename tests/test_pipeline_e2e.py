@@ -172,3 +172,23 @@ def test_lineage_column_present(pipe):
     p, _, _, _ = pipe
     parts = p.routed().select("source_partition").distinct().count()
     assert parts >= 1
+
+
+def test_write_partitions_repartition(spark, corpus, lookup_sdf, tmp_path_factory):
+    """Explicit repartition(N, url) before the sink write (north_rule skew
+    handling): identical routed rows and counts, file count per class
+    bounded by N."""
+    root = tmp_path_factory.mktemp("writeparts")
+    pages_table = SnapshotTable.create(root / "pages", "pages")
+    pages_table.append_pandas(corpus.pages)
+
+    p = Pipeline(spark, root / "out", lookup_sdf, write_partitions=4)
+    cp = Checkpoint(root / "checkpoint.json")
+    run_incremental(spark, pages_table, p, cp)
+
+    assert p.routed().count() == len(corpus.pages)
+    for cls, want in corpus.golden_counts.items():
+        assert p.sink(cls).count() == want, cls
+        cls_files = [f for f in p.routed_table.data_files()
+                     if f"match_class={cls}" in f]
+        assert 0 < len(cls_files) <= 4, cls
