@@ -74,3 +74,15 @@ def test_udf_and_expr_paths_agree(pages_df, lookup_sdf):
     a = _routed(pages_df, lookup_sdf, True).select("url", "extracted_text", "match_class")
     b = _routed(pages_df, lookup_sdf, False).select("url", "extracted_text", "match_class")
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_byte_level_extraction_rule(corpus):
+    """Byte-parity is DEFINED on bytes (functions/extract.py): LINE_RE over
+    the raw UTF-8 bytes of ``text`` (extract_line_bytes) yields exactly the
+    oracle's extracted bytes for every page — the same rule, evaluated at
+    the byte level, with no str/bytes drift."""
+    from access_log_aggregator_spark.functions.extract import extract_line_bytes
+
+    for page, c in zip(corpus.pages.itertuples(), corpus.classifications):
+        got = extract_line_bytes(page.text.encode("utf-8")) if page.text is not None else None
+        assert got == c.extracted_text, page.url
