@@ -96,3 +96,14 @@ def test_scan_prunes_columns(spark, tmp_path, corpus):
     plan = _plan(df)
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "html" not in read_schema and "text" not in read_schema
+
+
+def test_session_scale_posture(spark):
+    """The north_rule's named physical configs are on in every session built
+    by the factory: AQE (runtime re-plan), AQE skew-join splitting, and
+    Arrow for the pandas-UDF parse path."""
+    conf = spark.conf
+    assert conf.get("spark.sql.adaptive.enabled") == "true"
+    assert conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    assert conf.get("spark.sql.execution.arrow.pyspark.enabled") == "true"
+    assert conf.get("spark.sql.session.timeZone") == "UTC"
