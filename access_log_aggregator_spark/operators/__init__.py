@@ -1,0 +1,50 @@
+"""Operator surface: one import for every documented DataFrame operator."""
+
+from .aggregate import (
+    aggregate_by_host,
+    aggregate_by_status_bucket,
+    aggregate_by_window,
+)
+from .dedup import (
+    embedding_near_dup_pairs,
+    exact_dedup_keep_first,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+    with_minhash,
+    with_simhash,
+)
+from .enrich import enrich, normalize_lang
+from .multimodal import extract_stub_features, frame_sample_stub, resize_stub
+from .parse import narrow, parse_stage
+from .route import malformed_count, route, sink_counts
+from .similarity import (
+    cosine_to,
+    ivf_assign,
+    ivf_topk_cosine,
+    lsh_topk_cosine,
+    topk_cosine,
+    with_lsh_bucket,
+)
+from .text import (
+    with_bpe_token_count,
+    with_fingerprint,
+    with_lang_guess,
+    with_quality_score,
+    with_token_count,
+)
+
+__all__ = [
+    "aggregate_by_host", "aggregate_by_status_bucket", "aggregate_by_window",
+    "embedding_near_dup_pairs", "exact_dedup_keep_first",
+    "minhash_lsh_candidates", "ngram_jaccard_pairs", "simhash_near_pairs",
+    "with_minhash", "with_simhash",
+    "enrich", "normalize_lang",
+    "extract_stub_features", "frame_sample_stub", "resize_stub",
+    "narrow", "parse_stage",
+    "malformed_count", "route", "sink_counts",
+    "cosine_to", "ivf_assign", "ivf_topk_cosine", "lsh_topk_cosine",
+    "topk_cosine", "with_lsh_bucket",
+    "with_bpe_token_count", "with_fingerprint", "with_lang_guess",
+    "with_quality_score", "with_token_count",
+]
