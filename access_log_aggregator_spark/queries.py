@@ -326,6 +326,45 @@ order by o_custkey, rn
 """
 
 
+def _moving_avg_build(d: str) -> str:
+    """Analytic window FRAME coverage (SURVEY.md §2.6): per-type hourly hit
+    counts smoothed by a 3-row trailing moving average. The inner aggregate
+    is exact ints; the frame average divides two exact ints -> identical
+    doubles in both engines."""
+    return """
+with hourly as (
+  select event_type, date_trunc('hour', ts) as hour_start,
+         count(*) as hits
+  from events group by 1, 2
+)
+select event_type, hour_start, hits,
+       cast(sum(hits) over w as double) / count(*) over w as hits_ma3
+from hourly
+window w as (partition by event_type order by hour_start
+             rows between 2 preceding and current row)
+order by event_type, hour_start
+"""
+
+
+def _percentiles_build(d: str) -> str:
+    """Exact interpolated percentiles of order totals per order priority —
+    Spark ``percentile`` and DuckDB ``quantile_cont`` both use linear
+    interpolation on the sorted values."""
+    if d == x.SPARK:
+        p50 = "percentile(o_totalprice, 0.5D)"
+        p95 = "percentile(o_totalprice, 0.95D)"
+    else:
+        p50 = "quantile_cont(o_totalprice, 0.5)"
+        p95 = "quantile_cont(o_totalprice, 0.95)"
+    return f"""
+select o_orderpriority, count(*) as n_orders,
+       {p50} as p50_total, {p95} as p95_total
+from orders
+group by o_orderpriority
+order by o_orderpriority
+"""
+
+
 def _setop_build(d: str) -> str:
     # nations that have customers but no suppliers (EXCEPT)
     return """
@@ -749,6 +788,8 @@ QUERIES: dict[str, QuerySpec] = {
     "anti_join_customers_no_orders": _sql_pair(_anti_join_build),
     "semi_join_urgent_customers": _sql_pair(_semi_join_build),
     "rank_orders_per_customer": _sql_pair(_rank_window_build),
+    "events_hits_moving_avg": _sql_pair(_moving_avg_build),
+    "orders_price_percentiles": _sql_pair(_percentiles_build),
     "except_nations_without_suppliers": _sql_pair(_setop_build),
     # training-data ops
     "dedup_exact": _sql_pair(_dedup_exact_build),
