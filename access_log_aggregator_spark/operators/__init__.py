@@ -5,6 +5,7 @@ from .aggregate import (
     aggregate_by_status_bucket,
     aggregate_by_window,
 )
+from .asof import asof_join
 from .dedup import (
     embedding_near_dup_pairs,
     exact_dedup_keep_first,
@@ -35,6 +36,7 @@ from .text import (
 )
 
 __all__ = [
+    "asof_join",
     "aggregate_by_host", "aggregate_by_status_bucket", "aggregate_by_window",
     "embedding_near_dup_pairs", "exact_dedup_keep_first",
     "minhash_lsh_candidates", "ngram_jaccard_pairs", "simhash_near_pairs",

@@ -157,6 +157,36 @@ order by event_type nulls first, value_bucket nulls first
 """
 
 
+def _q_events_asof_last_error(spark, sf_dir):
+    """As-of join (operators/asof.py): every non-error event + the same
+    user's most recent error event at-or-before it. Oracle: DuckDB's
+    native ASOF LEFT JOIN."""
+    from .operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    err = (
+        e.where(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("err_event_id"))
+        .select("user_id", F.col("ts").alias("err_ts"), "err_event_id")
+    )
+    ev = e.where(F.col("event_type") != "error").select("event_id", "user_id", "ts")
+    return asof_join(ev, err, on=["user_id"], left_ts="ts",
+                     right_ts="err_ts").orderBy("event_id")
+
+
+_Q_EVENTS_ASOF_ORACLE = """
+with err as (
+  select user_id, ts as err_ts, max(event_id) as err_event_id
+  from events where event_type = 'error' group by user_id, ts
+),
+ev as (select event_id, user_id, ts from events where event_type <> 'error')
+select ev.event_id, ev.user_id, ev.ts, err.err_ts, err.err_event_id
+from ev asof left join err on ev.user_id = err.user_id and ev.ts >= err.err_ts
+order by ev.event_id
+"""
+
+
 def _q_events_agg_type_window(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     return (
@@ -759,6 +789,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "events_agg_by_hour": QuerySpec(_q_events_agg_by_hour, _Q_EVENTS_AGG_BY_HOUR_ORACLE),
     "events_agg_rollup": _sql_pair(_events_rollup_build),
+    "events_asof_last_error": QuerySpec(
+        _q_events_asof_last_error, _Q_EVENTS_ASOF_ORACLE
+    ),
     "events_agg_type_window": QuerySpec(
         _q_events_agg_type_window,
         "select date_trunc('hour', ts) as hour_start, event_type, count(*) as hits "
