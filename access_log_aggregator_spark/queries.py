@@ -187,6 +187,47 @@ order by ev.event_id
 """
 
 
+def _q_events_sessionize(spark, sf_dir):
+    """Gap-based sessionization: Spark's native session_window (30-minute
+    inactivity gap). Oracle: classic gaps-and-islands SQL. Spark's session
+    end = last event + gap, reproduced in the oracle."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+_Q_EVENTS_SESSIONIZE_ORACLE = """
+with marked as (
+  select user_id, ts,
+         case when ts - lag(ts) over (partition by user_id order by ts)
+                   > interval 30 minute then 1 else 0 end as is_new
+  from events
+),
+islands as (
+  select user_id, ts,
+         sum(is_new) over (partition by user_id order by ts
+                           rows unbounded preceding) as session_no
+  from marked
+)
+select user_id,
+       min(ts) as session_start,
+       max(ts) + interval 30 minute as session_end,
+       count(*) as n_events
+from islands
+group by user_id, session_no
+order by user_id, session_start
+"""
+
+
 def _q_events_agg_type_window(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     return (
@@ -791,6 +832,9 @@ QUERIES: dict[str, QuerySpec] = {
     "events_agg_rollup": _sql_pair(_events_rollup_build),
     "events_asof_last_error": QuerySpec(
         _q_events_asof_last_error, _Q_EVENTS_ASOF_ORACLE
+    ),
+    "events_sessionize": QuerySpec(
+        _q_events_sessionize, _Q_EVENTS_SESSIONIZE_ORACLE
     ),
     "events_agg_type_window": QuerySpec(
         _q_events_agg_type_window,
