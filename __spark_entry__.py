@@ -31,4 +31,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # the pipeline_* oracles read the cached pages corpus parquet directly;
+    # make sure it exists even when the oracle runs before the Spark side
+    from access_log_aggregator_spark.queries import ensure_pipeline_fixtures
+
+    ensure_pipeline_fixtures()
     return {name: spec.oracle for name, spec in QUERIES.items() if spec.oracle}

@@ -44,8 +44,7 @@ def test_registry_shape():
     # every oracle-less entry is a deliberate rows-only op
     rows_only = set(qs) - set(oracles)
     assert rows_only == {
-        "pipeline_agg_by_host", "pipeline_route_counts", "multimodal_stub_features",
-        "multimodal_resize", "multimodal_frame_sample",
+        "multimodal_stub_features", "multimodal_resize", "multimodal_frame_sample",
     }
 
 
