@@ -17,6 +17,8 @@ Reference semantics being re-expressed (citations into /root/reference/):
 
 from __future__ import annotations
 
+import json
+import math
 import re
 from dataclasses import dataclass
 from datetime import datetime, timedelta, timezone
@@ -35,13 +37,24 @@ LINE_PATTERN = r'^\{".*\}$'
 LINE_RE = re.compile(LINE_PATTERN, re.MULTILINE)
 LINE_RE_BYTES = re.compile(LINE_PATTERN.encode("ascii"), re.MULTILINE)
 
-#: Grok-style field regex over the extracted line. The reference corpus
-#: always emits keys in the order time,host,status_code,duration
-#: (test/testdata/log.log:1-1001); extra fields only ever appear after
-#: duration (model_test.go:19). A line that does not match is ``unparsed``.
+#: Strict JSON number grammar (RFC 8259 — exactly what Go's json package
+#: accepts: no leading zeros, no bare '.5', optional fraction + exponent).
+JSON_NUMBER = r"-?(?:0|[1-9]\d*)(?:\.\d+)?(?:[eE][+-]?\d+)?"
+
+#: Grok-style FAST-PATH field regex over the extracted line: the reference
+#: corpus key order time,host,status_code,duration (test/testdata/log.log),
+#: escape-free strings, an int64-safe status (<= 18 digits), and a tail of
+#: well-formed FLAT extra key/value pairs (model_test.go:19). Everything the
+#: fast path matches, Go's json.Unmarshal accepts with identical values
+#: (captures are escape-free so raw == unescaped). Lines that MISS this
+#: pattern fall through to the wide-grammar fallback
+#: (:func:`go_unmarshal_fields` / its Spark twins), which implements the
+#: full json.Unmarshal grammar — reordered keys, whitespace, escapes.
 FIELD_PATTERN = (
-    r'^\{"time":"([^"]*)","host":"([^"]*)","status_code":(-?\d{1,18}),'
-    r'"duration":(-?(?:\d+(?:\.\d+)?|\.\d+)(?:[eE][+-]?\d+)?)(?:,.*)?\}$'
+    r'^\{"time":"([^"\\]*)","host":"([^"\\]*)",'
+    r'"status_code":(-?(?:0|[1-9]\d{0,17})),'
+    r'"duration":(' + JSON_NUMBER + r')'
+    r'(?:,"[^"\\]*":(?:"[^"\\]*"|' + JSON_NUMBER + r'|true|false|null))*\}$'
 )
 FIELD_RE = re.compile(FIELD_PATTERN)
 
@@ -148,6 +161,77 @@ def is_zero_time(time_str: str) -> bool:
         return dt.astimezone(timezone.utc) == datetime(1, 1, 1, tzinfo=timezone.utc)
     except (OverflowError, ValueError):
         return False
+
+
+def _reject_constant(_name: str):
+    # Go's json package rejects NaN/Infinity/-Infinity literals.
+    raise ValueError("non-standard JSON constant")
+
+
+def go_unmarshal_fields(line: str) -> Optional[tuple[str, str, int, float]]:
+    """Emulate Go ``json.Unmarshal`` of one line into the Record struct
+    (internal/accesslog/model.go:9-18) — the WIDE-grammar fallback behind
+    :data:`FIELD_PATTERN`'s fast path.
+
+    Returns ``(time_str, host, status_code, duration)`` with Go zero values
+    for missing/null fields, or ``None`` exactly where Unmarshal errors:
+
+    - JSON syntax error, non-object top level, or trailing content
+      (model_test.go:30) — ``json.loads`` matches Go on all three;
+    - ``NaN``/``Infinity`` literals (rejected via ``parse_constant``);
+    - type mismatches: non-string time/host, bool anywhere, non-integer or
+      int64-overflowing status_code, non-number duration;
+    - a time string that is not RFC3339 (``time.Time.UnmarshalJSON`` error);
+    - float64 range overflow of duration (Go strconv ERANGE).
+
+    Duplicate keys: last wins (both Go and Python dict building).
+    """
+    try:
+        obj = json.loads(line, parse_constant=_reject_constant)
+    except ValueError:
+        return None
+    if not isinstance(obj, dict):
+        return None
+
+    tval = obj.get("time")
+    if tval is None:
+        time_str = GO_ZERO_TIME
+    elif isinstance(tval, str):
+        if parse_rfc3339(tval) is None:
+            return None
+        time_str = tval
+    else:
+        return None
+
+    hval = obj.get("host")
+    if hval is None:
+        host = ""
+    elif isinstance(hval, str):
+        host = hval
+    else:
+        return None
+
+    sval = obj.get("status_code")
+    if sval is None:
+        status = 0
+    elif isinstance(sval, bool) or not isinstance(sval, int):
+        return None
+    elif not (-(2**63) <= sval < 2**63):
+        return None
+    else:
+        status = sval
+
+    dval = obj.get("duration")
+    if dval is None:
+        duration = 0.0
+    elif isinstance(dval, bool) or not isinstance(dval, (int, float)):
+        return None
+    else:
+        duration = float(dval)
+        if math.isinf(duration):
+            return None  # Go: strconv.ParseFloat range error
+
+    return (time_str, host, status, duration)
 
 
 def validate_fields(f: ParsedFields) -> Optional[str]:

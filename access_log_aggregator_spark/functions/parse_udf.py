@@ -21,7 +21,14 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import StringType
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from . import extract as X
 
@@ -75,6 +82,52 @@ def extract_payload_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
     impl = _EXTRACT_IMPL  # bound once per worker process
     for s in batches:
         yield impl(s)
+
+
+#: Output schema of the wide-grammar fallback parse (Go zero values for
+#: missing/null fields; json_ok=False exactly where json.Unmarshal errors).
+_FALLBACK_SCHEMA = StructType([
+    StructField("time_str", StringType()),
+    StructField("host", StringType()),
+    StructField("status_code", LongType()),
+    StructField("duration", DoubleType()),
+    StructField("json_ok", BooleanType()),
+])
+
+
+@pandas_udf(_FALLBACK_SCHEMA)
+def go_fallback_udf(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+    """Wide-grammar record parse: exact Go ``json.Unmarshal`` semantics via
+    the shared :func:`...extract.go_unmarshal_fields` primitive.
+
+    The caller feeds NULL for every row the fast-path regex already handled
+    (operators/parse.py gates the input column on ``~field_matched``), so the
+    per-row Python here runs only on the rare remainder — reordered keys,
+    interstitial whitespace, escaped strings, malformed JSON — while the
+    Arrow batch transfer of a mostly-null column stays cheap. This preserves
+    the "no per-row Python on the hot path" posture: the hot path is the
+    regex; this is the exactness escape hatch json.Unmarshal requires
+    (trailing-content and duplicate-key rules are not regex-expressible).
+    """
+    unmarshal = X.go_unmarshal_fields  # bound once per worker process
+    cols = ["time_str", "host", "status_code", "duration", "json_ok"]
+    for s in batches:
+        out = []
+        for line in s:
+            if line is None or (isinstance(line, float) and pd.isna(line)):
+                out.append((None, None, None, None, None))
+                continue
+            f = unmarshal(line)
+            if f is None:
+                out.append((None, None, None, None, False))
+            else:
+                out.append((*f, True))
+        # object dtype everywhere: pandas would otherwise infer float64 for
+        # a None+int status column and silently mangle int64-edge values
+        yield pd.DataFrame(
+            {c: pd.Series([r[i] for r in out], dtype="object")
+             for i, c in enumerate(cols)}
+        )
 
 
 def extract_payload_expr(text: Column) -> Column:

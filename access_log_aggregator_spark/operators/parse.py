@@ -4,9 +4,27 @@ Re-expresses the reference's per-line NewRecord path
 (internal/accesslog/model.go:16-29) as Catalyst expressions over the
 extracted payload column:
 
-- field capture: ``regexp_extract`` with the canonical FIELD_PATTERN
-  (JVM-side, whole-stage-codegen friendly — the projection-at-parse analog
-  of the reference's struct tags, model.go:9-14);
+- FAST PATH: ``regexp_extract`` with the canonical FIELD_PATTERN (JVM-side,
+  whole-stage-codegen friendly — the projection-at-parse analog of the
+  reference's struct tags, model.go:9-14). The pattern only matches lines
+  Go's json.Unmarshal accepts with identical values (fixed key order,
+  escape-free strings, strict JSON numbers, well-formed flat extras) —
+  the overwhelming majority of any real access-log corpus.
+- WIDE-GRAMMAR FALLBACK (rows that miss the fast path): the full
+  json.Unmarshal grammar — reordered keys, interstitial whitespace, escaped
+  strings, duplicate keys (last wins), trailing-content rejection
+  (model_test.go:30), strict field typing. Two interchangeable
+  implementations:
+  * Arrow path (default): :func:`...functions.parse_udf.go_fallback_udf`,
+    exact Go semantics via the shared ``go_unmarshal_fields`` primitive.
+    The UDF input is gated NULL for fast-path rows, so per-row Python
+    touches only the rare remainder.
+  * JVM path: ``try_parse_json`` (variant) + ``schema_of_variant`` field
+    typing + a string-stripped balanced-brace guard for trailing content.
+    Documented divergences from Go (none reachable from the corpus
+    grammar): duplicate keys are rejected rather than last-wins
+    (``parse_json`` restriction), and the trailing guard assumes <= 3
+    levels of nesting inside extra-field values.
 - validation: the model.go:24 predicate, with present-but-zero handled
   exactly (``status_code == 0`` / ``duration == 0.0`` reject);
 - timestamp: RFC3339 with optional 1-9 digit fraction; nanoseconds truncate
@@ -24,12 +42,24 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import extract as X
-from ..functions.parse_udf import extract_payload_expr, extract_payload_udf
+from ..functions.parse_udf import (
+    extract_payload_expr,
+    extract_payload_udf,
+    go_fallback_udf,
+)
 
 _TS_BASE_RE = r"^(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2})"
 _TS_FRAC_RE = r"^[^.]*\.(\d{1,9})"
 _TS_OFF_RE = r"(Z|[+-]\d{2}:\d{2})$"
 _GO_ZERO = "0001-01-01T00:00:00+00:00"
+
+#: JSON string literal (for stripping strings before the brace-balance check)
+_JSON_STR_LIT = r'"(?:[^"\\]|\\.)*"'
+#: single JSON object spanning the whole (string-stripped) line, nesting <= 3
+_B0 = r"[^{}]*"
+_B1 = _B0 + r"(?:\{" + _B0 + r"\}" + _B0 + r")*"
+_B2 = _B0 + r"(?:\{" + _B1 + r"\}" + _B0 + r")*"
+_BALANCED_RE = r"^\{" + _B2 + r"\}$"
 
 
 def _log_ts(time_str: Column) -> Column:
@@ -49,6 +79,53 @@ def _log_ts(time_str: Column) -> Column:
         frac != "", F.rpad(F.substring(frac, 1, 6), 6, "0").cast("long")
     ).otherwise(F.lit(0))
     return F.timestamp_add("MICROSECOND", micros, ts0)
+
+
+def _jvm_fallback(df: DataFrame) -> DataFrame:
+    """Pure-Catalyst wide-grammar parse of ``_fbline`` into ``_fb`` (same
+    struct contract as go_fallback_udf). Field typing follows Go unmarshal:
+    time/host must be JSON strings, status_code a non-overflowing integer
+    (variant types huge ints as DECIMAL(19,0) -> rejected, exactly Go's
+    overflow error), duration any finite JSON number; null/missing leave
+    the Go zero value."""
+    df = df.withColumn("_fbv", F.expr("try_parse_json(_fbline)"))
+
+    def vtype(field: str) -> Column:
+        return F.expr(f"schema_of_variant(try_variant_get(_fbv, '$.{field}'))")
+
+    def vget(field: str, typ: str) -> Column:
+        return F.expr(f"try_variant_get(_fbv, '$.{field}', '{typ}')")
+
+    t_t, h_t, s_t, d_t = (vtype(f) for f in ("time", "host", "status_code", "duration"))
+    stripped = F.regexp_replace(F.col("_fbline"), _JSON_STR_LIT, '""')
+    balanced = stripped.rlike(_BALANCED_RE)
+    d_val = F.when(
+        d_t.isNull() | (d_t == "VOID"), F.lit(0.0)
+    ).otherwise(vget("duration", "double"))
+
+    def str_or_void(t: Column) -> Column:
+        return t.isNull() | t.isin("VOID", "STRING")
+
+    json_ok = (
+        F.col("_fbline").isNotNull()
+        & F.col("_fbv").isNotNull()
+        & balanced
+        & str_or_void(t_t) & str_or_void(h_t)
+        & (s_t.isNull() | s_t.isin("VOID", "BIGINT"))
+        & (d_t.isNull() | d_t.isin("VOID", "BIGINT", "DOUBLE") | d_t.like("DECIMAL%"))
+        & (d_val.isNull() | (F.abs(d_val) != F.lit(float("inf"))))
+    )
+    fb = F.struct(
+        F.when(t_t == "STRING", vget("time", "string"))
+        .otherwise(F.lit(X.GO_ZERO_TIME)).alias("time_str"),
+        F.when(h_t == "STRING", vget("host", "string"))
+        .otherwise(F.lit("")).alias("host"),
+        F.when(s_t == "BIGINT", vget("status_code", "bigint"))
+        .otherwise(F.lit(0)).cast("long").alias("status_code"),
+        F.coalesce(d_val, F.lit(0.0)).alias("duration"),
+        json_ok.alias("json_ok"),
+    )
+    return df.withColumn("_fb", fb).drop("_fbv")
 
 
 def parse_stage(pages: DataFrame, use_arrow_udf: bool = True) -> DataFrame:
@@ -74,25 +151,55 @@ def parse_stage(pages: DataFrame, use_arrow_udf: bool = True) -> DataFrame:
         "_packed",
         F.when(
             F.col("field_matched"),
-            F.regexp_replace(et, X.FIELD_PATTERN, "$1$2$3$4"),
+            F.regexp_replace(et, X.FIELD_PATTERN, "$1\x01$2\x01$3\x01$4"),
         ),
     )
-    for i, name in enumerate(["log_time_str", "host_raw", "status_str", "duration_str"]):
-        df = df.withColumn(name, F.split(F.col("_packed"), "").getItem(i))
+    for i, name in enumerate(["_time_fast", "_host_fast", "_status_fast", "_dur_fast"]):
+        df = df.withColumn(name, F.split(F.col("_packed"), "\x01").getItem(i))
 
-    df = (
-        df.withColumn("log_ts", _log_ts(F.col("log_time_str")))
-        .withColumn("status_code", F.col("status_str").try_cast("long"))
-        .withColumn("duration", F.col("duration_str").try_cast("double"))
+    # wide-grammar fallback — input gated NULL for rows the fast path took
+    df = df.withColumn(
+        "_fbline", F.when(~F.col("field_matched") & et.isNotNull(), et)
     )
+    if use_arrow_udf:
+        df = df.withColumn("_fb", go_fallback_udf(F.col("_fbline")))
+    else:
+        df = _jvm_fallback(df)
+    fb_ok = F.coalesce(F.col("_fb.json_ok"), F.lit(False))
+
+    # unified record fields (fast captures are escape-free: raw == Go value)
+    df = (
+        df.withColumn("parse_ok", F.col("field_matched") | fb_ok)
+        .withColumn(
+            "log_time_str",
+            F.when(F.col("field_matched"), F.col("_time_fast"))
+            .when(fb_ok, F.col("_fb.time_str")),
+        )
+        .withColumn(
+            "host_raw",
+            F.when(F.col("field_matched"), F.col("_host_fast"))
+            .when(fb_ok, F.col("_fb.host")),
+        )
+        .withColumn(
+            "status_code",
+            F.when(F.col("field_matched"), F.col("_status_fast").try_cast("long"))
+            .when(fb_ok, F.col("_fb.status_code")),
+        )
+        .withColumn(
+            "duration",
+            F.when(F.col("field_matched"), F.col("_dur_fast").try_cast("double"))
+            .when(fb_ok, F.col("_fb.duration")),
+        )
+    )
+    df = df.withColumn("_log_ts_all", _log_ts(F.col("log_time_str")))
 
     time_ok = (
         F.col("log_time_str").rlike(X.TIME_PATTERN)
-        & F.col("log_ts").isNotNull()
-        & (F.col("log_ts") != F.to_timestamp(F.lit(_GO_ZERO), "yyyy-MM-dd'T'HH:mm:ssxxx"))
+        & F.col("_log_ts_all").isNotNull()
+        & (F.col("_log_ts_all") != F.to_timestamp(F.lit(_GO_ZERO), "yyyy-MM-dd'T'HH:mm:ssxxx"))
     )
     record_valid = (
-        F.col("field_matched")
+        F.col("parse_ok")
         & time_ok
         & (F.col("host_raw") != "")
         & F.col("status_code").isNotNull()
@@ -101,17 +208,25 @@ def parse_stage(pages: DataFrame, use_arrow_udf: bool = True) -> DataFrame:
         & (F.col("duration") != 0.0)
     )
     df = df.withColumn("record_valid", F.coalesce(record_valid, F.lit(False)))
+    # the reference never materializes a timestamp for rejected records;
+    # nulling here also keeps Go-zero-time instants (year 1) out of sinks
+    df = df.withColumn(
+        "log_ts", F.when(F.col("record_valid"), F.col("_log_ts_all"))
+    )
     df = df.withColumn(
         "parse_reason",
         F.when(F.col("record_valid"), F.lit(None).cast("string"))
         .when(et.isNull(), F.lit(X.REASON_NO_PAYLOAD))
-        .when(~F.col("field_matched"), F.lit(X.REASON_BAD_RECORD))
+        .when(~F.col("parse_ok"), F.lit(X.REASON_BAD_RECORD))
         .otherwise(F.lit(X.REASON_INVALID_FIELD)),
     )
     df = df.withColumn("host", F.when(F.col("record_valid"), F.col("host_raw")))
     # per-partition lineage (north_rule: per-partition lineage + metrics)
     df = df.withColumn("source_partition", F.spark_partition_id())
-    return df.drop("host_raw", "status_str", "duration_str", "field_matched", "_packed")
+    return df.drop(
+        "host_raw", "field_matched", "parse_ok", "_packed", "_fbline", "_fb",
+        "_time_fast", "_host_fast", "_status_fast", "_dur_fast", "_log_ts_all",
+    )
 
 
 #: The narrow column set that survives past the parse stage — html/text are

@@ -16,7 +16,6 @@ Two layers:
 
 from __future__ import annotations
 
-import json
 from dataclasses import dataclass
 from datetime import datetime
 from typing import Optional
@@ -39,86 +38,28 @@ class Record:
     duration: float
 
 
-def _go_json_decode(raw: bytes) -> dict:
-    """Emulate Go json.Unmarshal's top-level behavior for a JSON object.
-
-    - invalid UTF-8: Go coerces invalid bytes to U+FFFD when decoding into
-      strings; for the *structure* it still scans bytes. We decode with
-      'replace' which matches observable behavior on the test domain.
-    - trailing non-whitespace after the top-level value is an error
-      (model_test.go:30 — a trailing ',' after the object is invalid JSON).
-    - duplicate keys: last wins (Python dict literal behavior matches).
-    """
-    s = raw.decode("utf-8", errors="replace")
-    dec = json.JSONDecoder()
-    try:
-        obj, end = dec.raw_decode(s.lstrip())
-    except (json.JSONDecodeError, ValueError) as e:
-        raise GoParseError(f"invalid JSON: {e}") from e
-    if s.lstrip()[end:].strip() != "":
-        raise GoParseError("invalid JSON: trailing content after top-level value")
-    if not isinstance(obj, dict):
-        raise GoParseError("invalid JSON: not an object")
-    return obj
-
-
 def go_parse_record(raw: bytes) -> Record:
     """NewRecord (model.go:16-29): unmarshal + zero-value validation.
 
     Raises GoParseError exactly where the reference returns an error:
-    - JSON syntax error / trailing content,
+    - JSON syntax error / trailing content (model_test.go:30) /
+      NaN-Infinity literals / float64 range overflow,
     - field type mismatch (string into int, number into string, non-integer
       number into int, non-RFC3339 time string, bool anywhere),
     - zero time / empty host / zero status / zero duration (model.go:24).
     ``null`` for a field leaves the Go zero value (NOT a type error).
+
+    Invalid UTF-8 input: Go coerces invalid bytes to U+FFFD when decoding
+    into strings but still scans structure bytewise; decoding with 'replace'
+    matches observable behavior on the test domain. The unmarshal grammar
+    itself is the shared primitive :func:`...functions.extract.go_unmarshal_fields`.
     """
-    obj = _go_json_decode(raw)
-
-    # time time.Time `json:"time"` — UnmarshalJSON requires an RFC3339 string.
-    tval = obj.get("time")
-    if tval is None:
-        time_str = X.GO_ZERO_TIME
-        ts: Optional[datetime] = None
-    elif isinstance(tval, str):
-        ts = X.parse_rfc3339(tval)
-        if ts is None:
-            raise GoParseError("invalid JSON: cannot parse time")
-        time_str = tval
-    else:
-        raise GoParseError("invalid JSON: time is not a string")
-
-    # host string
-    hval = obj.get("host")
-    if hval is None:
-        host = ""
-    elif isinstance(hval, str):
-        host = hval
-    else:
-        raise GoParseError("invalid JSON: host is not a string")
-
-    # status_code int (Go int = 64-bit; non-integer JSON numbers error)
-    sval = obj.get("status_code")
-    if sval is None:
-        status = 0
-    elif isinstance(sval, bool):
-        raise GoParseError("invalid JSON: status_code is bool")
-    elif isinstance(sval, int):
-        if not (-(2**63) <= sval < 2**63):
-            raise GoParseError("invalid JSON: status_code overflows int")
-        status = sval
-    else:
-        raise GoParseError("invalid JSON: status_code is not an integer")
-
-    # duration float64
-    dval = obj.get("duration")
-    if dval is None:
-        duration = 0.0
-    elif isinstance(dval, bool):
-        raise GoParseError("invalid JSON: duration is bool")
-    elif isinstance(dval, (int, float)):
-        duration = float(dval)
-    else:
-        raise GoParseError("invalid JSON: duration is not a number")
+    s = raw.decode("utf-8", errors="replace")
+    fields = X.go_unmarshal_fields(s)
+    if fields is None:
+        raise GoParseError("invalid JSON")
+    time_str, host, status, duration = fields
+    ts: Optional[datetime] = X.parse_rfc3339(time_str)
 
     # model.go:24-26 — the single validation line.
     if ts is None or X.is_zero_time(time_str) or host == "" or status == 0 or duration == 0.0:
@@ -167,19 +108,34 @@ def classify_page(
         return PageClassification(X.CLASS_UNPARSED, X.REASON_NO_PAYLOAD, None, None)
 
     fields = X.parse_fields(line)
-    if fields is None:
-        return PageClassification(X.CLASS_UNPARSED, X.REASON_BAD_RECORD, line_b, None)
-
-    reason = X.validate_fields(fields)
-    if reason is not None:
-        return PageClassification(X.CLASS_UNPARSED, reason, line_b, None)
+    if fields is not None:
+        # fast path: the corpus-grammar regex (escape-free captures, so
+        # raw capture == unescaped Go value)
+        reason = X.validate_fields(fields)
+        if reason is not None:
+            return PageClassification(X.CLASS_UNPARSED, reason, line_b, None)
+        time_str, host = fields.time_str, fields.host
+        status, duration = int(fields.status_str), float(fields.duration_str)
+    else:
+        # wide-grammar fallback: full Go json.Unmarshal semantics
+        # (reordered keys, whitespace, escaped strings, duplicate keys)
+        wide = X.go_unmarshal_fields(line)
+        if wide is None:
+            return PageClassification(X.CLASS_UNPARSED, X.REASON_BAD_RECORD, line_b, None)
+        time_str, host, status, duration = wide
+        ts = X.parse_rfc3339(time_str)
+        if (ts is None or X.is_zero_time(time_str) or host == ""
+                or status == 0 or duration == 0.0):
+            return PageClassification(
+                X.CLASS_UNPARSED, X.REASON_INVALID_FIELD, line_b, None
+            )
 
     rec = Record(
-        time=X.parse_rfc3339(fields.time_str),  # type: ignore[arg-type]
-        time_str=fields.time_str,
-        host=fields.host,
-        status_code=int(fields.status_str),
-        duration=float(fields.duration_str),
+        time=X.parse_rfc3339(time_str),  # type: ignore[arg-type]
+        time_str=time_str,
+        host=host,
+        status_code=status,
+        duration=duration,
     )
     cls = X.CLASS_BOT if rec.host in bot_hosts else X.CLASS_PARSED
     return PageClassification(cls, None, line_b, rec)

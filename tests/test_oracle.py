@@ -212,8 +212,15 @@ class TestClassifyPage:
         assert c.extracted_text is None
 
     def test_bad_record(self):
-        c = classify_page(None, self.PAGE % '{"not":"a log line"}')
+        # syntax error (trailing content, model_test.go:30) => unmarshal error
+        c = classify_page(None, self.PAGE % '{"a":1},{"x":2}')
         assert (c.match_class, c.reject_reason) == ("unparsed", "bad_record")
+
+    def test_wellformed_but_foreign_json(self):
+        # Go unmarshal SUCCEEDS on a foreign object (fields left at zero
+        # values), then model.go:24 validation rejects => invalid_field
+        c = classify_page(None, self.PAGE % '{"not":"a log line"}')
+        assert (c.match_class, c.reject_reason) == ("unparsed", "invalid_field")
 
     def test_invalid_field(self):
         line = '{"time":"2025-09-28T17:12:09Z","host":"grok.com","status_code":0,"duration":0.5}'

@@ -76,6 +76,96 @@ def test_udf_and_expr_paths_agree(pages_df, lookup_sdf):
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
 
+# --------------------------------------------------------------------------
+# Wide-grammar equivalence: lines beyond the fast-path regex (reordered keys,
+# whitespace, escapes, type errors) classify identically to the Go oracle on
+# BOTH Spark parse variants.
+# --------------------------------------------------------------------------
+
+_T = '"time":"2025-09-28T17:12:09Z"'
+_H = '"host":"grok.com"'
+_S = '"status_code":200'
+_D = '"duration":0.5'
+
+#: wide-grammar vectors both fallback implementations must classify like Go
+WIDE_LINES = [
+    "{%s,%s,%s,%s}" % (_H, _T, _D, _S),                    # reordered
+    "{%s,%s,%s,%s}" % (_D, _S, _T, _H),                    # reordered 2
+    '{"time" : "2025-09-28T17:12:09Z" , %s , %s , %s}' % (_H, _S, _D),
+    '{%s,"host":"a\\"b.com",%s,%s}' % (_T, _S, _D),        # escaped quote
+    '{%s,"host":"a\\\\b.com",%s,%s}' % (_T, _S, _D),       # escaped backslash
+    '{%s,"host":"gr\\u006fk.com",%s,%s}' % (_T, _S, _D),   # unicode escape
+    "{%s,%s,%s}" % (_H, _S, _D),                           # time missing
+    "{%s,%s,%s}" % (_T, _S, _D),                           # host missing
+    '{%s,"host":null,%s,%s}' % (_T, _S, _D),               # null host
+    '{%s,%s,"status_code":0,%s}' % (_H, _T, _D),           # zero status, reordered
+    '{"duration":0.0,%s,%s,%s}' % (_T, _H, _S),            # zero duration, reordered
+    '{%s,%s,"status_code":"200",%s}' % (_T, _H, _D),       # string status
+    '{%s,%s,"status_code":200.5,%s}' % (_T, _H, _D),       # float status
+    '{%s,%s,"status_code":2e2,%s}' % (_T, _H, _D),         # exp status
+    '{%s,%s,"status_code":9223372036854775807,%s}' % (_T, _H, _D),  # int64 max: VALID
+    '{%s,%s,"status_code":9223372036854775808,%s}' % (_T, _H, _D),  # overflow
+    '{%s,"host":123,%s,%s}' % (_T, _S, _D),                # number host
+    '{%s,"host":true,%s,%s}' % (_T, _S, _D),               # bool host
+    '{"time":123,%s,%s,%s}' % (_H, _S, _D),                # number time
+    '{%s,%s,%s,"duration":"0.5"}' % (_T, _H, _S),          # string duration
+    '{%s,%s,%s,"duration":3}' % (_T, _H, _S),              # integer duration: VALID
+    '{%s,%s,%s,"duration":1e400}' % (_T, _H, _S),          # float64 overflow
+    '{%s,%s,%s,"duration":NaN}' % (_T, _H, _S),            # non-standard literal
+    "{%s,%s,%s,%s},%s" % (_T, _H, _S, _D, '{"x":1}'),      # trailing content
+    '{"garbage":true,"noise":42}',                         # foreign object
+    '{"a":',                                               # not extractable (no })
+    '{%s,%s,%s,%s,"extra":{"nested":{"deep":1}}}' % (_T, _H, _S, _D),  # nested extra
+    '{%s,%s,%s,%s,"note":"a\\"quote"}' % (_T, _H, _S, _D),  # escaped extra value
+]
+
+#: Go-equivalent on the default (Arrow/json) path only; the JVM variant's
+#: parse_json rejects duplicate keys and >3-deep nesting (documented)
+WIDE_LINES_ARROW_ONLY = [
+    '{"host":"x.com",%s,%s,%s,%s}' % (_H, _T, _S, _D),     # dup key: last wins
+    '{%s,%s,%s,%s,"x":{"a":{"b":{"c":1}}}}' % (_T, _H, _S, _D),  # depth-4 extra
+]
+
+
+def _wide_pages(spark, lines):
+    rows = [
+        (f"https://w{i}.test/p", f"some words\n{line}\nmore words")
+        for i, line in enumerate(lines)
+    ]
+    return spark.createDataFrame(
+        [(u, None, b"<html>ok</html>", t, "en") for u, t in
+         [(u, t) for u, t in rows]],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+
+
+@pytest.mark.parametrize("use_arrow", [True, False], ids=["arrow_udf", "jvm_expr"])
+def test_wide_grammar_matches_oracle(spark, lookup_sdf, use_arrow):
+    from access_log_aggregator_spark.oracle import classify_page
+
+    lines = WIDE_LINES + (WIDE_LINES_ARROW_ONLY if use_arrow else [])
+    df = _routed(_wide_pages(spark, lines), lookup_sdf, use_arrow)
+    got = {r["url"]: r for r in df.select(
+        "url", "match_class", "reject_reason", "host", "status_code", "duration"
+    ).collect()}
+    bad = []
+    for i, line in enumerate(lines):
+        url = f"https://w{i}.test/p"
+        want = classify_page(b"<html>ok</html>", f"some words\n{line}\nmore words")
+        r = got[url]
+        if (r["match_class"], r["reject_reason"]) != (want.match_class, want.reject_reason):
+            bad.append((line, r["match_class"], r["reject_reason"],
+                        want.match_class, want.reject_reason))
+            continue
+        if want.record is not None and (
+            r["host"] != want.record.host
+            or r["status_code"] != want.record.status_code
+            or r["duration"] != want.record.duration
+        ):
+            bad.append((line, r, want.record))
+    assert not bad, f"{len(bad)} wide-grammar mismatches: {bad[:5]}"
+
+
 def test_byte_level_extraction_rule(corpus):
     """Byte-parity is DEFINED on bytes (functions/extract.py): LINE_RE over
     the raw UTF-8 bytes of ``text`` (extract_line_bytes) yields exactly the

@@ -1,5 +1,7 @@
 """Property tests: the canonical page contract agrees with the Go-JSON
-oracle on the whole corpus grammar (hypothesis-generated records)."""
+oracle on the WIDE record grammar — shuffled key order, interstitial
+whitespace, escaped strings, absent keys, extra fields — not just the
+fixed-order corpus grammar (hypothesis-generated records)."""
 
 from __future__ import annotations
 
@@ -22,9 +24,13 @@ _time_strategy = st.one_of(
 _host_strategy = st.one_of(
     st.just("chatgpt.com"), st.just("a.b"), st.just(""), st.none(),
     st.text(alphabet="abcdefghij.-", min_size=1, max_size=12),
+    # escape-requiring hosts: quotes, backslashes, unicode escapes — these
+    # always miss the fast-path regex and exercise the json fallback
+    st.just('a"b.com'), st.just("a\\b.com"), st.just("aAb.comé"),
 )
 _status_strategy = st.one_of(
-    st.integers(min_value=-5, max_value=999), st.just(0), st.none()
+    st.integers(min_value=-5, max_value=999), st.just(0), st.none(),
+    st.just(2**63 - 1), st.just(2**63),    # int64 edge / overflow
 )
 _duration_strategy = st.one_of(
     st.just(0.0), st.just(0), st.none(),
@@ -32,33 +38,46 @@ _duration_strategy = st.one_of(
 )
 
 
-def _line(time, host, status, duration, extra: bool) -> str:
-    """Corpus-grammar record: fixed key order, only present keys emitted."""
+def _line(time, host, status, duration, extra: bool,
+          order: int = 0, spaced: bool = False) -> str:
+    """Wide-grammar record line: ``order`` rotates the key order and
+    ``spaced`` injects interstitial whitespace — both accepted by Go's
+    json.Unmarshal, both beyond the fast-path regex."""
     parts = []
     if time is not None:
-        parts.append(f'"time":{json.dumps(time)}')
+        parts.append(("time", json.dumps(time)))
     if host is not None:
-        parts.append(f'"host":{json.dumps(host)}')
+        parts.append(("host", json.dumps(host)))
     if status is not None:
-        parts.append(f'"status_code":{status}')
+        parts.append(("status_code", str(status)))
     if duration is not None:
-        parts.append(f'"duration":{json.dumps(duration)}')
+        parts.append(("duration", json.dumps(duration)))
     if extra:
-        parts.append('"level":"INFO","size":16')
-    return "{" + ",".join(parts) + "}"
+        parts.append(("level", '"INFO"'))
+        parts.append(("size", "16"))
+    if parts:
+        k = order % len(parts)
+        parts = parts[k:] + parts[:k]
+    sep, colon = (" , ", " : ") if spaced else (",", ":")
+    body = sep.join(f'"{k}"{colon}{v}' for k, v in parts)
+    return "{" + body + "}"
 
 
 @given(
     time=_time_strategy, host=_host_strategy, status=_status_strategy,
     duration=_duration_strategy, extra=st.booleans(),
+    order=st.integers(min_value=0, max_value=5), spaced=st.booleans(),
 )
-@settings(max_examples=500, deadline=None)
-def test_canon_matches_go_semantics(time, host, status, duration, extra):
-    """For any corpus-grammar line: classify_page validity == NewRecord
-    validity. (The canon may reject more specific *reasons*, but the
-    valid/invalid verdict — what the reference's malformRecord counter sees —
-    must agree exactly.)"""
-    line = _line(time, host, status, duration, extra)
+@settings(max_examples=800, deadline=None)
+def test_canon_matches_go_semantics(time, host, status, duration, extra,
+                                    order, spaced):
+    """For any wide-grammar line: classify_page validity == NewRecord
+    validity, and parsed field values agree exactly. (The canon may reject
+    more specific *reasons*, but the valid/invalid verdict — what the
+    reference's malformRecord counter sees — must agree.)"""
+    line = _line(time, host, status, duration, extra, order, spaced)
+    if not line.startswith('{"'):
+        return  # e.g. the all-keys-absent "{}" — un-extractable by LINE_RE
     c = classify_page(None, f"boilerplate words\n{line}\nmore words")
     try:
         rec = go_parse_record(line.encode())
@@ -71,6 +90,7 @@ def test_canon_matches_go_semantics(time, host, status, duration, extra):
     if rec is not None and c.record is not None:
         assert (c.record.host, c.record.status_code) == (rec.host, rec.status_code)
         assert c.record.duration == rec.duration
+        assert c.record.time == rec.time
 
 
 @given(st.text(max_size=200))
@@ -78,3 +98,18 @@ def test_canon_matches_go_semantics(time, host, status, duration, extra):
 def test_classify_never_crashes(text):
     c = classify_page(None, text)
     assert c.match_class in ("parsed", "unparsed", "bot", "error")
+
+
+@given(st.text(alphabet='{}[]",:0123456789.eE+-\\ tfnul', max_size=80))
+@settings(max_examples=400, deadline=None)
+def test_json_fuzz_agreement(payload):
+    """JSON-shaped fuzz: for any brace-wrapped line, classification verdict
+    equals Go's unmarshal+validate verdict."""
+    line = '{"' + payload + "}"
+    c = classify_page(None, line)
+    try:
+        go_parse_record(line.encode())
+        go_valid = True
+    except GoParseError:
+        go_valid = False
+    assert (c.match_class in ("parsed", "bot")) == go_valid, (line, c.match_class)
