@@ -31,7 +31,7 @@ MINHASH_COEFFS = [
     (11, 709), (13, 5381), (17, 52711), (19, 648391),
 ]
 
-SIMHASH_BITS = 16
+SIMHASH_BITS = 64
 
 
 def transform(arr: str, var: str, body: str, d: str) -> str:
@@ -207,19 +207,56 @@ def minhash_sig_sql(table: str, id_col: str, text_col: str, d: str) -> str:
     )
 
 
-def simhash_expr(hash_arr: str, d: str) -> str:
-    """SIMHASH_BITS-bit simhash of an array of token hashes.
+#: per-lane universal-hash constants for the 64 simhash bit lanes:
+#: lane j's 1-bit hash of a token hash h is ``((h*A_j + B_j) mod P) mod 2``
+#: (a classic universal 1-bit family; all intermediates < 2^60, so the
+#: arithmetic is exact int64 in both engines — DuckDB errors on overflow,
+#: so wraparound-style avalanche mixing is not an option).
+SIMHASH_A = [((j + 1) * 2654435761) % P for j in range(SIMHASH_BITS)]
+SIMHASH_B = [(j * 40503 + 17) % P for j in range(SIMHASH_BITS)]
 
-    bit j is set iff sum over tokens of (+1 if hash bit j set else -1) > 0.
-    Pure int arithmetic — exact in both engines.
+
+def _lane_bit(h: str, j: int) -> str:
+    return f"((({h} * {SIMHASH_A[j]} + {SIMHASH_B[j]}) % {P}) % 2)"
+
+
+def simhash_expr(hash_arr: str, d: str) -> str:
+    """SIMHASH_BITS-bit (int64) simhash of an array of token hashes.
+
+    Lane j is set iff sum over tokens of (+1 if the lane's 1-bit hash of the
+    token is 1, else -1) > 0. Pure int arithmetic — exact and identical in
+    both engines. Bit 63 is the int64 sign bit: its weight is the min-long
+    value, added LAST so every partial sum stays in range (the positive
+    weights total 2^63-1).
+
+    Implementation note: Spark runs ONE aggregate pass with a 64-lane count
+    accumulator (zip_with against inline constant arrays) instead of 64
+    separate transform+sum passes; the DuckDB dialect keeps the canonical
+    per-lane formulation. Values are identical by construction (same counts,
+    same sign rule, same bit weights).
     """
-    terms = []
-    for j in range(SIMHASH_BITS):
-        shifted = f"shiftright(h, {j})" if d == SPARK else f"(h >> {j})"
-        signed = transform(
-            hash_arr, "h", f"(case when {shifted} % 2 = 1 then 1 else -1 end)", d
+    nb = SIMHASH_BITS
+    if d == SPARK:
+        arr_a = "array(" + ", ".join(str(a) + "L" for a in SIMHASH_A) + ")"
+        arr_b = "array(" + ", ".join(str(b) + "L" for b in SIMHASH_B) + ")"
+        counts = (
+            f"aggregate({hash_arr}, transform(sequence(0, {nb - 1}), j -> 0L), "
+            f"(acc, h) -> zip_with(acc, sequence(0, {nb - 1}), "
+            f"(a, j) -> a + (case when ((h * element_at({arr_a}, j + 1) "
+            f"+ element_at({arr_b}, j + 1)) % {P}) % 2 = 1 then 1 else -1 end)))"
         )
-        terms.append(f"(case when {arr_sum(signed, d)} > 0 then {1 << j} else 0 end)")
+        bits = (
+            f"zip_with({counts}, sequence(0, {nb - 1}), "
+            f"(c, j) -> case when c > 0 then shiftleft(1L, j) else 0L end)"
+        )
+        return f"aggregate({bits}, 0L, (acc, b) -> acc + b)"
+    terms = []
+    for j in range(nb):
+        signed = transform(
+            hash_arr, "h", f"(case when {_lane_bit('h', j)} = 1 then 1 else -1 end)", d
+        )
+        bitval = str(1 << j) if j < 63 else "(-9223372036854775807 - 1)"
+        terms.append(f"(case when {arr_sum(signed, d)} > 0 then {bitval} else 0 end)")
     return "(" + " + ".join(terms) + ")"
 
 

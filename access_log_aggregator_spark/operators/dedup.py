@@ -138,9 +138,11 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
     if x.SIMHASH_BITS % n_bands:
         raise ValueError(f"SIMHASH_BITS={x.SIMHASH_BITS} not divisible by {n_bands}")
     width = x.SIMHASH_BITS // n_bands
+    # mask (not %) so the top band of a negative int64 simhash stays exact:
+    # arithmetic shiftright + low-bit mask == logical shift for width <= 48
     band_structs = ", ".join(
         f"named_struct('band_no', {b}, "
-        f"'band_val', shiftright(simhash, {b * width}) % {1 << width})"
+        f"'band_val', (shiftright(simhash, {b * width}) & {(1 << width) - 1}))"
         for b in range(n_bands)
     )
     bands = s.select(

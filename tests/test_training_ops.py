@@ -92,6 +92,28 @@ def test_simhash_pairs_blocked_equals_brute(spark, docs):
     _same(blocked.select(sql.columns), sql)
 
 
+def test_simhash_discriminates(spark):
+    """64-bit simhash has real discrimination: a planted near-duplicate pair
+    (one token changed in ~60) lands within hamming 3; unrelated random docs
+    never do (the 16-bit version flagged 28% of ALL pairs at <=3)."""
+    import random
+
+    rng = random.Random(99)
+    vocab = [f"tok{i}" for i in range(5000)]
+    base = [rng.choice(vocab) for _ in range(60)]
+    near = list(base)
+    near[30] = "changed"
+    rows = [(0, " ".join(base)), (1, " ".join(near))] + [
+        (i, " ".join(rng.choice(vocab) for _ in range(60))) for i in range(2, 30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in dedup.simhash_near_pairs(df).collect()}
+    assert (0, 1) in pairs, "planted near-dup not found"
+    others = {p for p in pairs if p != (0, 1)}
+    assert not others, f"random docs flagged as near-dups: {others}"
+
+
 def test_embedding_near_dup_matches_sql(spark, emb):
     api = dedup.embedding_near_dup_pairs(emb)
     sql = QUERIES["dedup_embedding_cosine_pairs"].spark_fn(spark, SF)
