@@ -71,10 +71,15 @@ def arr_size(arr: str, d: str) -> str:
 
 
 def tokens(expr: str, d: str) -> str:
-    """Whitespace tokenization (parity verified)."""
+    """Whitespace tokenization (parity verified).
+
+    The whitespace class is EXPLICIT ([ \\t\\n\\f\\r]) because Java's \\s
+    includes vertical tab \\x0B while RE2's does not — with bare \\s the two
+    engines would tokenize \\x0B-bearing text differently. \\x0B is a token
+    character in both engines under this class (consistently)."""
     if d == SPARK:
-        return f"split(trim({expr}), '\\\\s+')"
-    return f"regexp_split_to_array(trim({expr}), '\\s+')"
+        return f"split(trim({expr}), '[ \\\\t\\\\n\\\\f\\\\r]+')"
+    return f"regexp_split_to_array(trim({expr}), '[ \\t\\n\\f\\r]+')"
 
 
 def char_codes(expr: str, d: str) -> str:
@@ -85,9 +90,13 @@ def char_codes(expr: str, d: str) -> str:
 
 #: GPT-2-style "BPE-ish" pre-tokenizer regex, restricted to the subset where
 #: Java regex (Spark) and RE2 (DuckDB) agree: no lookahead, Unicode \p{L}/
-#: \p{N} classes, ASCII \s. Contraction suffixes | space-prefixed letter runs
+#: \p{N} classes, and an EXPLICIT whitespace class (Java \s includes \x0B,
+#: RE2's does not — bare \s would break cross-engine count parity on
+#: \x0B-bearing text). Contraction suffixes | space-prefixed letter runs
 #: | digit runs | punctuation runs | whitespace runs.
-BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+_WS = r" \t\n\f\r"
+BPE_PATTERN = (r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+"
+               r"| ?[^" + _WS + r"\p{L}\p{N}]+|[" + _WS + r"]+")
 
 
 def bpe_token_count(expr: str, d: str) -> str:
@@ -286,23 +295,40 @@ def cosine_double(vec_a: str, vec_b: str, dim: int, d: str) -> str:
     )
 
 
-def lsh_bucket(vec: str, dim: int, n_planes: int, d: str) -> str:
-    """Sign-random-projection LSH bucket id over deterministic integer
-    hyperplanes (w[j][i] = ((i*(j+3)+11) % 17) - 8). Same per-element double
-    cast + sequential fold as :func:`dot_double`, so Spark and DuckDB assign
+def lsh_plane_consts(j: int) -> tuple[int, int]:
+    """Deterministic hyperplane-j weight generator constants: plane j's
+    weight at coordinate i is ``((i*a_j + b_j) % 101) - 50``. a_j is forced
+    nonzero so no plane degenerates to a constant, and (a_j, b_j) vary per
+    plane so the family supports ~100 decorrelated planes (the old
+    ``(i*(j+3)+11) % 17`` family silently repeated with period 17 in j and
+    had a constant plane at j=14)."""
+    a = (j * 47 + 13) % 101
+    return (a if a else 1, (j * 29 + 11) % 101)
+
+
+def lsh_plane_dot(vec: str, dim: int, j: int, d: str) -> str:
+    """<vec, plane_j> with the bit-identical per-element double cast +
+    sequential index-order fold of :func:`dot_double`."""
+    a, b = lsh_plane_consts(j)
+    w = f"(((i * {a} + {b}) % 101) - 50)"
+    if d == SPARK:
+        prods = (f"transform(sequence(1, {dim}), i -> "
+                 f"element_at(cast({vec} as array<double>), i) * {w})")
+        return f"aggregate({prods}, 0D, (acc, v) -> acc + v)"
+    prods = f"list_transform(generate_series(1, {dim}), i -> {vec}[i]::DOUBLE * {w})"
+    return f"list_reduce({prods}, (acc, v) -> acc + v)"
+
+
+def lsh_bucket(vec: str, dim: int, n_planes: int, d: str,
+               plane_offset: int = 0) -> str:
+    """Sign-random-projection LSH bucket id over ``n_planes`` deterministic
+    hyperplanes starting at global plane index ``plane_offset`` (bands of a
+    multi-band scheme use disjoint plane ranges). Spark and DuckDB assign
     identical buckets bit-for-bit."""
     terms = []
-    for j in range(n_planes):
-        if d == SPARK:
-            prods = (f"transform(sequence(1, {dim}), i -> "
-                     f"element_at(cast({vec} as array<double>), i) * "
-                     f"(((i * {j + 3} + 11) % 17) - 8))")
-            dot = f"aggregate({prods}, 0D, (acc, v) -> acc + v)"
-        else:
-            prods = (f"list_transform(generate_series(1, {dim}), i -> "
-                     f"{vec}[i]::DOUBLE * (((i * {j + 3} + 11) % 17) - 8))")
-            dot = f"list_reduce({prods}, (acc, v) -> acc + v)"
-        terms.append(f"(case when {dot} > 0 then {1 << j} else 0 end)")
+    for k in range(n_planes):
+        dot = lsh_plane_dot(vec, dim, plane_offset + k, d)
+        terms.append(f"(case when {dot} > 0 then {1 << k} else 0 end)")
     return "(" + " + ".join(terms) + ")"
 
 

@@ -73,9 +73,12 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
     The band rows are tiny (id, band_no, band_val) but their plan subtree —
     the full signature computation — would otherwise be re-evaluated once
     per band projection per self-join side (Catalyst inlines the shared
-    subquery: 4 x 2 recomputations). ``persist()`` makes the banding a
-    materialization point, which is also the 100 TB shape: write the
-    signature table once, band-join the narrow table.
+    subquery: 4 x 2 recomputations). ``localCheckpoint`` makes the banding
+    a materialization point WITHOUT the CacheManager leak of ``persist()``
+    (checkpoint RDD storage is freed by the ContextCleaner once the frame
+    is garbage collected; cached plans accumulate until unpersist). The
+    100 TB shape is the same idea made durable: write the signature table
+    once, band-join the narrow table.
     """
     sig = with_minhash(df.select(id_col, text_col), text_col)
     # one pass over sig: explode the 4 band values instead of 4 projections
@@ -86,7 +89,7 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
     )
     bands = sig.select(
         F.col(id_col), F.expr(f"inline(array({band_structs}))")
-    ).persist()
+    ).localCheckpoint(eager=False)
     a, b_ = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -119,7 +122,7 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
     equi-join finds every qualifying pair, and the exact hamming filter
     removes band-collision false positives. The self-join shuffles only
     (band, id, simhash) rows instead of planning an O(n^2) nested loop;
-    the band frame is persisted so the signature subtree runs once.
+    the band frame is localCheckpoint-ed so the signature subtree runs once.
     ``blocked=False`` keeps the brute-force nested-loop formulation (the
     equivalence of the two is a test).
     """
@@ -147,7 +150,7 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
     )
     bands = s.select(
         F.col(id_col), F.col("simhash"), F.expr(f"inline(array({band_structs}))")
-    ).persist()
+    ).localCheckpoint(eager=False)
     a, b = bands.alias("a"), bands.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
@@ -162,32 +165,56 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+#: default multi-band OR construction: 12 bands x 8 planes. At cosine 0.9
+#: (the near-DUP regime the blocker exists for) per-plane collision
+#: probability is 1 - acos(0.9)/pi ~ 0.856, so band recall is 0.856^8 ~ 0.29
+#: and 12-band recall 1-(1-0.29)^12 ~ 0.98 — while random pairs (cos ~ 0)
+#: collide in a band with probability 0.5^8 ~ 0.004, i.e. ~5% of all pairs
+#: become candidates. Measured-recall test: test_embedding_lsh_recall.
+EMB_LSH_BANDS = 12
+EMB_LSH_PLANES_PER_BAND = 8
+
+
 def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
                              vec_col: str = "embedding", dim: int = 64,
                              threshold: float = 0.35,
-                             n_planes: int = 4) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs, LSH-bucket blocked.
+                             n_bands: int = EMB_LSH_BANDS,
+                             planes_per_band: int = EMB_LSH_PLANES_PER_BAND) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, multi-band sign-LSH blocked.
 
-    Sign-random-projection buckets (xsql.lsh_bucket) are the blocking key:
-    the self-join is an equi-join on bucket, so only (bucket, id, vec) rows
-    shuffle — never the full O(n^2) cross product. Cosine uses the
-    bit-identical double-fold recipe, so the DuckDB oracle (same bucket
-    constraint + same formula) matches exactly. At 100 TB, raise n_planes
-    (buckets ~ 2^planes) to keep per-bucket candidate counts bounded and let
-    AQE split skewed buckets.
+    Each band hashes the vector with its own disjoint set of
+    ``planes_per_band`` hyperplanes (xsql.lsh_bucket with a plane offset);
+    a pair is a candidate iff it agrees on AT LEAST ONE band — the OR
+    construction whose recall is tunable via (n_bands, planes_per_band),
+    unlike a single-bucket scheme that silently loses recall. The self-join
+    is an equi-join on (band_no, band_val): only narrow band rows shuffle,
+    never the O(n^2) cross product, and AQE splits skewed buckets. Cosine
+    uses the bit-identical double-fold recipe, so the DuckDB oracle (same
+    bands, same formula) matches exactly. At 100 TB: write the band table
+    once (here localCheckpoint pins it so Catalyst doesn't recompute the
+    96-plane projection per join side), and raise planes_per_band to keep
+    per-bucket candidate counts bounded.
     """
-    b = df.select(id_col, vec_col).withColumn(
-        "_bucket", _e(x.lsh_bucket(vec_col, dim, n_planes, x.SPARK))
+    band_structs = ", ".join(
+        "named_struct('band_no', {b}, 'band_val', {bucket})".format(
+            b=b, bucket=x.lsh_bucket(vec_col, dim, planes_per_band, x.SPARK,
+                                     plane_offset=b * planes_per_band))
+        for b in range(n_bands)
     )
-    a, c = b.alias("a"), b.alias("b")
+    bands = df.select(
+        F.col(id_col), F.col(vec_col), F.expr(f"inline(array({band_structs}))")
+    ).localCheckpoint(eager=False)
+    a, c = bands.alias("a"), bands.alias("b")
     cos = _e(x.cosine_double(f"a.{vec_col}", f"b.{vec_col}", dim, x.SPARK))
     return (
-        a.join(c, (F.col("a._bucket") == F.col("b._bucket"))
+        a.join(c, (F.col("a.band_no") == F.col("b.band_no"))
+               & (F.col("a.band_val") == F.col("b.band_val"))
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .select(F.col(f"a.{id_col}").alias("vec_a"),
                 F.col(f"b.{id_col}").alias("vec_b"),
                 cos.alias("cosine"))
         .where(F.col("cosine") >= threshold)
+        .distinct()
     )
 
 

@@ -41,10 +41,12 @@ def topk_cosine(df: DataFrame, query_df: DataFrame, k: int = 10, dim: int = 64,
     return out.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
 
 
-def with_lsh_bucket(df: DataFrame, dim: int = 64, n_planes: int = 4,
+def with_lsh_bucket(df: DataFrame, dim: int = 64, n_planes: int = 12,
                     vec_col: str = "embedding") -> DataFrame:
-    """Sign-LSH bucket id from deterministic integer hyperplanes
-    (w[j][i] = ((i*(j+3)+11) % 17) - 8) — same formula as the oracle SQL."""
+    """Sign-LSH bucket id from deterministic hyperplanes
+    (xsql.lsh_plane_consts family) — same formula as the oracle SQL. The
+    12-plane default gives 4096 buckets, a partition of the space that does
+    not degenerate into O(n^2/16) self-joins at corpus scale."""
     return df.withColumn(
         "lsh_bucket", _e(x.lsh_bucket(vec_col, dim, n_planes, x.SPARK))
     )
@@ -52,28 +54,53 @@ def with_lsh_bucket(df: DataFrame, dim: int = 64, n_planes: int = 4,
 
 def ivf_assign(df: DataFrame, n_cells: int = 8, dim: int = 64,
                vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
-    """IVF coarse quantization: assign every vector to its nearest centroid.
+    """IVF coarse quantization: assign every vector to its nearest centroid
+    with ZERO exchanges — a pure map-side argmax.
 
     Centroids are the embeddings of the ``n_cells`` lowest-id vectors — a
     deterministic, data-dependent coarse codebook (a k-means codebook drops
-    in unchanged; assignment logic is what matters here). Assignment is a
-    broadcast of the tiny centroid table + argmax over n_cells cosines per
-    row: embarrassingly parallel, no shuffle of the big side. Ties break to
-    the lowest cell id (same rule in the DuckDB oracle).
+    in unchanged; assignment logic is what matters here). The codebook is
+    collected to the driver (bounded: n_cells rows, exactly like a trained
+    k-means model artifact) and inlined as a literal struct array, so each
+    row computes its n_cells cosines and takes the argmax inside one
+    whole-stage-codegen projection — no crossJoin row duplication, no
+    window shuffle, nothing exchanged (tested: count("Exchange") == 0).
+    Ties break to the lowest cell id via a sequential strict-> fold over
+    cells in ascending order (same rule as the DuckDB oracle's
+    row_number over cosine desc, cell asc).
     """
-    cents = df.where(F.col(id_col) < n_cells).select(
-        F.col(id_col).alias("cell"), F.col(vec_col).alias("_cvec")
+    cents = (
+        df.where(F.col(id_col) < n_cells)
+        .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cv"))
+        .orderBy("cell")
+        .collect()
     )
-    cos = x.cosine_double(vec_col, "_cvec", dim, x.SPARK)
-    scored = df.crossJoin(F.broadcast(cents)).withColumn("_cos_c", _e(cos))
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy(id_col).orderBy(F.col("_cos_c").desc(), F.col("cell").asc())
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn", "_cvec", "_cos_c")
+    cent_structs = ", ".join(
+        "named_struct('cell', {c}L, 'cv', array({vs}))".format(
+            c=int(r["cell"]),
+            vs=", ".join(repr(float(v)) + "D" for v in r["cv"]),
+        )
+        for r in cents
     )
+    # cosine per centroid with the exact dot_double recipe: per-element
+    # double cast + sequential index-order fold (bit-identical to DuckDB)
+    dot = ("aggregate(zip_with(cast({v} as array<double>), c.cv, "
+           "(x, y) -> x * y), 0D, (acc, p) -> acc + p)").format(v=vec_col)
+    nrm_v = ("sqrt(aggregate(zip_with(cast({v} as array<double>), "
+             "cast({v} as array<double>), (x, y) -> x * y), 0D, "
+             "(acc, p) -> acc + p))").format(v=vec_col)
+    nrm_c = ("sqrt(aggregate(zip_with(c.cv, c.cv, (x, y) -> x * y), 0D, "
+             "(acc, p) -> acc + p))")
+    scored = (
+        f"transform(array({cent_structs}), c -> named_struct("
+        f"'cos', ({dot} / ({nrm_v} * {nrm_c})), 'cell', c.cell))"
+    )
+    best = (
+        f"aggregate({scored}, "
+        f"named_struct('cos', cast(-2.0 as double), 'cell', cast(-1 as bigint)), "
+        f"(acc, s) -> if(s.cos > acc.cos, s, acc))"
+    )
+    return df.withColumn("cell", _e(best + ".cell"))
 
 
 def ivf_topk_cosine(df: DataFrame, query_df: DataFrame, k: int = 10,

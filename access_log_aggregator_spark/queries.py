@@ -583,8 +583,9 @@ limit 10
 
 
 def _ann_lsh_buckets_build(d: str) -> str:
-    """Sign-LSH bucketing over 4 deterministic integer hyperplanes."""
-    bucket = x.lsh_bucket("embedding", 64, 4, d)
+    """Sign-LSH bucketing over 12 deterministic hyperplanes (4096 buckets —
+    a default that still partitions the space at corpus scale)."""
+    bucket = x.lsh_bucket("embedding", 64, 12, d)
     return f"""
 select {bucket} as bucket, count(*) as n_vecs
 from embeddings
@@ -593,18 +594,38 @@ group by 1 order by 1
 
 
 def _embedding_near_dup_build(d: str) -> str:
-    """Embedding-cosine near-dup pairs, LSH-bucket blocked (equi-join on
-    bucket, never the O(n^2) cross product — operators/dedup.py twin)."""
-    bucket = x.lsh_bucket("embedding", 64, 4, d)
-    cos = x.cosine_double("a.embedding", "b.embedding", 64, d)
+    """Embedding-cosine near-dup pairs, multi-band sign-LSH blocked (12
+    bands x 8 disjoint planes; candidates agree on >= 1 band — the tunable
+    OR construction of operators/dedup.py:embedding_near_dup_pairs, whose
+    measured recall at near-dup similarity is pinned by
+    test_embedding_lsh_recall). Equi-join on (band, value), never the
+    O(n^2) cross product."""
+    from .operators.dedup import EMB_LSH_BANDS, EMB_LSH_PLANES_PER_BAND
+
+    nb, ppb = EMB_LSH_BANDS, EMB_LSH_PLANES_PER_BAND
+    band_cols = ", ".join(
+        f"{x.lsh_bucket('embedding', 64, ppb, d, plane_offset=b * ppb)} as band{b}"
+        for b in range(nb)
+    )
+    band_union = " union all ".join(
+        f"select vec_id, {b} as band_no, band{b} as band_val from bk"
+        for b in range(nb)
+    )
+    cos = x.cosine_double("va.embedding", "vb.embedding", 64, d)
     return f"""
-with bk as (select vec_id, embedding, {bucket} as bucket from embeddings),
-p as (
-  select a.vec_id as vec_a, b.vec_id as vec_b, {cos} as cosine
-  from bk a join bk b on a.bucket = b.bucket and a.vec_id < b.vec_id
+with bk as (select vec_id, embedding, {band_cols} from embeddings),
+br as ({band_union}),
+pairs as (
+  select distinct a.vec_id as vec_a, b.vec_id as vec_b
+  from br a join br b
+    on a.band_no = b.band_no and a.band_val = b.band_val
+   and a.vec_id < b.vec_id
 )
-select vec_a, vec_b, cosine from p
-where cosine >= 0.35
+select vec_a, vec_b, {cos} as cosine
+from pairs
+join embeddings va on va.vec_id = vec_a
+join embeddings vb on vb.vec_id = vec_b
+where {cos} >= 0.35
 order by vec_a, vec_b
 """
 
