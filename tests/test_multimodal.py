@@ -61,6 +61,57 @@ def test_resize_match_local_stub(media):
             assert len(got["resized"]) == 64
 
 
+def test_registry_query_goldens(spark):
+    """Driver-side GOLDEN value check for the three rows-only registry
+    queries (DuckDB cannot process BLOBs, so this is their hard correctness
+    signal): every output row — dims, norms, byte lengths, md5 digests —
+    equals a pure-Python recomputation from the same documents parquet.
+    Exact equality, all rows."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from access_log_aggregator_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    docs = {
+        r["doc_id"]: r["text"].encode("utf-8")
+        for r in pq.read_table(f"{sf}/documents.parquet").to_pylist()
+    }
+    assert docs
+
+    got = {r["doc_id"]: r for r in
+           QUERIES["multimodal_stub_features"].spark_fn(spark, sf).collect()}
+    assert set(got) == set(docs)
+    for did, b in docs.items():
+        w, h, fn = _decode_stub(b)
+        r = got[did]
+        assert (r["payload_bytes"], r["width"], r["height"], r["feature_norm"]) \
+            == (len(b), w, h, fn), did
+
+    got = {r["doc_id"]: r for r in
+           QUERIES["multimodal_resize"].spark_fn(spark, sf).collect()}
+    assert set(got) == set(docs)
+    for did, b in docs.items():
+        out = _resize_stub(b, 8, 8)
+        r = got[did]
+        assert (r["out_width"], r["out_height"]) == (8, 8)
+        assert (r["resized_bytes"], r["resized_md5"]) \
+            == (len(out), hashlib.md5(out).hexdigest()), did
+
+    frames = QUERIES["multimodal_frame_sample"].spark_fn(spark, sf).collect()
+    want = {}
+    for did, b in docs.items():
+        for k, f in enumerate(range(0, len(b) // 256, 4)):
+            chunk = b[f * 256:(f + 1) * 256]
+            want[(did, k)] = (f * 256, len(chunk), hashlib.md5(chunk).hexdigest())
+    got_frames = {
+        (r["doc_id"], r["frame_no"]): (r["frame_offset"], r["frame_bytes"], r["frame_md5"])
+        for r in frames
+    }
+    assert got_frames == want
+
+
 def test_frame_sample_explodes_rows(media):
     out = frame_sample_stub(media, every_n=4, frame_bytes=256)
     rows = out.collect()
