@@ -89,7 +89,6 @@ def main(argv: list[str] | None = None) -> int:
                         salt_buckets=args.salt_buckets,
                         write_partitions=args.write_partitions)
         if args.stream:
-            from .operators.route import sink_counts
             from .streaming.stream import run_streaming, start_live_stream
 
             ckpt_dir = Path(args.checkpoint).with_suffix(".stream_ckpt")
@@ -121,21 +120,21 @@ def main(argv: list[str] | None = None) -> int:
                 processed = run_streaming(
                     spark, pages_table, pipe, ckpt_dir, available_now=True
                 )
-            routed = pipe.routed()
-            totals = sink_counts(routed) if routed is not None else {
-                "parsed": 0, "unparsed": 0, "bot": 0, "error": 0}
-            n_batches, rows_in = len(processed), sum(totals.values())
+            # per-run counts from each batch's own observe() metrics — same
+            # contract as batch mode (a second idle --stream run reports 0,
+            # not the routed table's all-time totals)
+            results = processed
         else:
             cp = Checkpoint(args.checkpoint)
             results = run_incremental(spark, pages_table, pipe, cp,
                                       from_start=args.from_start)
-            totals = {"parsed": 0, "unparsed": 0, "bot": 0, "error": 0}
-            rows_in = 0
-            for r in results:
-                rows_in += r.rows_in
-                for k, v in r.sink_counts.items():
-                    totals[k] += v
-            n_batches = len(results)
+        totals = {"parsed": 0, "unparsed": 0, "bot": 0, "error": 0}
+        rows_in = 0
+        for r in results:
+            rows_in += r.rows_in
+            for k, v in r.sink_counts.items():
+                totals[k] += v
+        n_batches = len(results)
         agg_rows = pipe.write_aggregates() if rows_in else {}
         print(json.dumps({"batches": n_batches, "rows_in": rows_in,
                           "sink_counts": totals,

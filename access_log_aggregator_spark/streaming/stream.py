@@ -55,17 +55,16 @@ def run_streaming(
 ) -> list[str]:
     """Stream the pages table through the batch pipeline via foreachBatch.
 
-    Returns the batch ids processed in this invocation. With
-    ``available_now`` the call drains all unseen files and stops (the
-    graceful-shutdown drain); with ``processing_time`` it runs until
-    interrupted (the live ticker).
+    Returns the :class:`~..plans.pipeline.BatchResult` per batch processed
+    IN THIS INVOCATION (so callers report per-run counts, not the routed
+    table's all-time totals). With ``available_now`` the call drains all
+    unseen files and stops (the graceful-shutdown drain); with
+    ``processing_time`` it runs until interrupted (the live ticker).
     """
-    processed: list[str] = []
+    processed: list = []
 
     def handle(batch_df, batch_id: int) -> None:
-        bid = f"stream-{batch_id}"
-        pipeline.process_batch(batch_df, batch_id=bid)
-        processed.append(bid)
+        processed.append(pipeline.process_batch(batch_df, batch_id=f"stream-{batch_id}"))
 
     stream = (
         spark.readStream.schema(PAGES_SCHEMA)
@@ -87,6 +86,60 @@ def run_streaming(
     return processed
 
 
+def run_windowed_stream(
+    spark: SparkSession,
+    pages_table: SnapshotTable,
+    lookup,
+    checkpoint_dir: str | Path,
+    query_name: str = "windowed_hits",
+    watermark: str = "2 hours",
+    duration: str = "1 hour",
+    max_files_per_trigger: int = 1,
+):
+    """Event-time tumbling-window aggregate with a WATERMARK — the
+    late-data-bounded streaming twin of ``aggregate_by_window``.
+
+    The batch aggregate counts late records regardless of age (the
+    reference's semantics); a real always-on stream cannot hold state
+    forever, so this variant bounds lateness: records later than
+    ``watermark`` behind the max seen event time are dropped and each
+    window's state is evicted once the watermark passes its end
+    (``append`` output — a window emits exactly once, when it is final).
+    The whole parse -> enrich -> route plan runs unchanged inside the
+    stream; only the aggregate differs.
+
+    Returns the in-memory result table name; rows appear as windows close.
+    ``max_files_per_trigger=1`` processes one snapshot file per micro-batch
+    so watermark advancement across out-of-order batches is exercised.
+    """
+    from pyspark.sql import functions as F
+
+    from ..plans.pipeline import build_routed
+
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(str(pages_table.root / "data"))
+    )
+    routed = build_routed(stream, lookup)
+    valid = routed.filter(F.col("match_class").isin("parsed", "bot"))
+    agg = (
+        valid.withWatermark("log_ts", watermark)
+        .groupBy(F.window("log_ts", duration).alias("w"), F.col("host"))
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .select(F.col("w.start").alias("window_start"), "host", "hits")
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory").queryName(query_name)
+        .option("checkpointLocation", str(checkpoint_dir))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return query_name
+
+
 def start_live_stream(
     spark: SparkSession,
     pages_table: SnapshotTable,
@@ -99,16 +152,15 @@ def start_live_stream(
     ``processing_time`` and keeps running until the caller stops it.
 
     Returns ``(StreamingQuery, processed)`` where ``processed`` is a live
-    list of batch ids, appended as batches commit. ``query.stop()`` waits
-    for the in-flight batch to finish — the graceful-shutdown drain
-    (aggregate.go:28-41): everything enqueued is counted before exit.
+    list of per-batch :class:`~..plans.pipeline.BatchResult`, appended as
+    batches commit. ``query.stop()`` waits for the in-flight batch to
+    finish — the graceful-shutdown drain (aggregate.go:28-41): everything
+    enqueued is counted before exit.
     """
-    processed: list[str] = []
+    processed: list = []
 
     def handle(batch_df, batch_id: int) -> None:
-        bid = f"stream-{batch_id}"
-        pipeline.process_batch(batch_df, batch_id=bid)
-        processed.append(bid)
+        processed.append(pipeline.process_batch(batch_df, batch_id=f"stream-{batch_id}"))
 
     q = (
         spark.readStream.schema(PAGES_SCHEMA)

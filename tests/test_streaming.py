@@ -51,6 +51,79 @@ def test_stream_restart_is_noop(stream_run, spark, lookup_sdf, corpus):
     assert pipe.routed().count() == before
 
 
+def test_stream_reports_per_run_counts(stream_run, spark, corpus):
+    """run_streaming returns per-batch BatchResults for THIS run, so CLI
+    totals are per-invocation (same contract as batch mode) — a second
+    idle run reports zero, not the routed table's all-time totals."""
+    pipe, pages_table, root, processed = stream_run
+    assert sum(r.rows_in for r in processed) == len(corpus.pages)
+    total = {}
+    for r in processed:
+        for k, v in r.sink_counts.items():
+            total[k] = total.get(k, 0) + v
+    assert {k: v for k, v in total.items() if v} == {
+        k: v for k, v in corpus.golden_counts.items() if v}
+    again = run_streaming(spark, pages_table, pipe, root / "stream_ckpt")
+    assert sum(r.rows_in for r in again) == 0
+
+
+def test_watermarked_window_agg_handles_late_data(spark, lookup_sdf, tmp_path_factory):
+    """Event-time windowed aggregate under a watermark: out-of-order
+    batches (hour-9 events arriving AFTER hour-11 events) still produce
+    exactly the batch answer for every window the watermark has closed —
+    append-mode emits each window once, when it is final."""
+    import time as _time
+
+    from datetime import datetime, timezone
+
+    import pandas as pd
+
+    from access_log_aggregator_spark.streaming.stream import run_windowed_stream
+
+    def page(i, host, hh, mm=0):
+        t = f"2025-03-01T{hh:02d}:{mm:02d}:00Z"
+        line = ('{"time":"%s","host":"%s","status_code":200,"duration":0.5}'
+                % (t, host))
+        return {
+            "url": f"https://{host}/p/{i}",
+            "warc_ts": datetime(2025, 3, 1, hh, tzinfo=timezone.utc).replace(tzinfo=None),
+            "html": b"<html>ok</html>",
+            "text": f"words words\n{line}\nmore words",
+            "lang": "en",
+        }
+
+    root = tmp_path_factory.mktemp("wm")
+    table = SnapshotTable.create(root / "pages", "pages")
+    batches = [
+        # batch 1: hours 10 and 11
+        [page(0, "chatgpt.com", 10), page(1, "chatgpt.com", 10, 30),
+         page(2, "bard.com", 11)],
+        # batch 2: hour 9 — OUT OF ORDER, within the 2h watermark
+        [page(3, "chatgpt.com", 9), page(4, "bard.com", 9, 15)],
+        # batches 3+4: sentinel far-future events advance the watermark past
+        # every real window, then give the engine a batch in which to emit
+        [page(5, "grok.com", 20)],
+        [page(6, "grok.com", 20, 30)],
+    ]
+    for k, rows in enumerate(batches):
+        pdf = pd.DataFrame(rows)
+        pdf["warc_ts"] = pdf["warc_ts"].astype("datetime64[us]")
+        table.append_pandas(pdf, marker=f"wm-{k}")
+        _time.sleep(0.1)  # distinct file mtimes -> deterministic batch order
+
+    name = run_windowed_stream(spark, table, lookup_sdf, root / "ckpt",
+                               query_name="wm_hits", watermark="2 hours")
+    got = {
+        (r["window_start"].hour, r["host"]): r["hits"]
+        for r in spark.table(name).collect()
+        if r["host"] != "grok.com"  # sentinel windows are still open
+    }
+    assert got == {
+        (9, "chatgpt.com"): 1, (9, "bard.com"): 1,
+        (10, "chatgpt.com"): 2, (11, "bard.com"): 1,
+    }
+
+
 def test_live_trigger_processes_and_drains(spark, corpus, lookup_sdf, tmp_path_factory):
     """processingTime mode (the -interval ticker): batches fire on the
     trigger, new snapshots are picked up while running, and stop() drains
