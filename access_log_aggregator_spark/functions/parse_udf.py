@@ -86,48 +86,81 @@ def extract_payload_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
 
 #: Output schema of the wide-grammar fallback parse (Go zero values for
 #: missing/null fields; json_ok=False exactly where json.Unmarshal errors).
-_FALLBACK_SCHEMA = StructType([
+_FALLBACK_FIELDS = [
     StructField("time_str", StringType()),
     StructField("host", StringType()),
     StructField("status_code", LongType()),
     StructField("duration", DoubleType()),
     StructField("json_ok", BooleanType()),
-])
+]
+
+#: Combined extract + fallback output: the extracted line plus the fallback
+#: fields (null unless the line misses the fast-path regex).
+_EXTRACT_PARSE_SCHEMA = StructType(
+    [StructField("line", StringType())] + _FALLBACK_FIELDS
+)
+
+#: RE2 full-match form of the fast-path field pattern (anchors included in
+#: the pattern itself) for the vectorized "does the fast path cover this
+#: row" check — rows it matches never pay per-row Python.
+_FIELD_RE2 = X.FIELD_PATTERN
 
 
-@pandas_udf(_FALLBACK_SCHEMA)
-def go_fallback_udf(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
-    """Wide-grammar record parse: exact Go ``json.Unmarshal`` semantics via
-    the shared :func:`...extract.go_unmarshal_fields` primitive.
+def _fallback_rows(lines) -> list[tuple]:
+    out = []
+    for line in lines:
+        if line is None or (isinstance(line, float) and pd.isna(line)):
+            out.append((None, None, None, None, None))
+            continue
+        f = X.go_unmarshal_fields(line)
+        if f is None:
+            out.append((None, None, None, None, False))
+        else:
+            out.append((*f, True))
+    return out
 
-    The caller feeds NULL for every row the fast-path regex already handled
-    (operators/parse.py gates the input column on ``~field_matched``), so the
-    per-row Python here runs only on the rare remainder — reordered keys,
-    interstitial whitespace, escaped strings, malformed JSON — while the
-    Arrow batch transfer of a mostly-null column stays cheap. This preserves
-    the "no per-row Python on the hot path" posture: the hot path is the
-    regex; this is the exactness escape hatch json.Unmarshal requires
-    (trailing-content and duplicate-key rules are not regex-expressible).
+
+@pandas_udf(_EXTRACT_PARSE_SCHEMA)
+def extract_parse_udf(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+    """ONE Arrow stage for the whole Python side of the parse: payload
+    extraction (vectorized RE2) + the wide-grammar json fallback for the
+    rare rows the fast-path regex does not cover.
+
+    The fast-path check itself is vectorized (RE2 full match over the
+    extracted lines), so per-row Python — exact Go ``json.Unmarshal``
+    semantics via the shared ``go_unmarshal_fields`` primitive — runs ONLY
+    on the remainder: reordered keys, whitespace, escapes, malformed JSON.
+    Folding the fallback into the extraction UDF keeps the plan at a single
+    ArrowEvalPython node (a separate fallback UDF would add a second
+    full-column Arrow round trip to the hot path).
     """
-    unmarshal = X.go_unmarshal_fields  # bound once per worker process
+    import pyarrow as pa
+
+    impl = _EXTRACT_IMPL  # bound once per worker process
     cols = ["time_str", "host", "status_code", "duration", "json_ok"]
+    try:
+        import pyarrow.compute as pc
+
+        def fast_mask(lines: pd.Series) -> pd.Series:
+            arr = pa.Array.from_pandas(lines, type=pa.string())
+            m = pc.fill_null(pc.match_substring_regex(arr, _FIELD_RE2), False)
+            return m.to_pandas()
+    except Exception:  # pragma: no cover - pyarrow.compute always present
+        import re
+
+        _fre = re.compile(X.FIELD_PATTERN)
+
+        def fast_mask(lines: pd.Series) -> pd.Series:
+            return lines.map(lambda s: isinstance(s, str) and bool(_fre.match(s)))
+
     for s in batches:
-        out = []
-        for line in s:
-            if line is None or (isinstance(line, float) and pd.isna(line)):
-                out.append((None, None, None, None, None))
-                continue
-            f = unmarshal(line)
-            if f is None:
-                out.append((None, None, None, None, False))
-            else:
-                out.append((*f, True))
-        # object dtype everywhere: pandas would otherwise infer float64 for
-        # a None+int status column and silently mangle int64-edge values
-        yield pd.DataFrame(
-            {c: pd.Series([r[i] for r in out], dtype="object")
-             for i, c in enumerate(cols)}
-        )
+        lines = impl(s)
+        need_fb = lines.notna() & ~fast_mask(lines)
+        fb = _fallback_rows(lines.where(need_fb, None))
+        out = {"line": pd.Series(lines, dtype="object")}
+        for i, c in enumerate(cols):
+            out[c] = pd.Series([r[i] for r in fb], dtype="object")
+        yield pd.DataFrame(out)
 
 
 def extract_payload_expr(text: Column) -> Column:

@@ -15,10 +15,11 @@ extracted payload column:
   strings, duplicate keys (last wins), trailing-content rejection
   (model_test.go:30), strict field typing. Two interchangeable
   implementations:
-  * Arrow path (default): :func:`...functions.parse_udf.go_fallback_udf`,
-    exact Go semantics via the shared ``go_unmarshal_fields`` primitive.
-    The UDF input is gated NULL for fast-path rows, so per-row Python
-    touches only the rare remainder.
+  * Arrow path (default): :func:`...functions.parse_udf.extract_parse_udf`
+    — extraction AND fallback in ONE ArrowEvalPython node, exact Go
+    semantics via the shared ``go_unmarshal_fields`` primitive. The
+    fast-path check is vectorized RE2, so per-row Python touches only the
+    rare remainder.
   * JVM path: ``try_parse_json`` (variant) + ``schema_of_variant`` field
     typing + a string-stripped balanced-brace guard for trailing content.
     Documented divergences from Go (none reachable from the corpus
@@ -42,11 +43,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import extract as X
-from ..functions.parse_udf import (
-    extract_payload_expr,
-    extract_payload_udf,
-    go_fallback_udf,
-)
+from ..functions.parse_udf import extract_parse_udf, extract_payload_expr
 
 _TS_BASE_RE = r"^(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2})"
 _TS_FRAC_RE = r"^[^.]*\.(\d{1,9})"
@@ -135,9 +132,13 @@ def parse_stage(pages: DataFrame, use_arrow_udf: bool = True) -> DataFrame:
     log_time_str, host, status_code, duration, log_ts, record_valid,
     parse_reason (null when record_valid), source_partition (lineage).
     """
-    extractor = extract_payload_udf if use_arrow_udf else extract_payload_expr
     df = pages.withColumn("html_valid", F.is_valid_utf8(F.col("html")))
-    df = df.withColumn("extracted_text", extractor(F.col("text")))
+    if use_arrow_udf:
+        # ONE ArrowEvalPython node: extraction + rare-row json fallback
+        df = df.withColumn("_ex", extract_parse_udf(F.col("text")))
+        df = df.withColumn("extracted_text", F.col("_ex.line"))
+    else:
+        df = df.withColumn("extracted_text", extract_payload_expr(F.col("text")))
 
     et = F.col("extracted_text")
     # Gate on one anchored rlike, then pack all four capture groups in a
@@ -157,13 +158,19 @@ def parse_stage(pages: DataFrame, use_arrow_udf: bool = True) -> DataFrame:
     for i, name in enumerate(["_time_fast", "_host_fast", "_status_fast", "_dur_fast"]):
         df = df.withColumn(name, F.split(F.col("_packed"), "\x01").getItem(i))
 
-    # wide-grammar fallback — input gated NULL for rows the fast path took
-    df = df.withColumn(
-        "_fbline", F.when(~F.col("field_matched") & et.isNotNull(), et)
-    )
+    # wide-grammar fallback fields (already computed inside the Arrow UDF
+    # for the default path; derived via variant parsing on the JVM path,
+    # with the input gated NULL for rows the fast path took)
     if use_arrow_udf:
-        df = df.withColumn("_fb", go_fallback_udf(F.col("_fbline")))
+        df = df.withColumn(
+            "_fb",
+            F.struct(*[F.col(f"_ex.{c}").alias(c) for c in
+                       ("time_str", "host", "status_code", "duration", "json_ok")]),
+        ).drop("_ex")
     else:
+        df = df.withColumn(
+            "_fbline", F.when(~F.col("field_matched") & et.isNotNull(), et)
+        )
         df = _jvm_fallback(df)
     fb_ok = F.coalesce(F.col("_fb.json_ok"), F.lit(False))
 
