@@ -37,6 +37,12 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
     overlap = set(payload_cols) & set(left.columns)
     if overlap:
         raise ValueError(f"right payload columns collide with left: {overlap}")
+    internal = {"_asof_ts", "_side", "_payload", "_match"}
+    taken = internal & (set(left.columns) | set(right.columns))
+    if taken:
+        raise ValueError(
+            f"columns {taken} collide with asof_join internals — rename them"
+        )
 
     r = right.select(
         *on,

@@ -52,3 +52,15 @@ def test_asof_rejects_column_collision(frames):
     with pytest.raises(ValueError, match="collide"):
         asof_join(left, right.withColumnRenamed("r_val", "event_id"),
                   on=["k"], left_ts="ts", right_ts="r_ts")
+
+
+def test_asof_rejects_internal_name_collision(frames):
+    """A left frame already carrying _side/_asof_ts/... would silently
+    produce duplicate columns in the union; reject instead."""
+    left, right = frames
+    with pytest.raises(ValueError, match="internals"):
+        asof_join(left.withColumn("_side", left.event_id), right,
+                  on=["k"], left_ts="ts", right_ts="r_ts")
+    with pytest.raises(ValueError, match="internals"):
+        asof_join(left, right.withColumnRenamed("r_val", "_payload"),
+                  on=["k"], left_ts="ts", right_ts="r_ts")
