@@ -42,6 +42,33 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fingerprint", _e(x.polyhash(text_col, x.SPARK)))
 
 
+def tfidf_top_terms(df: DataFrame, k: int = 20, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Global top-k (doc, token) pairs by a deterministic tf-idf variant.
+
+    score = tf * N / df — the idf uses the raw N/df ratio rather than a
+    logarithm because log() is not guaranteed bit-identical across engines,
+    while int-product-then-one-division is a single correctly-rounded double
+    op (exact cross-engine match with the DuckDB oracle). The shape is the
+    real thing: explode -> two hash aggregates (tf per (doc, token), df per
+    token) -> broadcastable df join -> global top-k. At corpus scale the df
+    table is the small side (vocabulary-sized): broadcast join, no shuffle
+    of the tf table beyond its own aggregation.
+    """
+    toks = _e(x.tokens(text_col, x.SPARK))
+    tok = df.select(id_col, F.explode(toks).alias("token"))
+    tf = tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.groupBy("token").agg(F.countDistinct(id_col).alias("df"))
+    n_docs = df.count()  # driver-side scalar, like any dataset statistic
+    score = F.col("tf").cast("double") * F.lit(n_docs) / F.col("df")
+    return (
+        tf.join(F.broadcast(dfreq), "token")
+        .select(id_col, "token", "tf", "df", score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc(), F.col("token").asc())
+        .limit(k)
+    )
+
+
 def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic quality heuristic: token density, damped outside a
     sane token-count band (same formula as the oracle SQL)."""

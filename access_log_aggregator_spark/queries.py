@@ -743,6 +743,25 @@ order by doc_id
 """
 
 
+def _tfidf_build(d: str) -> str:
+    """Deterministic tf-idf variant: score = tf * N / df (int product then
+    ONE double division — bit-identical across engines, unlike log-based
+    idf). Global top-20 with a total tiebreak order."""
+    toks = x.tokens("text", d)
+    expl = f"explode({toks})" if d == x.SPARK else f"unnest({toks})"
+    return f"""
+with tok as (select doc_id, {expl} as token from documents),
+tf as (select doc_id, token, count(*) as tf from tok group by doc_id, token),
+dfreq as (select token, count(distinct doc_id) as df from tok group by token),
+n as (select count(*) as n_docs from documents)
+select doc_id, token, tf, df,
+       cast(tf as double) * n_docs / df as score
+from tf join dfreq using (token) cross join n
+order by score desc, doc_id asc, token asc
+limit 20
+"""
+
+
 def _top_tokens_build(d: str) -> str:
     toks = x.tokens("text", d)
     expl = f"explode({toks})" if d == x.SPARK else f"unnest({toks})"
@@ -858,6 +877,29 @@ def _q_pipeline_route_counts(spark, sf_dir):
     )
 
 
+def _pipeline_valid(spark, sf_dir):
+    return _pages_routed(spark, sf_dir).filter(
+        F.col("match_class").isin("parsed", "bot")
+    )
+
+
+def _q_pipeline_agg_by_status(spark, sf_dir):
+    """Per-status-bucket counters (north_star: per status bucket) through
+    the real operator, oracled by the full DuckDB chain re-derivation."""
+    from .operators.aggregate import aggregate_by_status_bucket
+
+    return aggregate_by_status_bucket(_pipeline_valid(spark, sf_dir))
+
+
+def _q_pipeline_agg_by_window(spark, sf_dir):
+    """Per-(hour, host) counters on the RECORD's own event time (north_star:
+    per time window) through the real operator, oracled end-to-end —
+    including the RFC3339 nanosecond-truncation timestamp parse."""
+    from .operators.aggregate import aggregate_by_window
+
+    return aggregate_by_window(_pipeline_valid(spark, sf_dir))
+
+
 def _duck_utf8_regex() -> str:
     """RFC 3629 UTF-8 validity as an RE2 regex over DuckDB's escaped BLOB
     representation (bytes 00-1F, 22, 27, 5C, 7F-FF print as ``\\xHH``
@@ -966,6 +1008,27 @@ def _pipeline_route_counts_oracle() -> str:
     return f"""{_pipeline_duck_cte()}
 select match_class, count(*) as hits from routed
 group by match_class order by match_class
+"""
+
+
+def _pipeline_agg_by_status_oracle() -> str:
+    return f"""{_pipeline_duck_cte()}
+select cast(floor(status_code / 100) as bigint) as status_bucket,
+       count(*) as hits
+from routed where match_class in ('parsed', 'bot')
+group by 1 order by 1
+"""
+
+
+def _pipeline_agg_by_window_oracle() -> str:
+    # timezone('UTC', ts) -> tz-naive UTC instant, matching Spark's
+    # session-UTC TimestampType after toPandas; hourly tumbling windows are
+    # epoch-aligned so window.start == date_trunc('hour', ...)
+    return f"""{_pipeline_duck_cte()}
+select date_trunc('hour', timezone('UTC', ts)) as window_start,
+       host, count(*) as hits
+from routed where match_class in ('parsed', 'bot')
+group by 1, 2 order by 1, 2
 """
 
 
@@ -1083,12 +1146,19 @@ QUERIES: dict[str, QuerySpec] = {
     "text_langid": _sql_pair(_langid_build),
     "text_quality_score": _sql_pair(_quality_build),
     "text_top_tokens": _sql_pair(_top_tokens_build),
+    "text_tfidf_top_terms": _sql_pair(_tfidf_build),
     # pages pipeline (full-chain DuckDB oracle) + multimodal (rows-only)
     "pipeline_agg_by_host": QuerySpec(
         _q_pipeline_agg_by_host, _pipeline_agg_by_host_oracle(), headline=True
     ),
     "pipeline_route_counts": QuerySpec(
         _q_pipeline_route_counts, _pipeline_route_counts_oracle()
+    ),
+    "pipeline_agg_by_status": QuerySpec(
+        _q_pipeline_agg_by_status, _pipeline_agg_by_status_oracle()
+    ),
+    "pipeline_agg_by_window": QuerySpec(
+        _q_pipeline_agg_by_window, _pipeline_agg_by_window_oracle()
     ),
     "multimodal_stub_features": QuerySpec(_q_multimodal_features, None),
     "multimodal_resize": QuerySpec(_q_multimodal_resize, None),

@@ -240,6 +240,14 @@ def test_text_ops_match_sql(spark, docs):
     _same(api3, sql3)
 
 
+def test_tfidf_matches_sql(spark, docs):
+    api = text.tfidf_top_terms(docs)
+    sql = QUERIES["text_tfidf_top_terms"].spark_fn(spark, SF)
+    _same(api, sql)
+    # global top-k is fully ordered (score desc, doc_id, token): exact rows
+    assert [tuple(r) for r in api.collect()] == [tuple(r) for r in sql.collect()]
+
+
 def test_bpe_token_stats_match_sql(spark, docs):
     """Java-regex and RE2 agree on the BPE-ish pre-tokenizer count: the
     per-lang aggregate from the DataFrame op == the SQL-registry query."""
