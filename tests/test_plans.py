@@ -88,6 +88,40 @@ def test_ivf_assign_is_shuffle_free(spark):
     assert "Join" not in plan and "Window" not in plan
 
 
+def test_bucketed_join_is_shuffle_free(spark, tmp_path_factory):
+    """Two tables bucketed on their join keys with equal bucket counts join
+    with ZERO Exchange — the co-located fact-to-fact join layout the
+    north_rule asks for (sources/bucketing.py)."""
+    from access_log_aggregator_spark.sources.bucketing import (
+        bucketed_join,
+        write_bucketed,
+    )
+
+    wh = tmp_path_factory.mktemp("bucketwh")
+    spark.sql(f"create database if not exists bktdb location '{wh}'")
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    customer = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    write_bucketed(orders, "bktdb.orders_b", "o_custkey", 8)
+    write_bucketed(customer, "bktdb.customer_b", "c_custkey", 8)
+
+    # disable auto-broadcast: at real scale neither fact side fits a
+    # broadcast — the bucketed layout is what removes the shuffle there
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = bucketed_join(spark, "bktdb.orders_b", "bktdb.customer_b",
+                          "o_custkey", "c_custkey")
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan
+        assert plan.count("Exchange") == 0, plan
+        # and it still computes the right thing
+        want = orders.join(customer,
+                           orders.o_custkey == customer.c_custkey).count()
+        assert j.count() == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_scan_prunes_columns(spark, tmp_path, corpus):
     """A narrow projection reaches the parquet reader (ReadSchema pruned)."""
     p = str(tmp_path / "pages.parquet")
