@@ -140,6 +140,52 @@ def run_windowed_stream(
     return query_name
 
 
+def run_dedup_stream(
+    spark: SparkSession,
+    pages_table: SnapshotTable,
+    checkpoint_dir: str | Path,
+    query_name: str = "deduped_pages",
+    key: str = "url",
+    watermark_col: str = "warc_ts",
+    delay: str = "1 day",
+):
+    """Streaming EXACT dedup: keep the first arrival of each ``key`` across
+    micro-batches, with state BOUNDED by a watermark
+    (``dropDuplicatesWithinWatermark``) — the streaming twin of
+    ``operators.dedup.exact_dedup_keep_first``.
+
+    A crawl re-delivers the same url across snapshots; batch dedup would
+    re-scan everything, while this holds one state row per key only until
+    the watermark passes ``delay`` beyond its event time, so an always-on
+    ingest stream drops re-crawls within the horizon at O(recent-keys)
+    state instead of O(all-keys-ever). Returns the in-memory result table
+    name (first arrivals only).
+    """
+    from pyspark.sql import functions as F
+
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(pages_table.root / "data"))
+    )
+    # watermarks need an instant (TIMESTAMP); warc_ts is stored NTZ-UTC
+    deduped = (
+        stream.withColumn("_event_ts", F.col(watermark_col).cast("timestamp"))
+        .withWatermark("_event_ts", delay)
+        .dropDuplicatesWithinWatermark([key])
+        .select("url", "warc_ts", "lang")
+    )
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory").queryName(query_name)
+        .option("checkpointLocation", str(checkpoint_dir))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return query_name
+
+
 def start_live_stream(
     spark: SparkSession,
     pages_table: SnapshotTable,

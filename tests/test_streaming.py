@@ -124,6 +124,36 @@ def test_watermarked_window_agg_handles_late_data(spark, lookup_sdf, tmp_path_fa
     }
 
 
+def test_streaming_dedup_drops_recrawls(spark, tmp_path_factory):
+    """Cross-batch exact dedup with bounded state: re-crawled urls arriving
+    in LATER micro-batches are dropped; each url survives exactly once."""
+    import time as _time
+
+    from datetime import datetime
+
+    import pandas as pd
+
+    from access_log_aggregator_spark.streaming.stream import run_dedup_stream
+
+    def rows(urls, day):
+        return pd.DataFrame([
+            {"url": u, "warc_ts": datetime(2025, 4, day, 12), "html": b"<x>",
+             "text": "words", "lang": "en"} for u in urls
+        ]).astype({"warc_ts": "datetime64[us]"})
+
+    root = tmp_path_factory.mktemp("ddstream")
+    table = SnapshotTable.create(root / "pages", "pages")
+    table.append_pandas(rows(["u1", "u2", "u3"], 1), marker="b0")
+    _time.sleep(0.1)
+    table.append_pandas(rows(["u2", "u3", "u4"], 1), marker="b1")  # re-crawls
+    _time.sleep(0.1)
+    table.append_pandas(rows(["u1", "u5"], 1), marker="b2")        # re-crawl
+
+    name = run_dedup_stream(spark, table, root / "ckpt", query_name="dd_pages")
+    got = sorted(r["url"] for r in spark.table(name).collect())
+    assert got == ["u1", "u2", "u3", "u4", "u5"]
+
+
 def test_live_trigger_processes_and_drains(spark, corpus, lookup_sdf, tmp_path_factory):
     """processingTime mode (the -interval ticker): batches fire on the
     trigger, new snapshots are picked up while running, and stop() drains
