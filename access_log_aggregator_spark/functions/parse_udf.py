@@ -106,18 +106,26 @@ _EXTRACT_PARSE_SCHEMA = StructType(
 _FIELD_RE2 = X.FIELD_PATTERN
 
 
-def _fallback_rows(lines) -> list[tuple]:
-    out = []
-    for line in lines:
-        if line is None or (isinstance(line, float) and pd.isna(line)):
-            out.append((None, None, None, None, None))
-            continue
-        f = X.go_unmarshal_fields(line)
+def _fallback_columns(lines: pd.Series, need_fb) -> dict:
+    """Sparse fallback evaluation: 5 all-None object columns, filled only at
+    the (rare) positions where the fast-path regex missed — the common
+    all-fast batch allocates nothing per row."""
+    import numpy as np
+
+    n = len(lines)
+    cols = {c: [None] * n for c in
+            ("time_str", "host", "status_code", "duration", "json_ok")}
+    for i in np.flatnonzero(need_fb.to_numpy()):
+        f = X.go_unmarshal_fields(lines.iat[i])
         if f is None:
-            out.append((None, None, None, None, False))
+            cols["json_ok"][i] = False
         else:
-            out.append((*f, True))
-    return out
+            (cols["time_str"][i], cols["host"][i],
+             cols["status_code"][i], cols["duration"][i]) = f
+            cols["json_ok"][i] = True
+    # object dtype everywhere: pandas would otherwise infer float64 for a
+    # None+int status column and silently mangle int64-edge values
+    return {c: pd.Series(v, dtype="object") for c, v in cols.items()}
 
 
 @pandas_udf(_EXTRACT_PARSE_SCHEMA)
@@ -137,7 +145,6 @@ def extract_parse_udf(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
     import pyarrow as pa
 
     impl = _EXTRACT_IMPL  # bound once per worker process
-    cols = ["time_str", "host", "status_code", "duration", "json_ok"]
     try:
         import pyarrow.compute as pc
 
@@ -156,10 +163,8 @@ def extract_parse_udf(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
     for s in batches:
         lines = impl(s)
         need_fb = lines.notna() & ~fast_mask(lines)
-        fb = _fallback_rows(lines.where(need_fb, None))
         out = {"line": pd.Series(lines, dtype="object")}
-        for i, c in enumerate(cols):
-            out[c] = pd.Series([r[i] for r in fb], dtype="object")
+        out.update(_fallback_columns(lines, need_fb))
         yield pd.DataFrame(out)
 
 

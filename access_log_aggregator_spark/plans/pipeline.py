@@ -124,18 +124,32 @@ class Pipeline:
         if self.write_partitions:
             routed = routed.repartition(self.write_partitions, F.col("url"))
         routed.write.mode("overwrite").partitionBy("match_class").parquet(str(staging))
-        moved = []
-        rows = 0
+
+        # driver-side ingest of the staged files: renames are metadata-only
+        # but the parquet footer reads are real IO — a thread pool keeps the
+        # commit O(files/threads) instead of O(files) at large batch sizes
+        # (the real fix at 100k+ files is an Iceberg catalog commit; this
+        # seam mirrors its shape — see SCALE.md)
+        from concurrent.futures import ThreadPoolExecutor
+
         import pyarrow.parquet as pq
 
-        for p in sorted(staging.glob("match_class=*/*.parquet")):
-            rel_dir = p.parent.name  # match_class=<value>
-            dest_dir = t.root / "data" / rel_dir
-            dest_dir.mkdir(parents=True, exist_ok=True)
-            dest = dest_dir / f"part-{uuid.uuid4().hex}.parquet"
+        files = sorted(staging.glob("match_class=*/*.parquet"))
+        for rel_dir in {p.parent.name for p in files}:
+            (t.root / "data" / rel_dir).mkdir(parents=True, exist_ok=True)
+
+        def ingest(p):
+            dest = t.root / "data" / p.parent.name / f"part-{uuid.uuid4().hex}.parquet"
             shutil.move(str(p), dest)
-            rows += pq.read_metadata(dest).num_rows
-            moved.append(dest)
+            return dest, pq.read_metadata(dest).num_rows
+
+        if files:
+            with ThreadPoolExecutor(min(16, len(files))) as ex:
+                results = list(ex.map(ingest, files))
+        else:
+            results = []
+        moved = [d for d, _ in results]
+        rows = sum(n for _, n in results)
         shutil.rmtree(staging, ignore_errors=True)
         return t._commit_files(moved, rows, marker)
 
