@@ -66,6 +66,56 @@ def with_minhash(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.drop("_codes", "_hs", "_mh")
 
 
+def _minhash_band_frame(sig: DataFrame, id_col: str) -> DataFrame:
+    """(id, band_no, band_val) rows from a signature frame — one inline
+    pass, localCheckpoint-ed (see minhash_lsh_candidates docstring)."""
+    band_structs = ", ".join(
+        f"named_struct('band_no', {b}, "
+        f"'band_val', (mh{2 * b} * 31 + mh{2 * b + 1}) % {x.P})"
+        for b in range(4)
+    )
+    return sig.select(
+        F.col(id_col), F.expr(f"inline(array({band_structs}))")
+    ).localCheckpoint(eager=False)
+
+
+def minhash_jaccard_estimates(df: DataFrame, id_col: str = "doc_id",
+                              text_col: str = "text") -> DataFrame:
+    """Signature-based Jaccard ESTIMATE for every LSH candidate pair: the
+    fraction of the K minhash functions on which the two docs agree — the
+    classic estimator (E[match] = true Jaccard), computed WITHOUT touching
+    the original texts again. The signature frame is checkpointed once and
+    reused for both the banding join and the per-pair comparison, so the
+    plan reads signatures, never documents, after the first pass — exactly
+    the 100 TB shape (signatures table ~1% of the corpus bytes).
+    """
+    k = len(x.MINHASH_COEFFS)
+    sig = with_minhash(df.select(id_col, text_col), text_col) \
+        .drop(text_col).localCheckpoint(eager=False)
+    bands = _minhash_band_frame(sig, id_col)
+    a, b_ = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(b_, (F.col("a.band_no") == F.col("b.band_no"))
+               & (F.col("a.band_val") == F.col("b.band_val"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("doc_a"),
+                F.col(f"b.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col(id_col).alias("doc_a"),
+                    *[F.col(f"mh{i}").alias(f"a{i}") for i in range(k)])
+    sb = sig.select(F.col(id_col).alias("doc_b"),
+                    *[F.col(f"mh{i}").alias(f"b{i}") for i in range(k)])
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(k)
+    ).cast("long")
+    return (
+        cands.join(sa, "doc_a").join(sb, "doc_b")
+        .select("doc_a", "doc_b", matches.alias("matches"),
+                (matches.cast("double") / k).alias("jaccard_est"))
+    )
+
+
 def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text") -> DataFrame:
     """Candidate near-dup pairs sharing at least one LSH band (4 bands x 2).
@@ -82,14 +132,7 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
     """
     sig = with_minhash(df.select(id_col, text_col), text_col)
     # one pass over sig: explode the 4 band values instead of 4 projections
-    band_structs = ", ".join(
-        f"named_struct('band_no', {b}, "
-        f"'band_val', (mh{2 * b} * 31 + mh{2 * b + 1}) % {x.P})"
-        for b in range(4)
-    )
-    bands = sig.select(
-        F.col(id_col), F.expr(f"inline(array({band_structs}))")
-    ).localCheckpoint(eager=False)
+    bands = _minhash_band_frame(sig, id_col)
     a, b_ = bands.alias("a"), bands.alias("b")
     return (
         a.join(

@@ -513,6 +513,87 @@ order by doc_a, doc_b
 """
 
 
+def _q_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import minhash_jaccard_estimates
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_jaccard_estimates(docs).orderBy("doc_a", "doc_b")
+
+
+def _minhash_jaccard_est_build(d: str) -> str:
+    """Signature-agreement Jaccard estimate per LSH candidate pair
+    (matches/K over the 8 minhash functions) — the DuckDB canonical twin of
+    operators/dedup.py:minhash_jaccard_estimates."""
+    k = len(x.MINHASH_COEFFS)
+    bands = ", ".join(
+        f"(mh{2 * b} * 31 + mh{2 * b + 1}) % {x.P} as band{b}" for b in range(4)
+    )
+    band_union = " union all ".join(
+        f"select doc_id, {b} as band_no, band{b} as band_val from sigb"
+        for b in range(4)
+    )
+    matches = " + ".join(
+        f"(case when sa.mh{i} = sb.mh{i} then 1 else 0 end)" for i in range(k)
+    )
+    return f"""
+with sig as ({x.minhash_sig_sql('documents', 'doc_id', 'text', d)}),
+sigb as (select doc_id, {bands} from sig),
+bandrows as ({band_union}),
+cand as (
+  select distinct a.doc_id as doc_a, b.doc_id as doc_b
+  from bandrows a join bandrows b
+    on a.band_no = b.band_no and a.band_val = b.band_val
+   and a.doc_id < b.doc_id
+)
+select doc_a, doc_b,
+       cast({matches} as bigint) as matches,
+       cast({matches} as double) / {k} as jaccard_est
+from cand
+join sig sa on sa.doc_id = doc_a
+join sig sb on sb.doc_id = doc_b
+order by doc_a, doc_b
+"""
+
+
+def _quality_filter_build(d: str) -> str:
+    """A realistic training-data FILTER CHAIN: language whitelist + token
+    band + quality threshold, then per-language kept-doc/token budgets —
+    the composition a curation pipeline runs before tokenization."""
+    toks = x.tokens("text", d)
+    n = x.arr_size(toks, d)
+    q = (f"(cast({n} as double) / (length(text) + 1)) * "
+         f"(case when {n} >= 10 and {n} <= 1000 "
+         f"then cast(1.0 as double) else cast(0.5 as double) end)")
+    return f"""
+with scored as (
+  select doc_id, lang, {n} as n_tokens, {q} as quality_score from documents
+)
+select lang,
+       count(*) as n_docs_kept,
+       cast(sum(n_tokens) as bigint) as total_tokens,
+       min(quality_score) as min_quality
+from scored
+where lang in ('en', 'es', 'de', 'fr')
+  and n_tokens between 10 and 1000
+  and quality_score >= 0.05
+group by lang order by lang
+"""
+
+
+def _events_cube_build(d: str) -> str:
+    """GROUP BY CUBE: all 4 grouping combinations of (event_type, value
+    bucket) in one aggregate — the full grouping-sets lattice next to the
+    ROLLUP query's prefix lattice."""
+    bucket = "(case when value >= 0 then cast(floor(value / 100) as bigint) else -1 end)"
+    return f"""
+select event_type, {bucket} as value_bucket,
+       count(*) as hits
+from events
+group by cube(event_type, {bucket})
+order by event_type nulls first, value_bucket nulls first
+"""
+
+
 def _simhash_build(d: str) -> str:
     toks = x.tokens("text", d)
     th = x.transform(toks, "t", x.polyhash("t", d), d)
@@ -1086,6 +1167,7 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "events_agg_by_hour": QuerySpec(_q_events_agg_by_hour, _Q_EVENTS_AGG_BY_HOUR_ORACLE),
     "events_agg_rollup": _sql_pair(_events_rollup_build),
+    "events_agg_cube": _sql_pair(_events_cube_build),
     "events_asof_last_error": QuerySpec(
         _q_events_asof_last_error, _Q_EVENTS_ASOF_ORACLE
     ),
@@ -1131,6 +1213,9 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_minhash_lsh_pairs": QuerySpec(
         _q_minhash_lsh_pairs, _minhash_lsh_pairs_build(x.DUCK)
     ),
+    "dedup_minhash_jaccard_est": QuerySpec(
+        _q_minhash_jaccard_est, _minhash_jaccard_est_build(x.DUCK)
+    ),
     "dedup_simhash": _sql_pair(_simhash_build),
     "dedup_simhash_near_pairs": QuerySpec(
         _q_simhash_near_pairs, _simhash_pairs_build(x.DUCK)
@@ -1147,6 +1232,7 @@ QUERIES: dict[str, QuerySpec] = {
     "text_quality_score": _sql_pair(_quality_build),
     "text_top_tokens": _sql_pair(_top_tokens_build),
     "text_tfidf_top_terms": _sql_pair(_tfidf_build),
+    "docs_quality_filter": _sql_pair(_quality_filter_build),
     # pages pipeline (full-chain DuckDB oracle) + multimodal (rows-only)
     "pipeline_agg_by_host": QuerySpec(
         _q_pipeline_agg_by_host, _pipeline_agg_by_host_oracle(), headline=True

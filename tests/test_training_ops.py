@@ -42,6 +42,19 @@ def test_lsh_pairs_match_sql(spark, docs):
     _same(api, sql.select(api.columns))
 
 
+def test_minhash_jaccard_est_matches_sql(spark, docs):
+    api = dedup.minhash_jaccard_estimates(docs).orderBy("doc_a", "doc_b")
+    sql = QUERIES["dedup_minhash_jaccard_est"].spark_fn(spark, SF)
+    _same(api, sql)
+    # the estimator is exact 1.0 for identical texts: every exact-dup pair
+    # that survives banding must estimate 1.0
+    rows = api.collect()
+    texts = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+    for r in rows:
+        if texts[r["doc_a"]] == texts[r["doc_b"]]:
+            assert r["jaccard_est"] == 1.0, (r["doc_a"], r["doc_b"])
+
+
 def test_simhash_matches_sql(spark, docs):
     api = dedup.with_simhash(docs.select("doc_id", "text")).select("doc_id", "simhash")
     sql = QUERIES["dedup_simhash"].spark_fn(spark, SF)
