@@ -238,6 +238,63 @@ def _q_events_agg_type_window(spark, sf_dir):
     )
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _q_events_pivot(spark, sf_dir):
+    """PIVOT: hourly rows x event-type columns via Spark's native pivot
+    (with an explicit value list, so no extra distinct-values job and a
+    stable column set). Oracle: conditional aggregation."""
+    e = _t(spark, sf_dir, "events")
+    out = (
+        e.groupBy(F.date_trunc("hour", "ts").alias("hour_start"))
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+    )
+    return out.select(
+        "hour_start", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES]
+    ).orderBy("hour_start")
+
+
+_Q_EVENTS_PIVOT_ORACLE = (
+    "select date_trunc('hour', ts) as hour_start, "
+    + ", ".join(
+        f"count(*) filter (where event_type = '{t}') as {t}" for t in _EVENT_TYPES
+    )
+    + " from events group by 1 order by 1"
+)
+
+
+def _lag_delta_build(d: str) -> str:
+    """LAG window coverage: per-user value delta between consecutive
+    events (int subtraction — exact both engines)."""
+    return """
+select user_id, event_id, value,
+       value - lag(value) over (partition by user_id
+                                order by ts, event_id) as delta
+from events
+order by user_id, ts, event_id
+"""
+
+
+def _ntile_build(d: str) -> str:
+    """NTILE window coverage: order-total quartiles per priority (both
+    engines use the same balanced-bucket rule over a total order)."""
+    return """
+select o_orderpriority, quartile,
+       count(*) as n_orders,
+       min(o_totalprice) as min_total, max(o_totalprice) as max_total
+from (
+  select o_orderpriority, o_totalprice,
+         ntile(4) over (partition by o_orderpriority
+                        order by o_totalprice, o_orderkey) as quartile
+  from orders
+) t
+group by o_orderpriority, quartile
+order by o_orderpriority, quartile
+"""
+
+
 def _q_events_enrich_broadcast(spark, sf_dir):
     """Broadcast-join enrichment (operators/enrich.py semantics)."""
     e = _t(spark, sf_dir, "events")
@@ -1168,6 +1225,9 @@ QUERIES: dict[str, QuerySpec] = {
     "events_agg_by_hour": QuerySpec(_q_events_agg_by_hour, _Q_EVENTS_AGG_BY_HOUR_ORACLE),
     "events_agg_rollup": _sql_pair(_events_rollup_build),
     "events_agg_cube": _sql_pair(_events_cube_build),
+    "events_pivot_type_by_hour": QuerySpec(_q_events_pivot, _Q_EVENTS_PIVOT_ORACLE),
+    "events_lag_value_delta": _sql_pair(_lag_delta_build),
+    "orders_ntile_quartiles": _sql_pair(_ntile_build),
     "events_asof_last_error": QuerySpec(
         _q_events_asof_last_error, _Q_EVENTS_ASOF_ORACLE
     ),
