@@ -228,6 +228,71 @@ order by user_id, session_start
 """
 
 
+def _q_events_session_interval_join(spark, sf_dir):
+    """Point-in-interval (range) join coverage: every event joined back to
+    its user's session interval via the bucketized equi-join operator
+    (operators/rangejoin.py), then re-aggregated per session. Oracle:
+    DuckDB's native non-equi join over gaps-and-islands sessions."""
+    from .operators.rangejoin import point_in_interval_join
+
+    e = _t(spark, sf_dir, "events")
+    sessions = (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+        )
+    )
+    pts = e.select("event_id", "user_id", "ts")
+    j = point_in_interval_join(
+        pts, sessions, on=["user_id"], ts="ts",
+        start="session_start", end="session_end",
+    )
+    return (
+        j.groupBy("user_id", "session_start", "session_end")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("event_id").alias("min_event_id"),
+            F.max("event_id").alias("max_event_id"),
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+_Q_EVENTS_SESSION_IJOIN_ORACLE = """
+with marked as (
+  select user_id, ts,
+         case when ts - lag(ts) over (partition by user_id order by ts)
+                   > interval 30 minute then 1 else 0 end as is_new
+  from events
+),
+islands as (
+  select user_id, ts,
+         sum(is_new) over (partition by user_id order by ts
+                           rows unbounded preceding) as session_no
+  from marked
+),
+sessions as (
+  select user_id,
+         min(ts) as session_start,
+         max(ts) + interval 30 minute as session_end
+  from islands group by user_id, session_no
+)
+select s.user_id, s.session_start, s.session_end,
+       count(*) as n_events,
+       min(e.event_id) as min_event_id,
+       max(e.event_id) as max_event_id
+from sessions s
+join events e
+  on e.user_id = s.user_id
+ and e.ts >= s.session_start and e.ts < s.session_end
+group by 1, 2, 3
+order by 1, 2
+"""
+
+
 def _q_events_agg_type_window(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     return (
@@ -1233,6 +1298,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "events_sessionize": QuerySpec(
         _q_events_sessionize, _Q_EVENTS_SESSIONIZE_ORACLE
+    ),
+    "events_session_interval_join": QuerySpec(
+        _q_events_session_interval_join, _Q_EVENTS_SESSION_IJOIN_ORACLE
     ),
     "events_agg_type_window": QuerySpec(
         _q_events_agg_type_window,
