@@ -76,6 +76,41 @@ def test_embedding_near_dup_is_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_jaccard_estimates_plan_shapes(spark):
+    """The signature-reuse pipeline stays equi-join-only (no cartesian /
+    nested loop anywhere in band join + two signature joins)."""
+    from access_log_aggregator_spark.operators.dedup import minhash_jaccard_estimates
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(minhash_jaccard_estimates(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tfidf_broadcasts_vocabulary(spark):
+    """The df (vocabulary) side of the tf-idf join is the small side:
+    it must broadcast, never shuffle the tf table a second time."""
+    from access_log_aggregator_spark.operators.text import tfidf_top_terms
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(tfidf_top_terms(docs))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_range_join_is_equi_join(spark):
+    """The bucketized range join plans as an equi-join (shuffle on
+    key+bucket), never a nested loop over intervals."""
+    from access_log_aggregator_spark.queries import QUERIES
+
+    df = QUERIES["events_session_interval_join"].spark_fn(
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_ivf_assign_is_shuffle_free(spark):
     """IVF assignment is a pure map-side argmax over an inlined centroid
     codebook: ZERO exchanges, no join, no window — the plan is a single

@@ -64,6 +64,47 @@ def test_matches_naive_join(frames):
     assert fast.exceptAll(naive).count() == 0 and naive.exceptAll(fast).count() == 0
 
 
+def test_fuzz_matches_naive(spark):
+    """Seeded fuzz: random boundary-heavy points/intervals, three bucket
+    widths (including widths that do NOT divide the interval lengths) —
+    bucketized output == naive non-equi join every time."""
+    import random
+    from datetime import timedelta
+
+    rng = random.Random(3)
+    base = _t(0)
+    keys = ["a", "b", "c"]
+    pts = []
+    for i in range(300):
+        # second-granularity offsets, biased toward round values so exact
+        # boundary collisions actually occur
+        off = rng.choice([rng.randrange(86400),
+                          rng.randrange(24) * 3600,
+                          rng.randrange(1440) * 60])
+        pts.append((i, rng.choice(keys), base + timedelta(seconds=off)))
+    ivs = []
+    for i in range(60):
+        s = rng.choice([rng.randrange(86400), rng.randrange(24) * 3600])
+        ln = rng.choice([0, 1, 59, 60, 3600, rng.randrange(20000)])
+        ivs.append((rng.choice(keys), base + timedelta(seconds=s),
+                    base + timedelta(seconds=s + ln), f"iv{i}"))
+    points = spark.createDataFrame(pts, "event_id long, k string, ts timestamp")
+    intervals = spark.createDataFrame(
+        ivs, "k string, iv_start timestamp, iv_end timestamp, iv_name string")
+    naive = (
+        points.join(intervals, "k")
+        .where((F.col("iv_start") <= F.col("ts")) & (F.col("ts") < F.col("iv_end")))
+        .select("event_id", "iv_name")
+    )
+    naive_rows = {tuple(r) for r in naive.collect()}
+    for width in (7, 60, 3600):
+        fast = point_in_interval_join(
+            points, intervals, on=["k"], ts="ts",
+            start="iv_start", end="iv_end", bucket_width_s=width,
+        ).select("event_id", "iv_name")
+        assert {tuple(r) for r in fast.collect()} == naive_rows, width
+
+
 def test_rejects_collisions(frames):
     points, intervals = frames
     with pytest.raises(ValueError, match="collision"):
