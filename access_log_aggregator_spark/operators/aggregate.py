@@ -78,6 +78,47 @@ def aggregate_by_host(valid: DataFrame, salt_buckets: Optional[int] = None) -> D
     return _finish_host(final)
 
 
+def robust_stats_by_group(df: DataFrame, group_col: str = "event_type",
+                          value_col: str = "value") -> DataFrame:
+    """Per-group MEDIAN and MAD (median absolute deviation) via
+    ``applyInPandas`` — the graft's grouped-map (UDAF-shaped) surface for
+    HOLISTIC aggregates that hash aggregation cannot compute with partial
+    combine (an exact median needs the whole group).
+
+    The interpolation is written out explicitly (lower + (upper-lower)*frac,
+    the quantile_cont rule) instead of calling np.median, so the Python
+    arithmetic is operation-for-operation identical to the DuckDB oracle —
+    np.median's (a+b)/2 midpoint is NOT always the same double as the
+    interpolation formula.
+
+    Scale shape: one hash shuffle on the group key (same as any groupBy),
+    whole group materialized per task — use only for bounded-cardinality
+    groups or pre-sampled data; the built-in ``percentile`` suffices when
+    an aggregate-buffer implementation exists.
+    """
+    import pandas as pd
+
+    def _qcont(sorted_vals, q: float) -> float:
+        p = (len(sorted_vals) - 1) * q
+        lo = int(p)
+        frac = p - lo
+        if frac == 0.0:
+            return float(sorted_vals[lo])
+        return float(sorted_vals[lo] + (sorted_vals[lo + 1] - sorted_vals[lo]) * frac)
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = sorted(float(x) for x in pdf[value_col])
+        med = _qcont(v, 0.5)
+        dev = sorted(abs(x - med) for x in v)
+        return pd.DataFrame(
+            [[pdf[group_col].iloc[0], len(v), med, _qcont(dev, 0.5)]],
+            columns=[group_col, "n", "median", "mad"],
+        )
+
+    schema = f"{group_col} string, n long, median double, mad double"
+    return df.groupBy(group_col).applyInPandas(stats, schema)
+
+
 def aggregate_by_status_bucket(valid: DataFrame) -> DataFrame:
     """hits per status bucket (1xx..5xx analog: floor(status/100))."""
     return (

@@ -303,6 +303,36 @@ def _q_events_agg_type_window(spark, sf_dir):
     )
 
 
+def _q_events_sliding_window(spark, sf_dir):
+    """SLIDING window aggregation (1-hour windows every 15 minutes): each
+    event lands in exactly 4 overlapping windows — Spark's native
+    window(slideDuration); the oracle reconstructs the same window set by
+    cross-joining each event with its 4 slide offsets."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("hits"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(F.col("w.start").alias("window_start"), "hits", "n_users")
+        .orderBy("window_start")
+    )
+
+
+_Q_EVENTS_SLIDING_ORACLE = """
+with expanded as (
+  select timezone('UTC', to_timestamp(floor(epoch(ts) / 900) * 900))
+           - k * interval 15 minute as window_start,
+         user_id
+  from events cross join unnest(generate_series(0, 3)) as t(k)
+)
+select window_start, count(*) as hits, count(distinct user_id) as n_users
+from expanded
+group by window_start order by window_start
+"""
+
+
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -357,6 +387,29 @@ from (
 ) t
 group by o_orderpriority, quartile
 order by o_orderpriority, quartile
+"""
+
+
+def _q_events_robust_stats(spark, sf_dir):
+    """Grouped-map (applyInPandas) holistic aggregate: exact per-type
+    median + MAD. Oracle: DuckDB quantile_cont twice (the operator spells
+    out the identical interpolation formula — see robust_stats_by_group)."""
+    from .operators.aggregate import robust_stats_by_group
+
+    e = _t(spark, sf_dir, "events")
+    return robust_stats_by_group(e).orderBy("event_type")
+
+
+_Q_EVENTS_ROBUST_ORACLE = """
+with med as (
+  select event_type, quantile_cont(value, 0.5) as median
+  from events group by event_type
+)
+select m.event_type, count(*) as n, m.median,
+       quantile_cont(abs(e.value - m.median), 0.5) as mad
+from events e join med m using (event_type)
+group by m.event_type, m.median
+order by m.event_type
 """
 
 
@@ -1235,6 +1288,45 @@ group by 1, 2 order by 1, 2
 """
 
 
+def _q_pipeline_url_params(spark, sf_dir):
+    """UDTF coverage: lateral-join the UrlParams table function over the
+    pages corpus and aggregate per parameter. Oracle: pure-SQL string
+    splitting over the same parquet (which doubles as the proof that THIS
+    expansion never needed Python — the UDTF is the extension-surface
+    demo)."""
+    from .functions.url_udtf import UrlParamsUDTF
+
+    root = ensure_pipeline_fixtures()
+    spark.udtf.register("url_params", UrlParamsUDTF)
+    spark.read.parquet(str(root / "pages")).createOrReplaceTempView("_pages_udtf")
+    return spark.sql("""
+        select p.param,
+               count(*) as n_urls,
+               min(p.value) as min_value,
+               max(p.value) as max_value
+        from _pages_udtf, lateral url_params(url) p
+        group by p.param order by p.param
+    """)
+
+
+def _pipeline_url_params_oracle() -> str:
+    root = _pages_cache_root()
+    return f"""
+with pages as (select * from read_parquet('{root}/pages/*.parquet')),
+q as (
+  select str_split(regexp_extract(url, '\\?(.*)$', 1), '&') as kvs
+  from pages where url like '%?%'
+),
+kv as (select unnest(kvs) as kv from q),
+p as (
+  select str_split(kv, '=')[1] as param, str_split(kv, '=')[2] as value
+  from kv where kv like '%=%'
+)
+select param, count(*) as n_urls, min(value) as min_value, max(value) as max_value
+from p group by param order by param
+"""
+
+
 def _media_docs(spark, sf_dir):
     """documents with the text re-encoded as an opaque binary media payload
     (the sandbox ships no codecs; the binary-column plumbing is the point)."""
@@ -1302,6 +1394,9 @@ QUERIES: dict[str, QuerySpec] = {
     "events_session_interval_join": QuerySpec(
         _q_events_session_interval_join, _Q_EVENTS_SESSION_IJOIN_ORACLE
     ),
+    "events_sliding_window": QuerySpec(
+        _q_events_sliding_window, _Q_EVENTS_SLIDING_ORACLE
+    ),
     "events_agg_type_window": QuerySpec(
         _q_events_agg_type_window,
         "select date_trunc('hour', ts) as hour_start, event_type, count(*) as hits "
@@ -1310,6 +1405,7 @@ QUERIES: dict[str, QuerySpec] = {
     "events_enrich_broadcast": QuerySpec(
         _q_events_enrich_broadcast, _Q_EVENTS_ENRICH_ORACLE, headline=True
     ),
+    "events_robust_stats": QuerySpec(_q_events_robust_stats, _Q_EVENTS_ROBUST_ORACLE),
     "events_parse_props": QuerySpec(
         _q_events_parse_props,
         f"select json_k % 10 as k_bucket, count(*) as hits, "
@@ -1373,6 +1469,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "pipeline_agg_by_window": QuerySpec(
         _q_pipeline_agg_by_window, _pipeline_agg_by_window_oracle()
+    ),
+    "pipeline_url_params": QuerySpec(
+        _q_pipeline_url_params, _pipeline_url_params_oracle()
     ),
     "multimodal_stub_features": QuerySpec(_q_multimodal_features, None),
     "multimodal_resize": QuerySpec(_q_multimodal_resize, None),
