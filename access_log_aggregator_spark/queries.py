@@ -1392,7 +1392,8 @@ QUERIES: dict[str, QuerySpec] = {
         _q_events_sessionize, _Q_EVENTS_SESSIONIZE_ORACLE
     ),
     "events_session_interval_join": QuerySpec(
-        _q_events_session_interval_join, _Q_EVENTS_SESSION_IJOIN_ORACLE
+        _q_events_session_interval_join, _Q_EVENTS_SESSION_IJOIN_ORACLE,
+        headline=True,
     ),
     "events_sliding_window": QuerySpec(
         _q_events_sliding_window, _Q_EVENTS_SLIDING_ORACLE
@@ -1435,7 +1436,7 @@ QUERIES: dict[str, QuerySpec] = {
     "doc_fingerprints": _sql_pair(_fingerprint_build, headline=True),
     "dedup_minhash_signatures": _sql_pair(_minhash_build, headline=True),
     "dedup_minhash_lsh_pairs": QuerySpec(
-        _q_minhash_lsh_pairs, _minhash_lsh_pairs_build(x.DUCK)
+        _q_minhash_lsh_pairs, _minhash_lsh_pairs_build(x.DUCK), headline=True
     ),
     "dedup_minhash_jaccard_est": QuerySpec(
         _q_minhash_jaccard_est, _minhash_jaccard_est_build(x.DUCK)

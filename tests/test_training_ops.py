@@ -253,6 +253,32 @@ def test_text_ops_match_sql(spark, docs):
     _same(api3, sql3)
 
 
+def test_whitespace_class_parity_on_vertical_tab(spark):
+    """Java \\s includes \\x0B, RE2's does not — the explicit whitespace
+    class must make both engines tokenize \\x0B-bearing text identically
+    (here: \\x0B is a token character in BOTH)."""
+    import duckdb
+
+    from access_log_aggregator_spark.functions import xsql as x
+
+    texts = ["a\x0bb c", "x \x0b y", "\x0b", "a\tb\x0bc\nd"]
+    sdf = spark.createDataFrame([(t,) for t in texts], "text string")
+    got_spark = [
+        (r["n"], r["b"]) for r in sdf.selectExpr(
+            f"{x.arr_size(x.tokens('text', x.SPARK), x.SPARK)} as n",
+            f"{x.bpe_token_count('text', x.SPARK)} as b",
+        ).collect()
+    ]
+    con = duckdb.connect()
+    con.execute("create table t(text varchar)")
+    con.executemany("insert into t values (?)", [(t,) for t in texts])
+    got_duck = con.execute(
+        f"select {x.arr_size(x.tokens('text', x.DUCK), x.DUCK)},"
+        f" {x.bpe_token_count('text', x.DUCK)} from t"
+    ).fetchall()
+    assert got_spark == [tuple(r) for r in got_duck]
+
+
 def test_tfidf_matches_sql(spark, docs):
     api = text.tfidf_top_terms(docs)
     sql = QUERIES["text_tfidf_top_terms"].spark_fn(spark, SF)
