@@ -41,22 +41,41 @@ LINE_RE_BYTES = re.compile(LINE_PATTERN.encode("ascii"), re.MULTILINE)
 #: accepts: no leading zeros, no bare '.5', optional fraction + exponent).
 JSON_NUMBER = r"-?(?:0|[1-9]\d*)(?:\.\d+)?(?:[eE][+-]?\d+)?"
 
+#: FAST-PATH-safe number: integer part <= 18 digits, exponent <= 2 digits
+#: => magnitude < 1e117, comfortably inside float64. Values beyond this
+#: (e.g. 1e300, or 1e400 which Go REJECTS with a strconv range error) miss
+#: the fast path and take the json fallback, which applies Go's exact
+#: overflow rule — so the fast path can never fabricate an Infinity record.
+_FAST_NUMBER = r"-?(?:0|[1-9]\d{0,17})(?:\.\d+)?(?:[eE][+-]?\d{1,2})?"
+
+#: FAST-PATH string char: no quote, no backslash (escape sequences), and no
+#: raw control chars — Go's json.Unmarshal ERRORS on unescaped control
+#: chars in strings, and \x01 is the pack separator in the Spark capture
+#: path, so excluding them keeps the fast path Go-exact AND split-safe.
+_FAST_STR = r'[^"\\\x00-\x1f]*'
+
 #: Grok-style FAST-PATH field regex over the extracted line: the reference
 #: corpus key order time,host,status_code,duration (test/testdata/log.log),
-#: escape-free strings, an int64-safe status (<= 18 digits), and a tail of
-#: well-formed FLAT extra key/value pairs (model_test.go:19). Everything the
-#: fast path matches, Go's json.Unmarshal accepts with identical values
-#: (captures are escape-free so raw == unescaped). Lines that MISS this
-#: pattern fall through to the wide-grammar fallback
-#: (:func:`go_unmarshal_fields` / its Spark twins), which implements the
-#: full json.Unmarshal grammar — reordered keys, whitespace, escapes.
+#: escape-free control-char-free strings, an int64-safe status (<= 18
+#: digits), a float64-safe duration, and a tail of well-formed FLAT extra
+#: key/value pairs (model_test.go:19). Everything the fast path matches,
+#: Go's json.Unmarshal accepts with identical values (captures are
+#: escape-free so raw == unescaped). Lines that MISS this pattern fall
+#: through to the wide-grammar fallback (:func:`go_unmarshal_fields` / its
+#: Spark twins), which implements the full json.Unmarshal grammar —
+#: reordered keys, whitespace, escapes, overflow rules.
 FIELD_PATTERN = (
-    r'^\{"time":"([^"\\]*)","host":"([^"\\]*)",'
+    r'^\{"time":"(' + _FAST_STR + r')","host":"(' + _FAST_STR + r')",'
     r'"status_code":(-?(?:0|[1-9]\d{0,17})),'
-    r'"duration":(' + JSON_NUMBER + r')'
-    r'(?:,"[^"\\]*":(?:"[^"\\]*"|' + JSON_NUMBER + r'|true|false|null))*\}$'
+    r'"duration":(' + _FAST_NUMBER + r')'
+    r'(?:,"' + _FAST_STR + r'":(?:"' + _FAST_STR + r'"|' + JSON_NUMBER
+    + r'|true|false|null))*\}$'
 )
-FIELD_RE = re.compile(FIELD_PATTERN)
+#: re.ASCII: Python \d matches Unicode digits by default, while the SAME
+#: pattern string under Java regex / RE2 is ASCII-only — without the flag a
+#: status_code written with e.g. Arabic-Indic digits would parse on the
+#: Python oracle but not on Spark (cross-engine parity break).
+FIELD_RE = re.compile(FIELD_PATTERN, re.ASCII)
 
 #: RFC3339 timestamps as produced by Go time.Time.MarshalJSON
 #: (UTC 'Z' or numeric offset, optional 1-9 digit fraction).
@@ -64,7 +83,7 @@ TIME_PATTERN = (
     r"^(\d{4})-(\d{2})-(\d{2})T(\d{2}):(\d{2}):(\d{2})"
     r"(?:\.(\d{1,9}))?(Z|[+-]\d{2}:\d{2})$"
 )
-TIME_RE = re.compile(TIME_PATTERN)
+TIME_RE = re.compile(TIME_PATTERN, re.ASCII)  # \d = ASCII, like Java/RE2
 
 #: Go's zero time.Time marshals to this (time.Time.IsZero,
 #: internal/accesslog/model.go:24 rejects it).
@@ -227,7 +246,10 @@ def go_unmarshal_fields(line: str) -> Optional[tuple[str, str, int, float]]:
     elif isinstance(dval, bool) or not isinstance(dval, (int, float)):
         return None
     else:
-        duration = float(dval)
+        try:
+            duration = float(dval)
+        except OverflowError:  # huge JSON integer: float() raises, Go ERANGEs
+            return None
         if math.isinf(duration):
             return None  # Go: strconv.ParseFloat range error
 

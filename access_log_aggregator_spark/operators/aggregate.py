@@ -107,7 +107,16 @@ def robust_stats_by_group(df: DataFrame, group_col: str = "event_type",
         return float(sorted_vals[lo] + (sorted_vals[lo + 1] - sorted_vals[lo]) * frac)
 
     def stats(pdf: pd.DataFrame) -> pd.DataFrame:
-        v = sorted(float(x) for x in pdf[value_col])
+        # drop nulls/NaNs like quantile_cont does (x != x filters NaN)
+        v = sorted(
+            float(x) for x in pdf[value_col]
+            if x is not None and x == x
+        )
+        if not v:
+            return pd.DataFrame(
+                [[pdf[group_col].iloc[0], 0, None, None]],
+                columns=[group_col, "n", "median", "mad"],
+            )
         med = _qcont(v, 0.5)
         dev = sorted(abs(x - med) for x in v)
         return pd.DataFrame(

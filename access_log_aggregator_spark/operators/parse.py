@@ -103,11 +103,20 @@ def _jvm_fallback(df: DataFrame) -> DataFrame:
     def str_or_void(t: Column) -> Column:
         return t.isNull() | t.isin("VOID", "STRING")
 
+    # Go's time.Time.UnmarshalJSON ERRORS on a non-RFC3339 string (it is an
+    # unmarshal failure, not a validation failure) — mirror that here so
+    # both fallback implementations produce the same json_ok/reason
+    t_str = vget("time", "string")
+    t_ok = (
+        t_t.isNull() | (t_t == "VOID")
+        | ((t_t == "STRING") & t_str.rlike(X.TIME_PATTERN)
+           & _log_ts(t_str).isNotNull())
+    )
     json_ok = (
         F.col("_fbline").isNotNull()
         & F.col("_fbv").isNotNull()
         & balanced
-        & str_or_void(t_t) & str_or_void(h_t)
+        & t_ok & str_or_void(h_t)
         & (s_t.isNull() | s_t.isin("VOID", "BIGINT"))
         & (d_t.isNull() | d_t.isin("VOID", "BIGINT", "DOUBLE") | d_t.like("DECIMAL%"))
         & (d_val.isNull() | (F.abs(d_val) != F.lit(float("inf"))))
@@ -142,10 +151,11 @@ def parse_stage(pages: DataFrame, use_arrow_udf: bool = True) -> DataFrame:
 
     et = F.col("extracted_text")
     # Gate on one anchored rlike, then pack all four capture groups in a
-    # SINGLE regexp_replace pass (separator \x01 — unreachable: the capture
-    # grammar admits no control chars from the generator corpus, and a page
-    # that did smuggle one would fail parity tests immediately). 2 regex
-    # evaluations per row instead of 5 (rlike + 4 regexp_extract).
+    # SINGLE regexp_replace pass (separator \x01 — structurally unreachable:
+    # FIELD_PATTERN's capture classes exclude ALL control chars, which Go's
+    # json.Unmarshal rejects unescaped anyway; a smuggled \x01 line simply
+    # misses the fast path). 2 regex evaluations per row instead of 5
+    # (rlike + 4 regexp_extract).
     field_matched = et.rlike(X.FIELD_PATTERN)
     df = df.withColumn("field_matched", F.coalesce(field_matched, F.lit(False)))
     df = df.withColumn(

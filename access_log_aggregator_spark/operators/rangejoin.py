@@ -39,7 +39,6 @@ def point_in_interval_join(
     start: str,
     end: str,
     bucket_width_s: int = 1800,
-    how: str = "inner",
 ) -> DataFrame:
     """Join every point row to the interval rows (same ``on`` key) with
     ``start <= ts < end``. Time columns are timestamps at-or-after the
@@ -71,7 +70,10 @@ def point_in_interval_join(
             )
         ),
     )
-    joined = p.join(iv, [*on, "_bucket"], how).where(
+    # INNER only: the residual range filter runs after the bucket equi-join,
+    # which would silently discard the null-extended rows of an outer join —
+    # unmatched-point semantics belong to a left-anti composition on top.
+    joined = p.join(iv, [*on, "_bucket"], "inner").where(
         (F.col(start) <= F.col(ts)) & (F.col(ts) < F.col(end))
     )
     return joined.drop("_bucket")

@@ -56,7 +56,11 @@ def tfidf_top_terms(df: DataFrame, k: int = 20, text_col: str = "text",
     of the tf table beyond its own aggregation.
     """
     toks = _e(x.tokens(text_col, x.SPARK))
-    tok = df.select(id_col, F.explode(toks).alias("token"))
+    # checkpoint the exploded token frame: both aggregates (tf and df) read
+    # it, and Catalyst would otherwise inline + re-tokenize the corpus once
+    # per consumer (the dedup modules' shared-subtree lesson)
+    tok = df.select(id_col, F.explode(toks).alias("token")) \
+        .localCheckpoint(eager=False)
     tf = tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tok.groupBy("token").agg(F.countDistinct(id_col).alias("df"))
     n_docs = df.count()  # driver-side scalar, like any dataset statistic

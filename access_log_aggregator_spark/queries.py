@@ -405,7 +405,7 @@ with med as (
   select event_type, quantile_cont(value, 0.5) as median
   from events group by event_type
 )
-select m.event_type, count(*) as n, m.median,
+select m.event_type, count(e.value) as n, m.median,
        quantile_cont(abs(e.value - m.median), 0.5) as mad
 from events e join med m using (event_type)
 group by m.event_type, m.median

@@ -117,6 +117,13 @@ WIDE_LINES = [
     '{"a":',                                               # not extractable (no })
     '{%s,%s,%s,%s,"extra":{"nested":{"deep":1}}}' % (_T, _H, _S, _D),  # nested extra
     '{%s,%s,%s,%s,"note":"a\\"quote"}' % (_T, _H, _S, _D),  # escaped extra value
+    # review-found vectors: each previously diverged somewhere in the triangle
+    '{%s,"time":"not-a-date",%s,%s}' % (_H, _S, _D),       # reordered bad time: unmarshal err
+    '{%s,%s,%s,"duration":1e400}' % (_H, _T, _S),          # reordered float64 overflow
+    '{%s,%s,%s,"duration":%s}' % (_T, _H, _S, "9" * 400),  # huge-int duration: float() overflow
+    '{%s,%s,%s,"duration":9999999999999999999999}' % (_T, _H, _S),  # 22 digits: finite, VALID
+    '{%s,"host":"a\x07b.com",%s,%s}' % (_T, _S, _D),       # raw control char: Go rejects
+    '{%s,%s,"status_code":2٣,%s}' % (_T, _H, _D),     # unicode digit: invalid JSON
 ]
 
 #: Go-equivalent on the default (Arrow/json) path only; the JVM variant's
