@@ -44,6 +44,10 @@ def main(argv: list[str] | None = None) -> int:
                          "(balances write tasks / bounds file count under skew)")
     ap.add_argument("--no-arrow-udf", action="store_true",
                     help="use the pure-JVM regexp extractor instead of the pandas UDF")
+    ap.add_argument("--compact", action="store_true",
+                    help="after processing, compact the routed sink's small "
+                         "files into one replace snapshot (maintenance job; "
+                         "incremental cursors unaffected)")
     ap.add_argument("--stream", action="store_true",
                     help="Structured Streaming mode: foreachBatch fan-out with "
                          "a streaming checkpoint (drains all unseen snapshots)")
@@ -135,6 +139,10 @@ def main(argv: list[str] | None = None) -> int:
             for k, v in r.sink_counts.items():
                 totals[k] += v
         n_batches = len(results)
+        if args.compact:
+            sid = pipe.routed_table.compact(marker="cli-compact")
+            print(f"compacted routed sink -> snapshot {sid}" if sid
+                  else "routed sink already compact", file=sys.stderr)
         agg_rows = pipe.write_aggregates() if rows_in else {}
         print(json.dumps({"batches": n_batches, "rows_in": rows_in,
                           "sink_counts": totals,

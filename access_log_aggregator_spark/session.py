@@ -30,6 +30,11 @@ def get_spark(
         .master(master)
         # Correctness posture
         .config("spark.sql.session.timeZone", "UTC")
+        # INT64 micros, not legacy INT96: the annotated logical type
+        # survives non-Spark readers/writers (pyarrow compaction, DuckDB
+        # oracles) — an INT96 column rewritten by pyarrow comes back as
+        # NTZ nanos and breaks Spark reads of the compacted file
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # Arrow batch transfer for pandas UDFs (the vectorized parse path)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # ~2 KB text rows -> ~64 MB Arrow batches: big enough that the

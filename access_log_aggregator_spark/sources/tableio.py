@@ -45,6 +45,10 @@ class Snapshot:
     files: list[str]
     row_count: int
     marker: Optional[str] = None
+    #: "append" adds rows; "replace" rewrites the live file set without
+    #: changing table contents (compaction — Iceberg's rewrite_data_files).
+    #: Incremental readers skip replace snapshots: they carry no new rows.
+    operation: str = "append"
 
 
 class SnapshotTable:
@@ -88,7 +92,8 @@ class SnapshotTable:
         return {s["marker"] for s in self._manifest()["snapshots"] if s.get("marker")}
 
     # -- writes --------------------------------------------------------------
-    def _commit_files(self, files: list[Path], row_count: int, marker: Optional[str]) -> int:
+    def _commit_files(self, files: list[Path], row_count: int,
+                      marker: Optional[str], operation: str = "append") -> int:
         m = self._manifest()
         if marker is not None and marker in {s.get("marker") for s in m["snapshots"]}:
             for f in files:  # duplicate commit: drop the staged files, keep table as-is
@@ -97,10 +102,53 @@ class SnapshotTable:
         sid = (m["snapshots"][-1]["id"] + 1) if m["snapshots"] else 1
         m["snapshots"].append(
             {"id": sid, "files": [str(f.relative_to(self.root)) for f in files],
-             "row_count": row_count, "marker": marker}
+             "row_count": row_count, "marker": marker, "operation": operation}
         )
         self._write_manifest(m)
         return sid
+
+    def compact(self, rows_per_file: int = 1_000_000,
+                marker: Optional[str] = None) -> Optional[int]:
+        """Small-file compaction (Iceberg ``rewrite_data_files`` analog):
+        rewrite the CURRENT live file set into ~``rows_per_file``-row files
+        and commit a ``replace`` snapshot. Table contents are unchanged;
+        old files stay on disk so earlier snapshots remain readable (time
+        travel / snapshot isolation) until an expiry job removes them.
+        Incremental readers are unaffected: ``read(start_after=cursor)``
+        only returns APPEND snapshots, so rewritten rows are never
+        re-processed. CAVEAT: the streaming mode's file source
+        (streaming/stream.py) discovers files by DIRECTORY listing, not via
+        this manifest — do not compact a table a directory-based stream is
+        tailing (it would re-ingest the merged files); real Iceberg solves
+        this with manifest-based streaming reads. Returns the new snapshot
+        id, or None if the table has fewer than two live files."""
+        from collections import defaultdict
+
+        live = self.data_files()
+        groups: dict[Path, list[str]] = defaultdict(list)
+        for f in live:
+            # merge only within a directory: hive-partitioned layouts keep
+            # the partition value in the dir name, not the file, so a
+            # cross-directory merge would lose the partition column
+            groups[Path(f).parent].append(f)
+        if not any(len(fs) > 1 for fs in groups.values()):
+            return None
+        out: list[Path] = []
+        total = 0
+        for d, fs in sorted(groups.items()):
+            if len(fs) == 1:  # already compact: carry the file as-is
+                out.append(Path(fs[0]))
+                total += pq.read_metadata(fs[0]).num_rows
+                continue
+            merged = pa.concat_tables(
+                [pq.read_table(f) for f in fs], promote_options="default"
+            )
+            total += merged.num_rows
+            for lo in range(0, max(merged.num_rows, 1), rows_per_file):
+                dest = d / f"compact-{uuid.uuid4().hex}.parquet"
+                pq.write_table(merged.slice(lo, rows_per_file), dest)
+                out.append(dest)
+        return self._commit_files(out, total, marker, operation="replace")
 
     def append_pandas(self, pdf: pd.DataFrame, marker: Optional[str] = None,
                       schema: Optional[pa.Schema] = None) -> int:
@@ -130,14 +178,31 @@ class SnapshotTable:
         self._write_manifest(m)
 
     # -- reads ---------------------------------------------------------------
+    def _live_snapshots(self, end: Optional[int] = None) -> list[Snapshot]:
+        """The snapshots composing the table STATE as of ``end`` (default:
+        current): the latest replace snapshot (the rewritten base) plus
+        every append after it."""
+        snaps = [s for s in self.snapshots() if end is None or s.id <= end]
+        base = -1
+        for s in snaps:
+            if s.operation == "replace":
+                base = s.id
+        return [s for s in snaps if s.id >= base and
+                (s.operation == "append" or s.id == base)]
+
     def data_files(self, start_after: Optional[int] = None,
                    end: Optional[int] = None) -> list[str]:
+        if start_after is not None:
+            # incremental scan: NEW ROWS only — append snapshots past the
+            # cursor (replace snapshots rewrite existing rows; including
+            # them would double-process after a compaction)
+            snaps = [s for s in self.snapshots()
+                     if s.id > start_after and s.operation == "append"
+                     and (end is None or s.id <= end)]
+        else:
+            snaps = self._live_snapshots(end)
         out: list[str] = []
-        for s in self.snapshots():
-            if start_after is not None and s.id <= start_after:
-                continue
-            if end is not None and s.id > end:
-                continue
+        for s in snaps:
             out.extend(str(self.root / f) for f in s.files)
         return out
 
@@ -154,4 +219,4 @@ class SnapshotTable:
         return spark.read.parquet(*files)
 
     def row_count(self) -> int:
-        return sum(s.row_count for s in self.snapshots())
+        return sum(s.row_count for s in self._live_snapshots())

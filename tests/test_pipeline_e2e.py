@@ -156,6 +156,36 @@ def test_resume_is_idempotent(pipe, spark, corpus, lookup_sdf, tmp_path_factory)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
 
+def test_routed_sink_compaction_preserves_reads(pipe, spark, corpus, lookup_sdf,
+                                                tmp_path_factory):
+    """Compacting the hive-partitioned routed sink merges files WITHIN each
+    match_class directory (partition values live in dir names): per-class
+    counts and the host aggregate are unchanged, file count shrinks."""
+    root = tmp_path_factory.mktemp("compact")
+    p = Pipeline(spark, root / "out", lookup_sdf)
+    n = len(corpus.pages)
+    step = (n + 3) // 4
+    for k, lo in enumerate(range(0, n, step)):
+        p.process_batch(spark.createDataFrame(corpus.pages.iloc[lo: lo + step]),
+                        batch_id=f"c{k}")
+    before_counts = {c: p.sink(c).count() for c in corpus.golden_counts}
+    before_files = len(p.routed_table.data_files())
+
+    before_windows = p.agg_by_window().count()
+    assert p.routed_table.compact() is not None
+    assert len(p.routed_table.data_files()) < before_files
+    assert {c: p.sink(c).count() for c in corpus.golden_counts} == before_counts
+    # read EVERY column type through the compacted files — the timestamp
+    # annotation must survive the pyarrow rewrite (INT96 would not)
+    assert p.agg_by_window().count() == before_windows
+    assert p.routed().select(*p.routed().columns).count() == sum(before_counts.values())
+
+    baseline, _, _, _ = pipe
+    a = p.agg_by_host().select("host", "total_requests", "sum_duration_dec")
+    b = baseline.agg_by_host().select("host", "total_requests", "sum_duration_dec")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
 def test_duplicate_batch_commit_is_noop(pipe, spark, corpus, lookup_sdf, tmp_path_factory):
     """Sink idempotence marker: re-committing a batch id doesn't double rows."""
     root = tmp_path_factory.mktemp("dup")

@@ -40,6 +40,46 @@ def test_incremental_file_ranges(tmp_path):
     assert t.data_files(start_after=4) == []
 
 
+def test_compaction_preserves_contents_and_cursors(tmp_path):
+    """compact() rewrites the live file set (replace snapshot): same rows,
+    fewer files; incremental cursors NEVER re-read rewritten rows; earlier
+    snapshots stay readable (time travel)."""
+    import pyarrow.parquet as pq
+
+    t = SnapshotTable.create(tmp_path / "t")
+    for i in range(4):
+        t.append_pandas(_pdf(2, i * 2))          # snapshots 1..4, rows 0..7
+    before_files = t.data_files()
+    assert len(before_files) == 4
+
+    sid = t.compact()
+    assert sid == 5
+    assert len(t.data_files()) == 1              # live view: one merged file
+    assert t.row_count() == 8
+    merged = pq.read_table(t.data_files()[0]).to_pydict()
+    assert sorted(merged["a"]) == list(range(8))
+
+    # incremental reader whose cursor predates the compaction sees NOTHING
+    # new (the replace snapshot carries no new rows)
+    assert t.data_files(start_after=4) == []
+    # ... and a post-compaction append is seen exactly once
+    t.append_pandas(_pdf(2, 8))                  # snapshot 6
+    assert len(t.data_files(start_after=4)) == 1
+    assert t.row_count() == 10
+    assert len(t.data_files()) == 2              # merged + new append
+
+    # time travel: the pre-compaction state is still fully readable
+    assert t.data_files(end=4) == before_files
+    assert t.data_files(end=2) == before_files[:2]
+
+
+def test_compact_is_noop_on_single_file(tmp_path):
+    t = SnapshotTable.create(tmp_path / "t")
+    t.append_pandas(_pdf(5))
+    assert t.compact() is None
+    assert t.row_count() == 5
+
+
 def test_truncate(tmp_path):
     t = SnapshotTable.create(tmp_path / "t")
     t.append_pandas(_pdf(5))
