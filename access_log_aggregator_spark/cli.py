@@ -140,7 +140,10 @@ def main(argv: list[str] | None = None) -> int:
                 totals[k] += v
         n_batches = len(results)
         if args.compact:
-            sid = pipe.routed_table.compact(marker="cli-compact")
+            # no marker: compaction is safe to redo (re-compacting a
+            # compact table is a no-op by the <2-files check); a constant
+            # marker would silently turn every later run into a no-op
+            sid = pipe.routed_table.compact()
             print(f"compacted routed sink -> snapshot {sid}" if sid
                   else "routed sink already compact", file=sys.stderr)
         agg_rows = pipe.write_aggregates() if rows_in else {}

@@ -107,7 +107,11 @@ def robust_stats_by_group(df: DataFrame, group_col: str = "event_type",
         return float(sorted_vals[lo] + (sorted_vals[lo + 1] - sorted_vals[lo]) * frac)
 
     def stats(pdf: pd.DataFrame) -> pd.DataFrame:
-        # drop nulls/NaNs like quantile_cont does (x != x filters NaN)
+        # Nulls are ignored (matching quantile_cont). NaNs are ALSO dropped
+        # here, which diverges from DuckDB's NaN-sorts-largest rule —
+        # callers with NaN-bearing values must pre-filter them to keep the
+        # oracle contract (Python's sort is undefined over NaN, so there is
+        # no faithful cheap emulation).
         v = sorted(
             float(x) for x in pdf[value_col]
             if x is not None and x == x
@@ -124,7 +128,8 @@ def robust_stats_by_group(df: DataFrame, group_col: str = "event_type",
             columns=[group_col, "n", "median", "mad"],
         )
 
-    schema = f"{group_col} string, n long, median double, mad double"
+    group_type = df.schema[group_col].dataType.simpleString()
+    schema = f"{group_col} {group_type}, n long, median double, mad double"
     return df.groupBy(group_col).applyInPandas(stats, schema)
 
 

@@ -1310,20 +1310,27 @@ def _q_pipeline_url_params(spark, sf_dir):
 
 
 def _pipeline_url_params_oracle() -> str:
+    """Mirrors parse_qsl's rules on the unescaped grammar: the query string
+    stops at '#', pairs split on the FIRST '=', blank values are dropped
+    (keep_blank_values=False). Remaining undocumented-divergence surface:
+    %xx unescaping and '+'-as-space, which the corpus never emits."""
     root = _pages_cache_root()
     return f"""
 with pages as (select * from read_parquet('{root}/pages/*.parquet')),
 q as (
-  select str_split(regexp_extract(url, '\\?(.*)$', 1), '&') as kvs
+  select str_split(regexp_extract(url, '\\?([^#]*)', 1), '&') as kvs
   from pages where url like '%?%'
 ),
 kv as (select unnest(kvs) as kv from q),
 p as (
-  select str_split(kv, '=')[1] as param, str_split(kv, '=')[2] as value
+  select regexp_extract(kv, '^([^=]*)=(.*)$', 1) as param,
+         regexp_extract(kv, '^([^=]*)=(.*)$', 2) as value
   from kv where kv like '%=%'
 )
 select param, count(*) as n_urls, min(value) as min_value, max(value) as max_value
-from p group by param order by param
+from p
+where value <> ''
+group by param order by param
 """
 
 

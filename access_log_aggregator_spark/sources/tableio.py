@@ -96,8 +96,14 @@ class SnapshotTable:
                       marker: Optional[str], operation: str = "append") -> int:
         m = self._manifest()
         if marker is not None and marker in {s.get("marker") for s in m["snapshots"]}:
-            for f in files:  # duplicate commit: drop the staged files, keep table as-is
-                f.unlink(missing_ok=True)
+            # duplicate commit: drop the staged files, keep table as-is.
+            # Callers that pass PRE-EXISTING live files (compact's carried
+            # singles) must pre-check the marker before staging — this
+            # path assumes every file in ``files`` is freshly staged.
+            live = set(self.data_files())
+            for f in files:
+                if str(f) not in live:
+                    f.unlink(missing_ok=True)
             return [s["id"] for s in m["snapshots"] if s.get("marker") == marker][0]
         sid = (m["snapshots"][-1]["id"] + 1) if m["snapshots"] else 1
         m["snapshots"].append(
@@ -124,6 +130,12 @@ class SnapshotTable:
         id, or None if the table has fewer than two live files."""
         from collections import defaultdict
 
+        if marker is not None and marker in self.committed_markers():
+            # pre-check BEFORE touching any files: the duplicate-marker
+            # path of _commit_files unlinks whatever it is passed, and
+            # compact may pass pre-existing live files (carried singles)
+            m = self._manifest()
+            return [s["id"] for s in m["snapshots"] if s.get("marker") == marker][0]
         live = self.data_files()
         groups: dict[Path, list[str]] = defaultdict(list)
         for f in live:

@@ -73,6 +73,37 @@ def test_compaction_preserves_contents_and_cursors(tmp_path):
     assert t.data_files(end=2) == before_files[:2]
 
 
+def test_compact_duplicate_marker_never_deletes_live_files(tmp_path):
+    """Re-running compact with an already-committed marker must be a pure
+    no-op: compact carries pre-existing single files into its snapshot, so
+    the duplicate-commit cleanup path must never unlink live data."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    t = SnapshotTable.create(tmp_path / "t")
+    d1 = t.root / "data" / "p=a"
+    d2 = t.root / "data" / "p=b"
+    d1.mkdir(); d2.mkdir()
+    staged = []
+    for d, vals in ((d1, [1, 2]), (d1, [3]), (d2, [4])):
+        f = d / f"part-{len(staged)}.parquet"
+        pq.write_table(pa.table({"a": vals}), f)
+        staged.append(f)
+    t._commit_files(staged, 4, marker=None)
+
+    sid = t.compact(marker="m1")     # merges d1; carries d2's single file
+    live = t.data_files()
+    assert any("p=b" in f for f in live)
+
+    assert t.compact(marker="m1") == sid   # duplicate: no-op, same id
+    for f in live:
+        assert Path(f).exists(), f"live file deleted by duplicate compact: {f}"
+    assert t.data_files() == live
+    # nothing new appended -> unmarked compact is a no-op too
+    assert t.compact() is None
+
+
 def test_compact_is_noop_on_single_file(tmp_path):
     t = SnapshotTable.create(tmp_path / "t")
     t.append_pandas(_pdf(5))
