@@ -1180,7 +1180,7 @@ def _duck_utf8_regex() -> str:
     return "^(?:" + "|".join(alts) + ")*$"
 
 
-def _pipeline_duck_cte() -> str:
+def _pipeline_duck_cte(root=None) -> str:
     """The shared DuckDB re-derivation of the routed table: every stage of
     the pipeline re-expressed independently in SQL over the cached parquet.
 
@@ -1192,7 +1192,7 @@ def _pipeline_duck_cte() -> str:
     grammar itself is property-tested against the Python oracle instead."""
     from .functions import extract as X
 
-    root = _pages_cache_root()
+    root = root or _pages_cache_root()
     f = X.FIELD_PATTERN
 
     def cap(i: int) -> str:
@@ -1244,10 +1244,10 @@ routed as (
 """
 
 
-def _pipeline_agg_by_host_oracle() -> str:
+def _pipeline_agg_by_host_oracle(root=None) -> str:
     two_xx = "count(*) filter (where status_code >= 200 and status_code < 300)"
     dsum = "(sum((duration)::decimal(18,9)))::double"
-    return f"""{_pipeline_duck_cte()}
+    return f"""{_pipeline_duck_cte(root)}
 select host,
        count(*) as total_requests,
        {two_xx} as requests_2xx,
@@ -1260,8 +1260,8 @@ group by host order by host
 """
 
 
-def _pipeline_route_counts_oracle() -> str:
-    return f"""{_pipeline_duck_cte()}
+def _pipeline_route_counts_oracle(root=None) -> str:
+    return f"""{_pipeline_duck_cte(root)}
 select match_class, count(*) as hits from routed
 group by match_class order by match_class
 """
