@@ -77,6 +77,24 @@ FIELD_PATTERN = (
 #: Python oracle but not on Spark (cross-engine parity break).
 FIELD_RE = re.compile(FIELD_PATTERN, re.ASCII)
 
+#: Fast-path eligibility gate #2 (the dup-primary-key guard). FIELD_PATTERN's
+#: extras tail accepts a RE-SPECIFIED primary key (e.g. a second
+#: ``"status_code":0`` after the head), and the fast path would then take the
+#: FIRST values while Go json.Unmarshal is last-wins. A line is fast-path
+#: eligible only when each primary key occurs exactly once — i.e. this
+#: pattern occurs exactly :data:`PRIMARY_KEY_COUNT` times. Counting is exact
+#: on FIELD_PATTERN-matching lines: fast-path strings exclude quotes and
+#: escapes, so ``"<key>":`` can only appear at a key position. Lines that
+#: fail the gate fall through to the wide-grammar fallback (last-wins).
+PRIMARY_KEY_PATTERN = r'"(?:time|host|status_code|duration)":'
+PRIMARY_KEY_RE = re.compile(PRIMARY_KEY_PATTERN)
+PRIMARY_KEY_COUNT = 4
+
+
+def unique_primary_keys(line: str) -> bool:
+    """True iff each primary key occurs exactly once (fast-path gate #2)."""
+    return len(PRIMARY_KEY_RE.findall(line)) == PRIMARY_KEY_COUNT
+
 #: RFC3339 timestamps as produced by Go time.Time.MarshalJSON
 #: (UTC 'Z' or numeric offset, optional 1-9 digit fraction).
 TIME_PATTERN = (
@@ -129,9 +147,12 @@ def extract_line_bytes(data: bytes) -> Optional[bytes]:
 
 
 def parse_fields(line: str) -> Optional[ParsedFields]:
-    """Apply FIELD_RE to an extracted line; None when it doesn't match."""
+    """Apply FIELD_RE to an extracted line; None when it doesn't match OR
+    when a primary key is re-specified in the extras tail (the fast path's
+    first-wins captures would diverge from Go's last-wins — such lines must
+    take the wide-grammar fallback)."""
     m = FIELD_RE.match(line)
-    if m is None:
+    if m is None or not unique_primary_keys(line):
         return None
     return ParsedFields(m.group(1), m.group(2), m.group(3), m.group(4))
 

@@ -150,15 +150,24 @@ def extract_parse_udf(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
 
         def fast_mask(lines: pd.Series) -> pd.Series:
             arr = pa.Array.from_pandas(lines, type=pa.string())
-            m = pc.fill_null(pc.match_substring_regex(arr, _FIELD_RE2), False)
-            return m.to_pandas()
+            m = pc.match_substring_regex(arr, _FIELD_RE2)
+            # dup-primary-key guard: a re-specified primary key in the
+            # extras tail must take the last-wins fallback (ADVICE fix)
+            uniq = pc.equal(
+                pc.count_substring_regex(arr, X.PRIMARY_KEY_PATTERN),
+                X.PRIMARY_KEY_COUNT,
+            )
+            return pc.fill_null(pc.and_(m, uniq), False).to_pandas()
     except Exception:  # pragma: no cover - pyarrow.compute always present
         import re
 
         _fre = re.compile(X.FIELD_PATTERN)
 
         def fast_mask(lines: pd.Series) -> pd.Series:
-            return lines.map(lambda s: isinstance(s, str) and bool(_fre.match(s)))
+            return lines.map(
+                lambda s: isinstance(s, str) and bool(_fre.match(s))
+                and X.unique_primary_keys(s)
+            )
 
     for s in batches:
         lines = impl(s)

@@ -6,10 +6,12 @@ extracted payload column:
 
 - FAST PATH: ``regexp_extract`` with the canonical FIELD_PATTERN (JVM-side,
   whole-stage-codegen friendly — the projection-at-parse analog of the
-  reference's struct tags, model.go:9-14). The pattern only matches lines
-  Go's json.Unmarshal accepts with identical values (fixed key order,
-  escape-free strings, strict JSON numbers, well-formed flat extras) —
-  the overwhelming majority of any real access-log corpus.
+  reference's struct tags, model.go:9-14), gated by the dup-primary-key
+  count check (functions/extract.py PRIMARY_KEY_PATTERN). The gated pattern
+  only matches lines Go's json.Unmarshal accepts with identical values
+  (fixed key order, each primary key exactly once, escape-free strings,
+  strict JSON numbers, well-formed flat extras) — the overwhelming majority
+  of any real access-log corpus.
 - WIDE-GRAMMAR FALLBACK (rows that miss the fast path): the full
   json.Unmarshal grammar — reordered keys, interstitial whitespace, escaped
   strings, duplicate keys (last wins), trailing-content rejection
@@ -20,12 +22,10 @@ extracted payload column:
     semantics via the shared ``go_unmarshal_fields`` primitive. The
     fast-path check is vectorized RE2, so per-row Python touches only the
     rare remainder.
-  * JVM path: ``try_parse_json`` (variant) + ``schema_of_variant`` field
-    typing + a string-stripped balanced-brace guard for trailing content.
-    Documented divergences from Go (none reachable from the corpus
-    grammar): duplicate keys are rejected rather than last-wins
-    (``parse_json`` restriction), and the trailing guard assumes <= 3
-    levels of nesting inside extra-field values.
+  * JVM path: ``from_json`` to ``map<string,variant>`` (keeps duplicate
+    entries => exact Go last-wins via last-entry-per-key extraction) +
+    ``schema_of_variant`` field typing + an exact any-depth brace fold for
+    trailing-content rejection. No known divergences from Go's grammar.
 - validation: the model.go:24 predicate, with present-but-zero handled
   exactly (``status_code == 0`` / ``duration == 0.0`` reject);
 - timestamp: RFC3339 with optional 1-9 digit fraction; nanoseconds truncate
@@ -52,11 +52,39 @@ _GO_ZERO = "0001-01-01T00:00:00+00:00"
 
 #: JSON string literal (for stripping strings before the brace-balance check)
 _JSON_STR_LIT = r'"(?:[^"\\]|\\.)*"'
-#: single JSON object spanning the whole (string-stripped) line, nesting <= 3
-_B0 = r"[^{}]*"
-_B1 = _B0 + r"(?:\{" + _B0 + r"\}" + _B0 + r")*"
-_B2 = _B0 + r"(?:\{" + _B1 + r"\}" + _B0 + r")*"
-_BALANCED_RE = r"^\{" + _B2 + r"\}$"
+
+#: from_json options that disable Jackson laxities Go's json package lacks
+#: (single-quoted strings, NaN/Infinity literals; the other lax options —
+#: comments, unquoted field names/control chars, leading zeros — are already
+#: off by default).
+_STRICT_JSON_OPTS = {"allowSingleQuotes": "false", "allowNonNumericNumbers": "false"}
+
+
+def _single_object_spans_line(stripped: Column) -> Column:
+    """Exact trailing-content guard at ANY nesting depth: over the
+    string-stripped line, fold characters tracking brace depth; the line is
+    one complete JSON object iff depth first returns to 0 exactly at the
+    last character (Go json.Unmarshal rejects trailing content,
+    model_test.go:30 — and from_json/try_parse_json both ACCEPT it, so this
+    check is what enforces Go's rule on the JVM path). Extraction guarantees
+    the line starts with '{' and ends with '}' (LINE_PATTERN), so no
+    leading/trailing whitespace case arises. Runs only on the rare
+    fallback rows."""
+    def step(acc: Column, c: Column) -> Column:
+        nd = acc.depth + F.when(c == "{", 1).when(c == "}", -1).otherwise(0)
+        return F.struct(
+            nd.alias("depth"),
+            (acc.done | (nd == 0)).alias("done"),
+            (acc.trailing | acc.done).alias("trailing"),
+        )
+
+    init = F.struct(
+        F.lit(0).alias("depth"), F.lit(False).alias("done"),
+        F.lit(False).alias("trailing"),
+    )
+    return F.aggregate(
+        F.split(stripped, ""), init, step, lambda acc: acc.done & ~acc.trailing
+    )
 
 
 def _log_ts(time_str: Column) -> Column:
@@ -84,18 +112,36 @@ def _jvm_fallback(df: DataFrame) -> DataFrame:
     time/host must be JSON strings, status_code a non-overflowing integer
     (variant types huge ints as DECIMAL(19,0) -> rejected, exactly Go's
     overflow error), duration any finite JSON number; null/missing leave
-    the Go zero value."""
-    df = df.withColumn("_fbv", F.expr("try_parse_json(_fbline)"))
+    the Go zero value.
+
+    Duplicate keys are LAST-WINS exactly like Go: the line parses as
+    ``map<string,variant>`` (from_json keeps duplicate entries in order) and
+    each field reads the LAST entry with its key. Trailing content is
+    rejected by an exact any-depth brace fold (:func:`_single_object_spans_line`).
+    """
+    df = df.withColumn(
+        "_fbm", F.from_json("_fbline", "map<string,variant>", _STRICT_JSON_OPTS)
+    )
+    # last entry per primary key (Go last-wins), as a variant per field
+    # (try_element_at: NULL for a missing key instead of erroring)
+    for fld in ("time", "host", "status_code", "duration"):
+        df = df.withColumn(
+            f"_v_{fld}",
+            F.try_element_at(
+                F.filter(F.map_entries("_fbm"), lambda e: e.key == F.lit(fld)),
+                F.lit(-1),
+            ).value,
+        )
 
     def vtype(field: str) -> Column:
-        return F.expr(f"schema_of_variant(try_variant_get(_fbv, '$.{field}'))")
+        return F.expr(f"schema_of_variant(_v_{field})")
 
     def vget(field: str, typ: str) -> Column:
-        return F.expr(f"try_variant_get(_fbv, '$.{field}', '{typ}')")
+        return F.expr(f"try_variant_get(_v_{field}, '$', '{typ}')")
 
     t_t, h_t, s_t, d_t = (vtype(f) for f in ("time", "host", "status_code", "duration"))
     stripped = F.regexp_replace(F.col("_fbline"), _JSON_STR_LIT, '""')
-    balanced = stripped.rlike(_BALANCED_RE)
+    balanced = _single_object_spans_line(stripped)
     d_val = F.when(
         d_t.isNull() | (d_t == "VOID"), F.lit(0.0)
     ).otherwise(vget("duration", "double"))
@@ -114,7 +160,7 @@ def _jvm_fallback(df: DataFrame) -> DataFrame:
     )
     json_ok = (
         F.col("_fbline").isNotNull()
-        & F.col("_fbv").isNotNull()
+        & F.col("_fbm").isNotNull()
         & balanced
         & t_ok & str_or_void(h_t)
         & (s_t.isNull() | s_t.isin("VOID", "BIGINT"))
@@ -131,7 +177,9 @@ def _jvm_fallback(df: DataFrame) -> DataFrame:
         F.coalesce(d_val, F.lit(0.0)).alias("duration"),
         json_ok.alias("json_ok"),
     )
-    return df.withColumn("_fb", fb).drop("_fbv")
+    return df.withColumn("_fb", fb).drop(
+        "_fbm", "_v_time", "_v_host", "_v_status_code", "_v_duration"
+    )
 
 
 def parse_stage(pages: DataFrame, use_arrow_udf: bool = True) -> DataFrame:
@@ -154,9 +202,13 @@ def parse_stage(pages: DataFrame, use_arrow_udf: bool = True) -> DataFrame:
     # SINGLE regexp_replace pass (separator \x01 — structurally unreachable:
     # FIELD_PATTERN's capture classes exclude ALL control chars, which Go's
     # json.Unmarshal rejects unescaped anyway; a smuggled \x01 line simply
-    # misses the fast path). 2 regex evaluations per row instead of 5
-    # (rlike + 4 regexp_extract).
-    field_matched = et.rlike(X.FIELD_PATTERN)
+    # misses the fast path). 3 regex evaluations per row instead of 6
+    # (rlike + dup-key count + 4 regexp_extract). The regexp_count gate
+    # routes lines whose extras tail RE-specifies a primary key to the
+    # last-wins fallback (first-wins fast captures would diverge from Go).
+    field_matched = et.rlike(X.FIELD_PATTERN) & (
+        F.regexp_count(et, F.lit(X.PRIMARY_KEY_PATTERN)) == X.PRIMARY_KEY_COUNT
+    )
     df = df.withColumn("field_matched", F.coalesce(field_matched, F.lit(False)))
     df = df.withColumn(
         "_packed",

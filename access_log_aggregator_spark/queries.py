@@ -1185,11 +1185,13 @@ def _pipeline_duck_cte(root=None) -> str:
     the pipeline re-expressed independently in SQL over the cached parquet.
 
     Field capture uses the canonical FIELD_PATTERN (same RE2 family as the
-    pipeline's pyarrow extraction path). The corpus generator only emits
+    pipeline's pyarrow extraction path) gated by the same dup-primary-key
+    count check as the Spark fast path. The corpus generator only emits
     fixed-order payloads, and every line it emits that needs the pipeline's
-    wide-grammar JSON fallback is invalid either way (missing/zero fields),
-    so the regex derivation classifies this corpus identically — the wide
-    grammar itself is property-tested against the Python oracle instead."""
+    wide-grammar JSON fallback is invalid either way (missing/zero fields,
+    or a dup-key tail whose last-wins value is zero), so the regex
+    derivation classifies this corpus identically — the wide grammar itself
+    is property-tested against the Python oracle instead."""
     from .functions import extract as X
 
     root = root or _pages_cache_root()
@@ -1209,7 +1211,9 @@ ex as (
 ),
 f as (
   select *,
-         coalesce(regexp_full_match(line, '{f}'), false) as fieldm,
+         coalesce(regexp_full_match(line, '{f}')
+                  and len(regexp_extract_all(line, '{X.PRIMARY_KEY_PATTERN}'))
+                      = {X.PRIMARY_KEY_COUNT}, false) as fieldm,
          {cap(1)} as time_str, {cap(2)} as host_str,
          {cap(3)} as status_str, {cap(4)} as duration_str
   from ex

@@ -39,6 +39,9 @@ VARIANTS = [
     ("invalid_json", 0.03),   # trailing content / truncated / garbage
     ("missing_field", 0.04),  # one of time/host/status_code/duration absent
     ("zero_value", 0.02),     # status_code:0 or duration:0 (model.go:24)
+    ("dup_key", 0.01),        # primary key re-specified in the extras tail:
+                              # Go last-wins => the trailing zero rejects it
+                              # (the fast path must NOT take the first values)
     ("no_payload", 0.02),     # no JSON-looking line at all
     ("bot", 0.05),            # valid record on an is_bot_host host
     ("error", 0.01),          # html carries invalid UTF-8
@@ -168,6 +171,15 @@ def generate_pages_chunk(start: int, n_rows: int, seed: int = 42,
                 payload = _log_line(rng, host, status=0)
             else:
                 payload = _log_line(rng, host, duration=0.0)
+        elif variant == "dup_key":
+            # fast-path-shaped head + a re-specified primary key in the
+            # tail; json.Unmarshal is last-wins so the record is INVALID
+            # (trailing zero). A first-wins fast path would misclassify
+            # this as parsed with the head's valid values.
+            line = _log_line(rng, host)
+            dup = ('"status_code":0' if rng.random() < 0.5
+                   else '"duration":0.000000000')
+            payload = line[:-1] + "," + dup + "}"
         elif variant == "no_payload":
             payload = None
         else:  # error

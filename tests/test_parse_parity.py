@@ -124,13 +124,19 @@ WIDE_LINES = [
     '{%s,%s,%s,"duration":9999999999999999999999}' % (_T, _H, _S),  # 22 digits: finite, VALID
     '{%s,"host":"a\x07b.com",%s,%s}' % (_T, _S, _D),       # raw control char: Go rejects
     '{%s,%s,"status_code":2٣,%s}' % (_T, _H, _D),     # unicode digit: invalid JSON
-]
-
-#: Go-equivalent on the default (Arrow/json) path only; the JVM variant's
-#: parse_json rejects duplicate keys and >3-deep nesting (documented)
-WIDE_LINES_ARROW_ONLY = [
+    # duplicate keys: Go last-wins on BOTH fallback paths (map<string,variant>
+    # keeps dup entries on the JVM side; json.loads is last-wins on Arrow)
     '{"host":"x.com",%s,%s,%s,%s}' % (_H, _T, _S, _D),     # dup key: last wins
     '{%s,%s,%s,%s,"x":{"a":{"b":{"c":1}}}}' % (_T, _H, _S, _D),  # depth-4 extra
+    '{%s,%s,%s,%s,"x":{"a":{"b":{"c":{"d":{"e":1}}}}}}' % (_T, _H, _S, _D),  # depth-6
+    # ADVICE medium fix: fast-path-shaped head + re-specified primary key in
+    # the extras tail — first-wins fast captures would diverge from Go
+    '{%s,%s,%s,%s,"status_code":0}' % (_T, _H, _S, _D),    # last-wins 0: INVALID
+    '{%s,%s,%s,%s,"duration":0.0}' % (_T, _H, _S, _D),     # last-wins 0.0: INVALID
+    '{%s,%s,%s,"duration":0.25,"duration":0.5}' % (_T, _H, _S),  # last valid: 0.5
+    '{%s,%s,%s,%s,"host":"other.com"}' % (_T, _H, _S, _D),  # last host wins
+    '{%s,%s,%s,%s,"time":"2026-01-01T00:00:00Z"}' % (_T, _H, _S, _D),  # last time
+    '{%s,%s,%s,%s,"status_code":0},{"x":1}' % (_T, _H, _S, _D),  # dup + trailing
 ]
 
 
@@ -150,7 +156,7 @@ def _wide_pages(spark, lines):
 def test_wide_grammar_matches_oracle(spark, lookup_sdf, use_arrow):
     from access_log_aggregator_spark.oracle import classify_page
 
-    lines = WIDE_LINES + (WIDE_LINES_ARROW_ONLY if use_arrow else [])
+    lines = WIDE_LINES
     df = _routed(_wide_pages(spark, lines), lookup_sdf, use_arrow)
     got = {r["url"]: r for r in df.select(
         "url", "match_class", "reject_reason", "host", "status_code", "duration"
