@@ -230,13 +230,19 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
     a pair is a candidate iff it agrees on AT LEAST ONE band — the OR
     construction whose recall is tunable via (n_bands, planes_per_band),
     unlike a single-bucket scheme that silently loses recall. The self-join
-    is an equi-join on (band_no, band_val): only narrow band rows shuffle,
-    never the O(n^2) cross product, and AQE splits skewed buckets. Cosine
-    uses the bit-identical double-fold recipe, so the DuckDB oracle (same
-    bands, same formula) matches exactly. At 100 TB: write the band table
-    once (here localCheckpoint pins it so Catalyst doesn't recompute the
-    96-plane projection per join side), and raise planes_per_band to keep
-    per-bucket candidate counts bounded.
+    shuffles ONLY narrow (band_no, band_val, id) rows — the vector itself
+    never rides through the n_bands-way band explosion; after the candidate
+    pairs are deduplicated, BOTH id sides join back to a checkpointed
+    (id, vector) frame for the cosine filter, so each vector crosses a
+    shuffle once per side instead of n_bands times, and the cosine is
+    computed once per distinct pair instead of once per agreeing band.
+    Equi-joins throughout (AQE splits skewed buckets), never the O(n^2)
+    cross product. Cosine uses the bit-identical double-fold recipe, so the
+    DuckDB oracle (same bands, same formula, same narrow-pairs shape)
+    matches exactly. At 100 TB: write the band table once (localCheckpoint
+    pins both narrow frames so Catalyst doesn't recompute the 96-plane
+    projection per join side), and raise planes_per_band to keep per-bucket
+    candidate counts bounded.
     """
     band_structs = ", ".join(
         "named_struct('band_no', {b}, 'band_val', {bucket})".format(
@@ -244,20 +250,26 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
                                      plane_offset=b * planes_per_band))
         for b in range(n_bands)
     )
+    vecs = df.select(id_col, vec_col).localCheckpoint(eager=False)
     bands = df.select(
-        F.col(id_col), F.col(vec_col), F.expr(f"inline(array({band_structs}))")
+        F.col(id_col), F.expr(f"inline(array({band_structs}))")
     ).localCheckpoint(eager=False)
     a, c = bands.alias("a"), bands.alias("b")
-    cos = _e(x.cosine_double(f"a.{vec_col}", f"b.{vec_col}", dim, x.SPARK))
-    return (
+    pairs = (
         a.join(c, (F.col("a.band_no") == F.col("b.band_no"))
                & (F.col("a.band_val") == F.col("b.band_val"))
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .select(F.col(f"a.{id_col}").alias("vec_a"),
-                F.col(f"b.{id_col}").alias("vec_b"),
-                cos.alias("cosine"))
-        .where(F.col("cosine") >= threshold)
+                F.col(f"b.{id_col}").alias("vec_b"))
         .distinct()
+    )
+    va, vb = vecs.alias("va"), vecs.alias("vb")
+    cos = _e(x.cosine_double(f"va.{vec_col}", f"vb.{vec_col}", dim, x.SPARK))
+    return (
+        pairs.join(va, F.col("vec_a") == F.col(f"va.{id_col}"))
+        .join(vb, F.col("vec_b") == F.col(f"vb.{id_col}"))
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .where(F.col("cosine") >= threshold)
     )
 
 

@@ -54,19 +54,24 @@ def tfidf_top_terms(df: DataFrame, k: int = 20, text_col: str = "text",
     token) -> broadcastable df join -> global top-k. At corpus scale the df
     table is the small side (vocabulary-sized): broadcast join, no shuffle
     of the tf table beyond its own aggregation.
+
+    N is count(distinct id) over the SAME checkpointed token frame (docs
+    with >= 1 token — identical in the DuckDB oracle), broadcast as a 1-row
+    frame: the corpus is scanned exactly once, at tokenization.
     """
     toks = _e(x.tokens(text_col, x.SPARK))
-    # checkpoint the exploded token frame: both aggregates (tf and df) read
-    # it, and Catalyst would otherwise inline + re-tokenize the corpus once
-    # per consumer (the dedup modules' shared-subtree lesson)
+    # checkpoint the exploded token frame: all three aggregates (tf, df,
+    # n_docs) read it, and Catalyst would otherwise inline + re-tokenize
+    # the corpus once per consumer (the dedup modules' shared-subtree lesson)
     tok = df.select(id_col, F.explode(toks).alias("token")) \
         .localCheckpoint(eager=False)
     tf = tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tok.groupBy("token").agg(F.countDistinct(id_col).alias("df"))
-    n_docs = df.count()  # driver-side scalar, like any dataset statistic
-    score = F.col("tf").cast("double") * F.lit(n_docs) / F.col("df")
+    nd = tok.agg(F.countDistinct(id_col).alias("n_docs"))
+    score = F.col("tf").cast("double") * F.col("n_docs") / F.col("df")
     return (
         tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(nd))
         .select(id_col, "token", "tf", "df", score.alias("score"))
         .orderBy(F.col("score").desc(), F.col(id_col).asc(), F.col("token").asc())
         .limit(k)

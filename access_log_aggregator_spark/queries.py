@@ -849,6 +849,17 @@ group by 1 order by 1
 """
 
 
+def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame implementation (operators/dedup.py): shuffles only narrow
+    (band_no, band_val, id) rows and checkpoints the band + vector frames —
+    the pure-SQL formulation would recompute the 96-plane band CTE per
+    reference and carry the full vector through the band self-join."""
+    from .operators.dedup import embedding_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb).orderBy("vec_a", "vec_b")
+
+
 def _embedding_near_dup_build(d: str) -> str:
     """Embedding-cosine near-dup pairs, multi-band sign-LSH blocked (12
     bands x 8 disjoint planes; candidates agree on >= 1 band — the tunable
@@ -999,17 +1010,30 @@ order by doc_id
 """
 
 
+def _q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame implementation (operators/text.py): the exploded token
+    frame is checkpointed and feeds all three aggregates (tf, df, n_docs),
+    so documents is scanned/tokenized ONCE — the pure-SQL formulation
+    recomputes the token CTE per reference."""
+    from .operators.text import tfidf_top_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs)
+
+
 def _tfidf_build(d: str) -> str:
     """Deterministic tf-idf variant: score = tf * N / df (int product then
     ONE double division — bit-identical across engines, unlike log-based
-    idf). Global top-20 with a total tiebreak order."""
+    idf). N = count(distinct doc_id) over the token frame (docs with >= 1
+    token), so the corpus is scanned once — same as the Spark operator.
+    Global top-20 with a total tiebreak order."""
     toks = x.tokens("text", d)
     expl = f"explode({toks})" if d == x.SPARK else f"unnest({toks})"
     return f"""
 with tok as (select doc_id, {expl} as token from documents),
 tf as (select doc_id, token, count(*) as tf from tok group by doc_id, token),
 dfreq as (select token, count(distinct doc_id) as df from tok group by token),
-n as (select count(*) as n_docs from documents)
+n as (select count(distinct doc_id) as n_docs from tok)
 select doc_id, token, tf, df,
        cast(tf as double) * n_docs / df as score
 from tf join dfreq using (token) cross join n
@@ -1459,7 +1483,9 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_ngram_jaccard_pairs": _sql_pair(_jaccard_pairs_build),
     "ann_cosine_topk": _sql_pair(_ann_topk_build, headline=True),
     "ann_lsh_buckets": _sql_pair(_ann_lsh_buckets_build),
-    "dedup_embedding_cosine_pairs": _sql_pair(_embedding_near_dup_build),
+    "dedup_embedding_cosine_pairs": QuerySpec(
+        _q_embedding_near_dup, _embedding_near_dup_build(x.DUCK)
+    ),
     "ann_ivf_topk": _sql_pair(_ann_ivf_topk_build),
     "embedding_norms": _sql_pair(_embedding_norms_build),
     "text_token_stats": _sql_pair(_token_stats_build),
@@ -1467,7 +1493,7 @@ QUERIES: dict[str, QuerySpec] = {
     "text_langid": _sql_pair(_langid_build),
     "text_quality_score": _sql_pair(_quality_build),
     "text_top_tokens": _sql_pair(_top_tokens_build),
-    "text_tfidf_top_terms": _sql_pair(_tfidf_build),
+    "text_tfidf_top_terms": QuerySpec(_q_tfidf, _tfidf_build(x.DUCK)),
     "docs_quality_filter": _sql_pair(_quality_filter_build),
     # pages pipeline (full-chain DuckDB oracle) + multimodal (rows-only)
     "pipeline_agg_by_host": QuerySpec(

@@ -76,6 +76,36 @@ def test_embedding_near_dup_is_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_embedding_band_join_shuffles_narrow_rows(spark):
+    """The band self-join must move ONLY (id, band_no, band_val) rows —
+    the r2 plan carried the full embedding through the 12-way band
+    explosion (12x vector duplication per shuffle). Invariant: no Exchange
+    whose input carries band columns also carries the vector column."""
+    import re
+
+    from access_log_aggregator_spark.operators.dedup import embedding_near_dup_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = _plan(embedding_near_dup_pairs(emb))
+    for block in re.split(r"\n\n", plan):
+        first = block.splitlines()[0] if block.splitlines() else ""
+        if re.match(r"\(\d+\) \w*Exchange", first) and "band_no" in block:
+            assert "embedding" not in block, block
+
+
+def test_tfidf_single_corpus_scan(spark):
+    """tf, df and n_docs all read the checkpointed token frame: the final
+    plan contains ZERO parquet scans (the one corpus scan happens inside
+    the checkpoint materialization)."""
+    import re
+
+    from access_log_aggregator_spark.operators.text import tfidf_top_terms
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(tfidf_top_terms(docs))
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 0, plan
+
+
 def test_jaccard_estimates_plan_shapes(spark):
     """The signature-reuse pipeline stays equi-join-only (no cartesian /
     nested loop anywhere in band join + two signature joins)."""
