@@ -658,37 +658,14 @@ select * from s order by doc_id
 """
 
 
-def _q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DataFrame implementation (operators/dedup.py): the banded self-join
-    needs a materialization point for the signature subtree — a pure-SQL
-    formulation recomputes it per band per join side (8x). The DuckDB
-    oracle keeps the single-string canonical SQL."""
-    from .operators.dedup import minhash_lsh_candidates
-
-    docs = _t(spark, sf_dir, "documents")
-    return minhash_lsh_candidates(docs).orderBy("doc_a", "doc_b")
-
-
-def _minhash_lsh_pairs_build(d: str) -> str:
-    """LSH banding: 8 minhashes -> 4 bands of 2; candidate pairs share a band."""
-    bands = ", ".join(
-        f"(mh{2 * b} * 31 + mh{2 * b + 1}) % {x.P} as band{b}" for b in range(4)
-    )
-    band_union = " union all ".join(
-        f"select doc_id, {b} as band_no, band{b} as band_val from sigb" for b in range(4)
-    )
-    return f"""
-with sig as ({x.minhash_sig_sql('documents', 'doc_id', 'text', d)}),
-sigb as (select doc_id, {bands} from sig),
-bandrows as ({band_union})
-select distinct a.doc_id as doc_a, b.doc_id as doc_b
-from bandrows a join bandrows b
-  on a.band_no = b.band_no and a.band_val = b.band_val and a.doc_id < b.doc_id
-order by doc_a, doc_b
-"""
-
-
 def _q_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame implementation (operators/dedup.py): LSH candidate pairs
+    WITH their signature-agreement Jaccard estimates — one registry entry
+    covers both the banded candidate join and the estimator (the pair set
+    is identical; the former pairs-only query was this minus two columns).
+    The banded self-join needs a materialization point for the signature
+    subtree — a pure-SQL formulation recomputes it per band per join side
+    (8x). The DuckDB oracle keeps the single-string canonical SQL."""
     from .operators.dedup import minhash_jaccard_estimates
 
     docs = _t(spark, sf_dir, "documents")
@@ -827,10 +804,14 @@ order by doc_a, doc_b
 
 
 def _ann_topk_build(d: str) -> str:
+    """Brute-force cosine top-k vs query vec 0, also reporting each
+    neighbor's L2 norm (folds the former ``embedding_norms`` surface into
+    this query — the norm formula stays oracled on every returned row)."""
     cos = x.cosine_double("a.embedding", "q.embedding", 64, d)
     return f"""
 with q as (select embedding from embeddings where vec_id = 0)
-select a.vec_id, {cos} as cosine
+select a.vec_id, {cos} as cosine,
+       {x.norm_double('a.embedding', 64, d)} as l2_norm
 from embeddings a cross join q
 where a.vec_id <> 0
 order by cosine desc, a.vec_id asc
@@ -932,21 +913,19 @@ limit 10
 """
 
 
-def _embedding_norms_build(d: str) -> str:
-    return f"""
-select vec_id, label, {x.norm_double('embedding', 64, d)} as l2_norm
-from embeddings
-order by vec_id
-"""
-
-
 def _token_stats_build(d: str) -> str:
+    """Per-lang token statistics: whitespace tokens AND GPT-2-style BPE
+    pre-tokens in one aggregate (folds the former ``text_bpe_token_stats``
+    query into this one — both counting formulas stay oracled)."""
     toks = x.tokens("text", d)
     n = x.arr_size(toks, d)
+    b = x.bpe_token_count("text", d)
     return f"""
 select lang, count(*) as n_docs,
        cast(sum({n}) as bigint) as total_tokens,
-       cast(sum({n}) as double) / count(*) as avg_tokens
+       cast(sum({n}) as double) / count(*) as avg_tokens,
+       cast(sum({b}) as bigint) as total_bpe_tokens,
+       cast(sum({b}) as double) / count(*) as avg_bpe_tokens
 from documents
 group by lang order by lang
 """
@@ -958,17 +937,6 @@ _STOPWORDS = {
     "de": ["der", "die", "und", "das", "ist"],
     "fr": ["le", "les", "et", "des", "un"],
 }
-
-
-def _bpe_token_stats_build(d: str) -> str:
-    n = x.bpe_token_count("text", d)
-    return f"""
-select lang, count(*) as n_docs,
-       cast(sum({n}) as bigint) as total_bpe_tokens,
-       cast(sum({n}) as double) / count(*) as avg_bpe_tokens
-from documents
-group by lang order by lang
-"""
 
 
 def _langid_build(d: str) -> str:
@@ -1373,7 +1341,37 @@ def _media_docs(spark, sf_dir):
 def _q_multimodal_features(spark, sf_dir):
     from .operators.multimodal import extract_stub_features
 
-    return extract_stub_features(_media_docs(spark, sf_dir)).orderBy("doc_id")
+    out = extract_stub_features(_media_docs(spark, sf_dir))
+    # bigint dims so the schema matches the DuckDB oracle's arithmetic
+    return out.select(
+        "doc_id", "payload_bytes",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "feature_norm",
+    ).orderBy("doc_id")
+
+
+def _multimodal_features_oracle() -> str:
+    """Value-exact DuckDB oracle for the stub feature extractor: the stub's
+    decode is pure byte arithmetic (operators/multimodal.py:_decode_stub),
+    so each output is derivable from hex(payload) — byte i is two hex chars
+    decoded via strpos. feature_norm is bit-exact: the byte sum is an exact
+    small integer, and a single double division is correctly rounded in
+    both engines."""
+    B = ("(strpos('0123456789ABCDEF', substring(hx, 2*{i} - 1, 1)) - 1) * 16"
+         " + (strpos('0123456789ABCDEF', substring(hx, 2*{i}, 1)) - 1)")
+    return f"""
+with m as (select doc_id, encode(text) as payload from documents),
+h as (select doc_id, octet_length(payload)::bigint as nb, hex(payload) as hx from m)
+select doc_id,
+  nb as payload_bytes,
+  (case when nb = 0 then -1 else 16 + ({B.format(i='1')}) % 64 end)::bigint as width,
+  (case when nb = 0 then -1 else 16 + ({B.format(i='nb')}) % 64 end)::bigint as height,
+  case when nb = 0 then 0.0
+       else list_sum([{B.format(i='i')} for i in generate_series(1, least(nb, 64))])::double
+            / (64.0 * 255.0) end as feature_norm
+from h order by doc_id
+"""
 
 
 def _q_multimodal_resize(spark, sf_dir):
@@ -1471,10 +1469,7 @@ QUERIES: dict[str, QuerySpec] = {
     "doc_fingerprints": _sql_pair(_fingerprint_build, headline=True),
     "dedup_minhash_signatures": _sql_pair(_minhash_build, headline=True),
     "dedup_minhash_lsh_pairs": QuerySpec(
-        _q_minhash_lsh_pairs, _minhash_lsh_pairs_build(x.DUCK), headline=True
-    ),
-    "dedup_minhash_jaccard_est": QuerySpec(
-        _q_minhash_jaccard_est, _minhash_jaccard_est_build(x.DUCK)
+        _q_minhash_jaccard_est, _minhash_jaccard_est_build(x.DUCK), headline=True
     ),
     "dedup_simhash": _sql_pair(_simhash_build),
     "dedup_simhash_near_pairs": QuerySpec(
@@ -1487,9 +1482,7 @@ QUERIES: dict[str, QuerySpec] = {
         _q_embedding_near_dup, _embedding_near_dup_build(x.DUCK)
     ),
     "ann_ivf_topk": _sql_pair(_ann_ivf_topk_build),
-    "embedding_norms": _sql_pair(_embedding_norms_build),
     "text_token_stats": _sql_pair(_token_stats_build),
-    "text_bpe_token_stats": _sql_pair(_bpe_token_stats_build),
     "text_langid": _sql_pair(_langid_build),
     "text_quality_score": _sql_pair(_quality_build),
     "text_top_tokens": _sql_pair(_top_tokens_build),
@@ -1511,7 +1504,9 @@ QUERIES: dict[str, QuerySpec] = {
     "pipeline_url_params": QuerySpec(
         _q_pipeline_url_params, _pipeline_url_params_oracle()
     ),
-    "multimodal_stub_features": QuerySpec(_q_multimodal_features, None),
+    "multimodal_stub_features": QuerySpec(
+        _q_multimodal_features, _multimodal_features_oracle()
+    ),
     "multimodal_resize": QuerySpec(_q_multimodal_resize, None),
     "multimodal_frame_sample": QuerySpec(_q_multimodal_frame_sample, None),
 }

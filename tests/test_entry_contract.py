@@ -42,10 +42,14 @@ def test_registry_shape():
     assert set(oracles) <= set(qs)
     assert len(qs) >= 25
     # every oracle-less entry is a deliberate rows-only op
+    # (stub_features gained a byte-arithmetic DuckDB oracle in round 3)
     rows_only = set(qs) - set(oracles)
-    assert rows_only == {
-        "multimodal_stub_features", "multimodal_resize", "multimodal_frame_sample",
-    }
+    assert rows_only == {"multimodal_resize", "multimodal_frame_sample"}
+    # every oracled entry sits inside the driver's 50-row CORRECTNESS
+    # window (the r2 gap: 52 oracled queries in 55 positions left 2 unseen)
+    names = list(qs)
+    assert all(n in oracles for n in names[:50])
+    assert len(oracles) <= 50
 
 
 def test_all_oracles_parse_in_duckdb(duck):

@@ -44,7 +44,7 @@ def test_lsh_pairs_match_sql(spark, docs):
 
 def test_minhash_jaccard_est_matches_sql(spark, docs):
     api = dedup.minhash_jaccard_estimates(docs).orderBy("doc_a", "doc_b")
-    sql = QUERIES["dedup_minhash_jaccard_est"].spark_fn(spark, SF)
+    sql = QUERIES["dedup_minhash_lsh_pairs"].spark_fn(spark, SF)
     _same(api, sql)
     # the estimator is exact 1.0 for identical texts: every exact-dup pair
     # that survives banding must estimate 1.0
@@ -195,7 +195,13 @@ def test_topk_cosine_matches_sql(spark, emb):
     q = emb.where(F.col("vec_id") == 0)
     api = similarity.topk_cosine(emb, q, k=10, exclude_id=0)
     sql = QUERIES["ann_cosine_topk"].spark_fn(spark, SF)
-    _same(api, sql)
+    _same(api, sql.select(api.columns))
+    # the merged norm column is the canonical L2 formula on every row
+    from access_log_aggregator_spark.functions import xsql as x
+    want = {r["vec_id"]: r["n"] for r in emb.selectExpr(
+        "vec_id", f"{x.norm_double('embedding', 64, x.SPARK)} as n").collect()}
+    for r in sql.collect():
+        assert r["l2_norm"] == want[r["vec_id"]]
 
 
 def test_lsh_bucket_counts_match_sql(spark, emb):
@@ -289,19 +295,24 @@ def test_tfidf_matches_sql(spark, docs):
 
 def test_bpe_token_stats_match_sql(spark, docs):
     """Java-regex and RE2 agree on the BPE-ish pre-tokenizer count: the
-    per-lang aggregate from the DataFrame op == the SQL-registry query."""
+    per-lang aggregate from the DataFrame ops == the (merged) SQL-registry
+    token-stats query, for BOTH whitespace and BPE-ish counts."""
     api = (
-        text.with_bpe_token_count(docs)
+        text.with_bpe_token_count(text.with_token_count(docs))
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            (F.sum("n_tokens").cast("double") / F.count(F.lit(1))).alias(
+                "avg_tokens"
+            ),
             F.sum("n_bpe_tokens").cast("bigint").alias("total_bpe_tokens"),
             (F.sum("n_bpe_tokens").cast("double") / F.count(F.lit(1))).alias(
                 "avg_bpe_tokens"
             ),
         )
     )
-    sql = QUERIES["text_bpe_token_stats"].spark_fn(spark, SF)
+    sql = QUERIES["text_token_stats"].spark_fn(spark, SF)
     _same(api.select(sql.columns), sql)
     # sanity: BPE-ish pre-tokens are at least as fine-grained as whitespace
     both = text.with_bpe_token_count(text.with_token_count(docs))
