@@ -48,6 +48,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="after processing, compact the routed sink's small "
                          "files into one replace snapshot (maintenance job; "
                          "incremental cursors unaffected)")
+    ap.add_argument("--compact-rows-per-file", type=int, default=1_000_000,
+                    metavar="N", help="target rows per compacted file")
+    ap.add_argument("--expire-snapshots", action="store_true",
+                    help="after compacting, delete data files only reachable "
+                         "from pre-compaction snapshots (disk reclaim; "
+                         "refuses while a stream checkpoint is registered)")
     ap.add_argument("--stream", action="store_true",
                     help="Structured Streaming mode: foreachBatch fan-out with "
                          "a streaming checkpoint (drains all unseen snapshots)")
@@ -140,12 +146,18 @@ def main(argv: list[str] | None = None) -> int:
                 totals[k] += v
         n_batches = len(results)
         if args.compact:
-            # no marker: compaction is safe to redo (re-compacting a
-            # compact table is a no-op by the <2-files check); a constant
+            # no marker: compaction is safe to redo — a directory is only
+            # rewritten when it holds >= 2 files below the target size, so
+            # a compacted table is a true no-op (no growth); a constant
             # marker would silently turn every later run into a no-op
-            sid = pipe.routed_table.compact()
+            sid = pipe.routed_table.compact(
+                rows_per_file=args.compact_rows_per_file
+            )
             print(f"compacted routed sink -> snapshot {sid}" if sid
                   else "routed sink already compact", file=sys.stderr)
+        if args.expire_snapshots:
+            gone = pipe.routed_table.expire_snapshots()
+            print(f"expired {len(gone)} data file(s)", file=sys.stderr)
         agg_rows = pipe.write_aggregates() if rows_in else {}
         print(json.dumps({"batches": n_batches, "rows_in": rows_in,
                           "sink_counts": totals,

@@ -23,10 +23,12 @@ snapshot id -> Iceberg snapshot id, marker -> WAP/commit property,
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import shutil
 import uuid
+from contextlib import contextmanager
 from dataclasses import dataclass
 from pathlib import Path
 from typing import Optional
@@ -37,6 +39,21 @@ import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 
 _MANIFEST = "manifest.json"
+
+#: Data files written by appends are named ``part-*``; compaction outputs
+#: are named ``compact-*``. Directory-based streaming readers
+#: (streaming/stream.py) glob ONLY ``part-*.parquet``, so a compaction can
+#: never double-feed a stream — whether the stream was running during the
+#: rewrite or started later with a fresh checkpoint. (Real Iceberg reads
+#: manifests instead; this naming convention is the directory-listing
+#: analog of that isolation.)
+STREAM_GLOB = "part-*.parquet"
+
+
+class CommitConflict(RuntimeError):
+    """Optimistic-commit validation failed: the table advanced between when
+    a maintenance operation captured its base state and when it tried to
+    commit (Iceberg's base-metadata CAS failure). The caller may retry."""
 
 
 @dataclass
@@ -91,43 +108,106 @@ class SnapshotTable:
     def committed_markers(self) -> set[str]:
         return {s["marker"] for s in self._manifest()["snapshots"] if s.get("marker")}
 
+    # -- concurrency ---------------------------------------------------------
+    @contextmanager
+    def _manifest_lock(self):
+        """Host-local advisory lock serializing manifest read-modify-write
+        (the single-host analog of Iceberg's catalog compare-and-swap).
+        Writers on the same machine — e.g. an ingest job and a maintenance
+        ``compact()`` — commit atomically with respect to each other; a
+        multi-host deployment swaps this seam for a real catalog."""
+        import fcntl
+
+        lock_path = self.root / ".manifest.lock"
+        with open(lock_path, "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            try:
+                yield
+            finally:
+                fcntl.flock(lk, fcntl.LOCK_UN)
+
+    # -- stream registration --------------------------------------------------
+    def register_stream(self, checkpoint_dir: str | Path) -> None:
+        """Record that a directory-based stream tails this table (one marker
+        per checkpoint location). Maintenance that would delete data files
+        (:meth:`expire_snapshots`) refuses while markers exist."""
+        d = self.root / ".streams"
+        d.mkdir(exist_ok=True)
+        key = hashlib.md5(str(checkpoint_dir).encode()).hexdigest()
+        (d / f"{key}.json").write_text(json.dumps({"checkpoint": str(checkpoint_dir)}))
+
+    def stream_markers(self) -> list[str]:
+        d = self.root / ".streams"
+        if not d.is_dir():
+            return []
+        return [json.loads(p.read_text())["checkpoint"]
+                for p in sorted(d.glob("*.json"))]
+
     # -- writes --------------------------------------------------------------
     def _commit_files(self, files: list[Path], row_count: int,
-                      marker: Optional[str], operation: str = "append") -> int:
-        m = self._manifest()
-        if marker is not None and marker in {s.get("marker") for s in m["snapshots"]}:
-            # duplicate commit: drop the staged files, keep table as-is.
-            # Callers that pass PRE-EXISTING live files (compact's carried
-            # singles) must pre-check the marker before staging — this
-            # path assumes every file in ``files`` is freshly staged.
-            live = set(self.data_files())
-            for f in files:
-                if str(f) not in live:
-                    f.unlink(missing_ok=True)
-            return [s["id"] for s in m["snapshots"] if s.get("marker") == marker][0]
-        sid = (m["snapshots"][-1]["id"] + 1) if m["snapshots"] else 1
-        m["snapshots"].append(
-            {"id": sid, "files": [str(f.relative_to(self.root)) for f in files],
-             "row_count": row_count, "marker": marker, "operation": operation}
-        )
-        self._write_manifest(m)
-        return sid
+                      marker: Optional[str], operation: str = "append",
+                      expected_current: Optional[int] = None) -> int:
+        with self._manifest_lock():
+            m = self._manifest()
+            if marker is not None and marker in {s.get("marker") for s in m["snapshots"]}:
+                # duplicate commit: drop the staged files, keep table as-is.
+                # Callers that pass PRE-EXISTING live files (compact's carried
+                # singles) must pre-check the marker before staging — this
+                # path assumes every file in ``files`` is freshly staged.
+                live = set(self.data_files())
+                for f in files:
+                    if str(f) not in live:
+                        f.unlink(missing_ok=True)
+                return [s["id"] for s in m["snapshots"] if s.get("marker") == marker][0]
+            cur = m["snapshots"][-1]["id"] if m["snapshots"] else None
+            if expected_current is not None:
+                # optimistic commit (Iceberg CAS): a replace snapshot is
+                # only valid against the exact base it rewrote — an append
+                # that landed in between would be silently dropped from the
+                # live view if we committed anyway.
+                if cur != expected_current:
+                    live = set(self.data_files())
+                    for f in files:
+                        if str(f) not in live:
+                            f.unlink(missing_ok=True)
+                    raise CommitConflict(
+                        f"table advanced (current={cur}, expected="
+                        f"{expected_current}); retry the operation"
+                    )
+            sid = (cur + 1) if cur is not None else 1
+            m["snapshots"].append(
+                {"id": sid, "files": [str(f.relative_to(self.root)) for f in files],
+                 "row_count": row_count, "marker": marker, "operation": operation}
+            )
+            self._write_manifest(m)
+            return sid
 
     def compact(self, rows_per_file: int = 1_000_000,
                 marker: Optional[str] = None) -> Optional[int]:
         """Small-file compaction (Iceberg ``rewrite_data_files`` analog):
-        rewrite the CURRENT live file set into ~``rows_per_file``-row files
-        and commit a ``replace`` snapshot. Table contents are unchanged;
-        old files stay on disk so earlier snapshots remain readable (time
-        travel / snapshot isolation) until an expiry job removes them.
-        Incremental readers are unaffected: ``read(start_after=cursor)``
-        only returns APPEND snapshots, so rewritten rows are never
-        re-processed. CAVEAT: the streaming mode's file source
-        (streaming/stream.py) discovers files by DIRECTORY listing, not via
-        this manifest — do not compact a table a directory-based stream is
-        tailing (it would re-ingest the merged files); real Iceberg solves
-        this with manifest-based streaming reads. Returns the new snapshot
-        id, or None if the table has fewer than two live files."""
+        merge each directory's SMALL live files (< ``rows_per_file`` rows)
+        into ~``rows_per_file``-row files and commit a ``replace`` snapshot.
+        Table contents are unchanged; old files stay on disk so earlier
+        snapshots remain readable (time travel / snapshot isolation) until
+        :meth:`expire_snapshots` removes them.
+
+        Idempotent and growth-bounded: a directory is rewritten only when
+        it has >= 2 small files, and already-full files (>= rows_per_file
+        rows — including previous compaction outputs) are carried as-is, so
+        re-running compact on a compacted table is a no-op rather than a
+        fresh full-directory copy. Incremental readers are unaffected:
+        ``read(start_after=cursor)`` only returns APPEND snapshots.
+        Directory-based streams are unaffected too: they glob only
+        ``part-*.parquet`` (:data:`STREAM_GLOB`), and compaction outputs are
+        named ``compact-*`` — but do NOT :meth:`expire_snapshots` a streamed
+        table (that deletes part-* files; enforced there).
+
+        Safe beside a concurrent writer: the replace commit validates (under
+        the manifest lock) that the snapshot it rewrote is still current and
+        raises :class:`CommitConflict` otherwise — retry then.
+
+        Returns the new snapshot id, or None when nothing needs compacting.
+        """
         from collections import defaultdict
 
         if marker is not None and marker in self.committed_markers():
@@ -136,6 +216,16 @@ class SnapshotTable:
             # compact may pass pre-existing live files (carried singles)
             m = self._manifest()
             return [s["id"] for s in m["snapshots"] if s.get("marker") == marker][0]
+        if self.stream_markers():
+            import warnings
+
+            warnings.warn(
+                f"compacting {self.root} while directory-based stream(s) "
+                f"tail it: safe (streams glob {STREAM_GLOB} and compaction "
+                "writes compact-*), but do not expire_snapshots until the "
+                "streams are done", stacklevel=2,
+            )
+        base = self.current_snapshot_id()  # the state this rewrite is valid for
         live = self.data_files()
         groups: dict[Path, list[str]] = defaultdict(list)
         for f in live:
@@ -143,24 +233,74 @@ class SnapshotTable:
             # the partition value in the dir name, not the file, so a
             # cross-directory merge would lose the partition column
             groups[Path(f).parent].append(f)
-        if not any(len(fs) > 1 for fs in groups.values()):
-            return None
         out: list[Path] = []
+        staged: list[Path] = []
         total = 0
+        any_merge = False
         for d, fs in sorted(groups.items()):
-            if len(fs) == 1:  # already compact: carry the file as-is
-                out.append(Path(fs[0]))
-                total += pq.read_metadata(fs[0]).num_rows
+            smalls = [f for f in fs
+                      if pq.read_metadata(f).num_rows < rows_per_file]
+            carry = [f for f in fs if f not in smalls]
+            if len(smalls) < 2:  # nothing mergeable here: carry everything
+                carry = fs
+                smalls = []
+            for f in carry:
+                out.append(Path(f))
+                total += pq.read_metadata(f).num_rows
+            if not smalls:
                 continue
+            any_merge = True
             merged = pa.concat_tables(
-                [pq.read_table(f) for f in fs], promote_options="default"
+                [pq.read_table(f) for f in smalls], promote_options="default"
             )
             total += merged.num_rows
             for lo in range(0, max(merged.num_rows, 1), rows_per_file):
                 dest = d / f"compact-{uuid.uuid4().hex}.parquet"
                 pq.write_table(merged.slice(lo, rows_per_file), dest)
                 out.append(dest)
-        return self._commit_files(out, total, marker, operation="replace")
+                staged.append(dest)
+        if not any_merge:
+            return None
+        return self._commit_files(out, total, marker, operation="replace",
+                                  expected_current=base)
+
+    def expire_snapshots(self, force: bool = False) -> list[str]:
+        """Remove snapshots older than the live base (the latest replace)
+        and DELETE data files referenced only by them — the disk-reclaim
+        half of compaction (Iceberg ``expire_snapshots``). After expiry,
+        time travel to pre-compaction snapshots and incremental reads from
+        cursors older than the base are gone — exactly Iceberg's contract.
+
+        Refuses (RuntimeError) while a directory-based stream is registered
+        on this table: expiry deletes ``part-*`` files, which are the very
+        files such streams read (a stream that has not yet listed them
+        would silently lose rows). Pass ``force=True`` only when every
+        registered checkpoint is known dead. Returns the deleted paths.
+        """
+        if self.stream_markers() and not force:
+            raise RuntimeError(
+                f"refusing to expire snapshots of {self.root}: stream "
+                f"checkpoint(s) registered ({self.stream_markers()}); "
+                "stop the streams or pass force=True"
+            )
+        with self._manifest_lock():
+            m = self._manifest()
+            snaps = m["snapshots"]
+            base = -1
+            for s in snaps:
+                if s.get("operation", "append") == "replace":
+                    base = s["id"]
+            if base < 0:
+                return []
+            keep = [s for s in snaps if s["id"] >= base]
+            drop = [s for s in snaps if s["id"] < base]
+            kept_files = {f for s in keep for f in s["files"]}
+            doomed = sorted({f for s in drop for f in s["files"]} - kept_files)
+            m["snapshots"] = keep
+            self._write_manifest(m)
+        for f in doomed:
+            (self.root / f).unlink(missing_ok=True)
+        return [str(self.root / f) for f in doomed]
 
     def append_pandas(self, pdf: pd.DataFrame, marker: Optional[str] = None,
                       schema: Optional[pa.Schema] = None) -> int:

@@ -32,7 +32,7 @@ from pyspark.sql.types import (
 )
 
 from ..plans.pipeline import Pipeline
-from ..sources.tableio import SnapshotTable
+from ..sources.tableio import STREAM_GLOB, SnapshotTable
 
 PAGES_SCHEMA = StructType(
     [
@@ -43,6 +43,24 @@ PAGES_SCHEMA = StructType(
         StructField("lang", StringType()),
     ]
 )
+
+
+def _page_stream(spark: SparkSession, pages_table: SnapshotTable,
+                 checkpoint_dir: str | Path, max_files_per_trigger: int):
+    """Directory-listing file source over the pages table, restricted to
+    append outputs (``part-*.parquet``): compaction writes ``compact-*``
+    files into the same directories, and without the glob a compaction —
+    or a stream started after one — would ingest every merged row twice
+    (tableio.STREAM_GLOB documents the convention). Registers the
+    checkpoint on the table so expire_snapshots refuses to delete the
+    part-* files this stream reads."""
+    pages_table.register_stream(checkpoint_dir)
+    return (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("pathGlobFilter", STREAM_GLOB)
+        .parquet(str(pages_table.root / "data"))
+    )
 
 
 def run_streaming(
@@ -66,11 +84,7 @@ def run_streaming(
     def handle(batch_df, batch_id: int) -> None:
         processed.append(pipeline.process_batch(batch_df, batch_id=f"stream-{batch_id}"))
 
-    stream = (
-        spark.readStream.schema(PAGES_SCHEMA)
-        .option("maxFilesPerTrigger", 16)
-        .parquet(str(pages_table.root / "data"))
-    )
+    stream = _page_stream(spark, pages_table, checkpoint_dir, 16)
     writer = stream.writeStream.foreachBatch(handle).option(
         "checkpointLocation", str(checkpoint_dir)
     )
@@ -116,11 +130,8 @@ def run_windowed_stream(
 
     from ..plans.pipeline import build_routed
 
-    stream = (
-        spark.readStream.schema(PAGES_SCHEMA)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(str(pages_table.root / "data"))
-    )
+    stream = _page_stream(spark, pages_table, checkpoint_dir,
+                          max_files_per_trigger)
     routed = build_routed(stream, lookup)
     valid = routed.filter(F.col("match_class").isin("parsed", "bot"))
     agg = (
@@ -163,11 +174,7 @@ def run_dedup_stream(
     """
     from pyspark.sql import functions as F
 
-    stream = (
-        spark.readStream.schema(PAGES_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(str(pages_table.root / "data"))
-    )
+    stream = _page_stream(spark, pages_table, checkpoint_dir, 1)
     # watermarks need an instant (TIMESTAMP); warc_ts is stored NTZ-UTC
     deduped = (
         stream.withColumn("_event_ts", F.col(watermark_col).cast("timestamp"))
@@ -209,9 +216,7 @@ def start_live_stream(
         processed.append(pipeline.process_batch(batch_df, batch_id=f"stream-{batch_id}"))
 
     q = (
-        spark.readStream.schema(PAGES_SCHEMA)
-        .option("maxFilesPerTrigger", 16)
-        .parquet(str(pages_table.root / "data"))
+        _page_stream(spark, pages_table, checkpoint_dir, 16)
         .writeStream.foreachBatch(handle)
         .option("checkpointLocation", str(checkpoint_dir))
         .trigger(processingTime=processing_time)

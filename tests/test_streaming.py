@@ -231,3 +231,35 @@ def test_stream_picks_up_new_snapshot(stream_run, spark, corpus):
     pages_table.append_pandas(extra)
     run_streaming(spark, pages_table, pipe, root / "stream_ckpt")
     assert pipe.routed().count() == before + 100
+
+
+def test_stream_ignores_compaction_outputs(spark, corpus, lookup_sdf,
+                                           tmp_path_factory):
+    """Compaction and directory streams compose: the stream globs only
+    part-* files, compaction writes compact-* — so (a) a stream with an
+    existing checkpoint does not re-ingest merged rows after a compaction,
+    and (b) a FRESH stream started after the compaction still ingests each
+    row exactly once (the r2 ADVICE double-ingest scenario)."""
+    root = tmp_path_factory.mktemp("stream_compact")
+    pages_table = SnapshotTable.create(root / "pages", "pages")
+    n = len(corpus.pages)
+    step = (n + 3) // 4
+    for lo in range(0, n, step):
+        pages_table.append_pandas(corpus.pages.iloc[lo: lo + step])
+
+    pipe = Pipeline(spark, root / "out", lookup_sdf)
+    run_streaming(spark, pages_table, pipe, root / "ckpt_a")
+    assert pipe.routed().count() == n
+
+    with pytest.warns(UserWarning, match="expire_snapshots"):
+        sid = pages_table.compact(rows_per_file=10 ** 6)
+    assert sid is not None
+
+    # (a) same checkpoint, after compaction: nothing new
+    run_streaming(spark, pages_table, pipe, root / "ckpt_a")
+    assert pipe.routed().count() == n
+
+    # (b) fresh checkpoint, after compaction: each row exactly once
+    pipe2 = Pipeline(spark, root / "out2", lookup_sdf)
+    run_streaming(spark, pages_table, pipe2, root / "ckpt_b")
+    assert pipe2.routed().count() == n

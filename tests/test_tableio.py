@@ -123,3 +123,127 @@ def test_create_is_reentrant(tmp_path):
     t.append_pandas(_pdf(2))
     t2 = SnapshotTable.create(tmp_path / "t")  # reopen, not reset
     assert t2.row_count() == 2
+
+
+# -- round-3 maintenance semantics: growth-bounded compaction, CAS commit,
+# -- snapshot expiry, stream markers ----------------------------------------
+
+def test_compact_is_idempotent_no_disk_growth(tmp_path):
+    """Re-running compact on a compacted table is a no-op: a directory is
+    rewritten only when it has >= 2 files below the target size, so routine
+    maintenance cannot copy the table again and again (ADVICE r2)."""
+    t = SnapshotTable.create(tmp_path / "t")
+    for i in range(6):
+        t.append_pandas(_pdf(10, i * 10))
+    sid = t.compact(rows_per_file=25)  # 60 rows -> 3 files (25/25/10)
+    assert sid is not None
+    files_on_disk = sorted((tmp_path / "t" / "data").glob("*.parquet"))
+    assert t.compact(rows_per_file=25) is None  # nothing mergeable left
+    assert sorted((tmp_path / "t" / "data").glob("*.parquet")) == files_on_disk
+    assert t.row_count() == 60
+    # full files carried; only the one small remainder (10 rows) is small
+    import pyarrow.parquet as pq
+
+    small = [f for f in t.data_files()
+             if pq.read_metadata(f).num_rows < 25]
+    assert len(small) <= 1
+
+
+def test_compact_merges_only_small_files(tmp_path):
+    """Already-full files (previous compaction outputs) are carried, new
+    small appends merge among themselves."""
+    t = SnapshotTable.create(tmp_path / "t")
+    for i in range(4):
+        t.append_pandas(_pdf(10, i * 10))
+    t.compact(rows_per_file=20)  # -> 2 full files of 20
+    full_before = {f for f in t.data_files()}
+    for i in range(4, 8):
+        t.append_pandas(_pdf(5, i * 10))
+    sid = t.compact(rows_per_file=20)
+    assert sid is not None
+    live = set(t.data_files())
+    assert full_before <= live  # the full files were not rewritten
+    assert t.row_count() == 60
+
+
+def test_compact_aborts_on_concurrent_append(tmp_path):
+    """An append that lands between compact's base capture and its replace
+    commit must NOT be silently dropped from the live view: the commit
+    validates the base under the manifest lock and raises CommitConflict;
+    a retry then succeeds with all rows intact (ADVICE r2)."""
+    import pytest
+
+    from access_log_aggregator_spark.sources.tableio import CommitConflict
+
+    t = SnapshotTable.create(tmp_path / "t")
+    for i in range(3):
+        t.append_pandas(_pdf(10, i * 10))
+
+    orig = t.data_files
+    state = {"done": False}
+
+    def hooked(*a, **k):
+        files = orig(*a, **k)
+        if not state["done"] and not a and not k:
+            state["done"] = True
+            t.append_pandas(_pdf(10, 90))  # sneaks in after base capture
+        return files
+
+    t.data_files = hooked
+    with pytest.raises(CommitConflict):
+        t.compact(rows_per_file=100)
+    t.data_files = orig
+    assert t.row_count() == 40  # nothing lost, nothing duplicated
+    assert t.compact(rows_per_file=100) is not None  # retry succeeds
+    assert t.row_count() == 40
+
+
+def test_expire_snapshots_reclaims_disk_keeps_live_view(tmp_path):
+    t = SnapshotTable.create(tmp_path / "t")
+    for i in range(5):
+        t.append_pandas(_pdf(10, i * 10))
+    n_files_before = len(list((tmp_path / "t" / "data").glob("*.parquet")))
+    t.compact(rows_per_file=50)
+    gone = t.expire_snapshots()
+    assert len(gone) == n_files_before  # every pre-compaction file deleted
+    on_disk = list((tmp_path / "t" / "data").glob("*.parquet"))
+    assert sorted(str(p) for p in on_disk) == sorted(t.data_files())
+    assert t.row_count() == 50
+    assert t.expire_snapshots() == []  # idempotent
+
+
+def test_expire_keeps_appends_after_compaction(tmp_path):
+    t = SnapshotTable.create(tmp_path / "t")
+    for i in range(3):
+        t.append_pandas(_pdf(10, i * 10))
+    t.compact(rows_per_file=50)
+    t.append_pandas(_pdf(7, 100))  # post-compaction append must survive
+    t.expire_snapshots()
+    assert t.row_count() == 37
+    assert len(t.data_files()) == 2  # compacted file + new append
+
+
+def test_expire_refuses_streamed_table(tmp_path):
+    import pytest
+
+    t = SnapshotTable.create(tmp_path / "t")
+    for i in range(3):
+        t.append_pandas(_pdf(10, i * 10))
+    t.compact(rows_per_file=50)
+    t.register_stream(tmp_path / "ckpt")
+    with pytest.raises(RuntimeError, match="stream"):
+        t.expire_snapshots()
+    assert t.expire_snapshots(force=True) != []
+
+
+def test_compact_warns_when_streamed(tmp_path):
+    import warnings
+
+    t = SnapshotTable.create(tmp_path / "t")
+    for i in range(3):
+        t.append_pandas(_pdf(10, i * 10))
+    t.register_stream(tmp_path / "ckpt")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert t.compact(rows_per_file=50) is not None
+    assert any("expire_snapshots" in str(x.message) for x in w)
