@@ -24,8 +24,19 @@ REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
 PIPELINE_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "200000"))
-PIPELINE_TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "7"))
+PIPELINE_TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "9"))
 QUERY_TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_QUERY_TRIALS", "2"))
+
+
+def _cpu_times() -> tuple[int, int]:
+    """(steal_jiffies, total_jiffies) from /proc/stat — the direct
+    hypervisor-contention measurement backing the spread numbers."""
+    try:
+        with open("/proc/stat") as f:
+            vals = [int(v) for v in f.readline().split()[1:]]
+        return (vals[7] if len(vals) > 7 else 0), sum(vals)
+    except (OSError, ValueError, IndexError):  # pragma: no cover
+        return 0, 0
 
 
 def log(*a):
@@ -143,18 +154,30 @@ def main() -> int:
         _noop_run(build_routed(pages, lookup))
         _noop_run(build_routed(pages, lookup))
         trials = []
+        steals = []
         for i in range(PIPELINE_TRIALS):
+            s0, j0 = _cpu_times()
             t0 = time.time()
             _noop_run(build_routed(pages, lookup))
             trials.append(time.time() - t0)
-            log(f"pipeline trial {i + 1}: {trials[-1]:.3f}s")
-        trials.sort()
-        pipe_sec = trials[0]
-        pipe_median = trials[len(trials) // 2]
+            s1, j1 = _cpu_times()
+            steals.append(100.0 * (s1 - s0) / max(1, j1 - j0))
+            log(f"pipeline trial {i + 1}: {trials[-1]:.3f}s "
+                f"(host steal {steals[-1]:.1f}%)")
+        order = sorted(range(len(trials)), key=lambda k: trials[k])
+        trials_sorted = [trials[k] for k in order]
+        pipe_sec = trials_sorted[0]
+        pipe_median = trials_sorted[len(trials_sorted) // 2]
+        # trimmed spread: drop the 2 slowest trials — on this shared host
+        # steal bursts are additive outliers (the per-trial steal% log
+        # ties each slow trial to its contamination), so max/min over all
+        # trials measures the hypervisor, not the plan
+        trimmed = trials_sorted[:-2] if len(trials_sorted) > 4 else trials_sorted
         timings["pipeline_full"] = round(pipe_sec, 3)
         pages_per_sec = round(PIPELINE_PAGES / pipe_sec, 1)
         log(f"pipeline_full: best {pipe_sec:.3f}s / median {pipe_median:.3f}s "
-            f"/ spread {trials[-1] / trials[0]:.2f}x = {pages_per_sec} pages/s")
+            f"/ spread {trials_sorted[-1] / pipe_sec:.2f}x "
+            f"(trimmed {trimmed[-1] / pipe_sec:.2f}x) = {pages_per_sec} pages/s")
 
         total = round(sum(timings.values()), 3)
         print(json.dumps({
@@ -166,7 +189,10 @@ def main() -> int:
             "pipeline_pages": PIPELINE_PAGES,
             "pipeline_pages_per_sec": pages_per_sec,
             "pipeline_median_sec": round(pipe_median, 3),
-            "pipeline_trial_spread": round(trials[-1] / trials[0], 2),
+            "pipeline_trial_spread": round(trials_sorted[-1] / pipe_sec, 2),
+            "pipeline_trial_spread_trimmed": round(trimmed[-1] / pipe_sec, 2),
+            "pipeline_trials_sec": [round(t, 3) for t in trials],
+            "host_steal_pct_per_trial": [round(s, 1) for s in steals],
         }))
         return 0
     finally:
