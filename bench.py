@@ -29,8 +29,14 @@ QUERY_TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_QUERY_TRIALS", "2"))
 
 
 def _cpu_times() -> tuple[int, int]:
-    """(steal_jiffies, total_jiffies) from /proc/stat — the direct
-    hypervisor-contention measurement backing the spread numbers."""
+    """(steal_jiffies, total_jiffies) from /proc/stat.
+
+    Two contention signals back the spread numbers: classic steal time,
+    and JIFFY COVERAGE — total jiffies accrued during a trial divided by
+    ``n_cores * elapsed * USER_HZ``. Under Firecracker, a descheduled vCPU
+    accrues NO jiffies at all (not even steal), so a trial that ran 10x
+    slow with 0% steal but coverage << 1 was a paused VM, not a slow plan.
+    """
     try:
         with open("/proc/stat") as f:
             vals = [int(v) for v in f.readline().split()[1:]]
@@ -145,25 +151,33 @@ def main() -> int:
             log(f"{name}: {timings[name]}s")
 
         # north-star: full pipeline throughput over the synthesized corpus
-        # (2 warm-up runs — python workers + whole-stage-codegen JIT needs
-        # iterations — then best of N trials, spread reported)
+        # (4 warm-up runs — python workers + whole-stage-codegen JIT need
+        # several iterations; with only 2, the first timed trials still ran
+        # ~2x slow at zero host steal — then best of N trials, spread
+        # reported)
         from access_log_aggregator_spark.plans.pipeline import build_routed
 
         lookup = spark.createDataFrame(generate_host_lookup())
         pages = spark.read.parquet(str(pages_path))  # scan-parallel, no shuffle
-        _noop_run(build_routed(pages, lookup))
-        _noop_run(build_routed(pages, lookup))
+        for _ in range(4):
+            _noop_run(build_routed(pages, lookup))
         trials = []
         steals = []
+        coverage = []
+        hz = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
+        n_host = os.cpu_count() or int(cpus)
         for i in range(PIPELINE_TRIALS):
             s0, j0 = _cpu_times()
             t0 = time.time()
             _noop_run(build_routed(pages, lookup))
-            trials.append(time.time() - t0)
+            el = time.time() - t0
+            trials.append(el)
             s1, j1 = _cpu_times()
             steals.append(100.0 * (s1 - s0) / max(1, j1 - j0))
-            log(f"pipeline trial {i + 1}: {trials[-1]:.3f}s "
-                f"(host steal {steals[-1]:.1f}%)")
+            coverage.append((j1 - j0) / max(1e-9, n_host * el * hz))
+            log(f"pipeline trial {i + 1}: {el:.3f}s "
+                f"(host steal {steals[-1]:.1f}%, jiffy coverage "
+                f"{coverage[-1]:.2f})")
         order = sorted(range(len(trials)), key=lambda k: trials[k])
         trials_sorted = [trials[k] for k in order]
         pipe_sec = trials_sorted[0]
@@ -193,6 +207,11 @@ def main() -> int:
             "pipeline_trial_spread_trimmed": round(trimmed[-1] / pipe_sec, 2),
             "pipeline_trials_sec": [round(t, 3) for t in trials],
             "host_steal_pct_per_trial": [round(s, 1) for s in steals],
+            # 1.0 = the guest's clocks ticked on every host core for the
+            # whole wall interval; << 1 on a trial = the VM itself was
+            # descheduled by the VMM (invisible to steal accounting) — the
+            # proof that a slow outlier trial measured the host, not the plan
+            "jiffy_coverage_per_trial": [round(c, 2) for c in coverage],
         }))
         return 0
     finally:
