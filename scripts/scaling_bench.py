@@ -116,6 +116,21 @@ def main() -> int:
     eff_best = (hi["pages_per_sec_best"] / lo["pages_per_sec_best"]) / 4.0
     eff_median = (hi["pages_per_sec_median"] / lo["pages_per_sec_median"]) / 4.0
 
+    if os.environ.get("SPARK_GRAFT_SCALE_SUPPLEMENT"):
+        # supplementary pair (e.g. a larger corpus): report JSON only,
+        # leave the primary BENCH/BASELINE.md evidence untouched
+        print(json.dumps({
+            "supplement": True,
+            "n_pages": n_pages,
+            "N_cores": n_level, "T_N_pages_per_sec": lo["pages_per_sec_best"],
+            "4N_cores": 4 * n_level,
+            "T_4N_pages_per_sec": hi["pages_per_sec_best"],
+            "scaling_efficiency": round(eff_best, 3),
+            "scaling_efficiency_median": round(eff_median, 3),
+            "trials": {str(k): v for k, v in levels.items()},
+        }))
+        return 0
+
     print("machine calibration ...", file=sys.stderr)
     cal = json.loads(subprocess.run(
         [sys.executable, str(REPO / "scripts" / "machine_calibration.py")],
