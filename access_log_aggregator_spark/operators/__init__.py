@@ -6,6 +6,7 @@ from .aggregate import (
     aggregate_by_window,
 )
 from .asof import asof_join
+from .cluster import connected_components, duplicate_clusters
 from .dedup import (
     embedding_near_dup_pairs,
     exact_dedup_keep_first,
@@ -38,6 +39,7 @@ from .text import (
 __all__ = [
     "asof_join",
     "aggregate_by_host", "aggregate_by_status_bucket", "aggregate_by_window",
+    "connected_components", "duplicate_clusters",
     "embedding_near_dup_pairs", "exact_dedup_keep_first",
     "minhash_lsh_candidates", "ngram_jaccard_pairs", "simhash_near_pairs",
     "with_minhash", "with_simhash",

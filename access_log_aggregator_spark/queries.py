@@ -672,11 +672,11 @@ def _q_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_jaccard_estimates(docs).orderBy("doc_a", "doc_b")
 
 
-def _minhash_jaccard_est_build(d: str) -> str:
-    """Signature-agreement Jaccard estimate per LSH candidate pair
-    (matches/K over the 8 minhash functions) — the DuckDB canonical twin of
-    operators/dedup.py:minhash_jaccard_estimates."""
-    k = len(x.MINHASH_COEFFS)
+def _minhash_cand_ctes(d: str) -> str:
+    """Shared CTE chain ``sig -> sigb -> bandrows -> cand`` producing the
+    MinHash LSH candidate pairs (doc_a < doc_b) — the canonical twin of
+    operators/dedup.py:minhash_lsh_candidates, reused by the jaccard-
+    estimate and duplicate-cluster oracles."""
     bands = ", ".join(
         f"(mh{2 * b} * 31 + mh{2 * b + 1}) % {x.P} as band{b}" for b in range(4)
     )
@@ -684,11 +684,7 @@ def _minhash_jaccard_est_build(d: str) -> str:
         f"select doc_id, {b} as band_no, band{b} as band_val from sigb"
         for b in range(4)
     )
-    matches = " + ".join(
-        f"(case when sa.mh{i} = sb.mh{i} then 1 else 0 end)" for i in range(k)
-    )
-    return f"""
-with sig as ({x.minhash_sig_sql('documents', 'doc_id', 'text', d)}),
+    return f"""sig as ({x.minhash_sig_sql('documents', 'doc_id', 'text', d)}),
 sigb as (select doc_id, {bands} from sig),
 bandrows as ({band_union}),
 cand as (
@@ -696,7 +692,19 @@ cand as (
   from bandrows a join bandrows b
     on a.band_no = b.band_no and a.band_val = b.band_val
    and a.doc_id < b.doc_id
-)
+)"""
+
+
+def _minhash_jaccard_est_build(d: str) -> str:
+    """Signature-agreement Jaccard estimate per LSH candidate pair
+    (matches/K over the 8 minhash functions) — the DuckDB canonical twin of
+    operators/dedup.py:minhash_jaccard_estimates."""
+    k = len(x.MINHASH_COEFFS)
+    matches = " + ".join(
+        f"(case when sa.mh{i} = sb.mh{i} then 1 else 0 end)" for i in range(k)
+    )
+    return f"""
+with {_minhash_cand_ctes(d)}
 select doc_a, doc_b,
        cast({matches} as bigint) as matches,
        cast({matches} as double) / {k} as jaccard_est
@@ -704,6 +712,43 @@ from cand
 join sig sa on sa.doc_id = doc_a
 join sig sb on sb.doc_id = doc_b
 order by doc_a, doc_b
+"""
+
+
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame implementation (operators/cluster.py): duplicate-CLUSTER
+    assignment — connected components of the MinHash LSH candidate-pair
+    graph via iterative min-label propagation with pointer jumping
+    (O(log diameter) rounds, each a narrow (id, label) equi-join + min)."""
+    from .operators.cluster import duplicate_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    return duplicate_clusters(docs)
+
+
+def _dedup_clusters_build(d: str) -> str:
+    """DuckDB oracle for duplicate_clusters: transitive closure of the LSH
+    candidate-pair graph via a recursive CTE; cluster_id = min node id
+    reachable from each document (including itself)."""
+    return f"""
+with recursive {_minhash_cand_ctes(d)},
+edges as (
+  select doc_a as a, doc_b as b from cand
+  union
+  select doc_b as a, doc_a as b from cand
+),
+reach(a, b) as (
+  select a, b from edges
+  union
+  select r.a, e.b from reach r join edges e on r.b = e.a where e.b <> r.a
+),
+lab as (
+  select a as doc_id, least(a, min(b)) as cluster_id from reach group by a
+)
+select doc_id, cluster_id,
+       count(*) over (partition by cluster_id) as cluster_size
+from lab
+order by doc_id
 """
 
 
@@ -939,7 +984,12 @@ _STOPWORDS = {
 }
 
 
-def _langid_build(d: str) -> str:
+def _langid_quality_build(d: str) -> str:
+    """Language-ID (stopword-hit heuristic) AND quality scoring in ONE
+    scan + tokenization of documents (merged from the former text_langid
+    and text_quality_score entries — both are per-doc maps over the same
+    token frame, so a single pass computes both; the DataFrame twins stay
+    separate: text.with_lang_guess / text.with_quality_score)."""
     toks = x.tokens("text", d)
     filt = "filter" if d == x.SPARK else "list_filter"
     hits = {}
@@ -953,28 +1003,19 @@ def _langid_build(d: str) -> str:
         cond = " and ".join(f"{hits[lang]} >= {o}" for o in others)
         guess += f"when {cond} then '{lang}' "
     guess += "else 'und' end"
+    n = x.arr_size("toks", d)
     return f"""
-with t as (select doc_id, lang, {toks} as toks from documents)
+with t as (select doc_id, lang, text, {toks} as toks from documents)
 select doc_id, lang,
        {hits['en']} as hits_en, {hits['es']} as hits_es,
        {hits['de']} as hits_de, {hits['fr']} as hits_fr,
-       {guess} as guessed_lang
-from t order by doc_id
-"""
-
-
-def _quality_build(d: str) -> str:
-    toks = x.tokens("text", d)
-    n = x.arr_size(toks, d)
-    return f"""
-select doc_id,
+       {guess} as guessed_lang,
        {n} as n_tokens,
        length(text) as n_chars,
        (cast({n} as double) / (length(text) + 1)) *
          (case when {n} >= 10 and {n} <= 1000
                then cast(1.0 as double) else cast(0.5 as double) end) as quality_score
-from documents
-order by doc_id
+from t order by doc_id
 """
 
 
@@ -1476,6 +1517,9 @@ QUERIES: dict[str, QuerySpec] = {
         _q_simhash_near_pairs, _simhash_pairs_build(x.DUCK)
     ),
     "dedup_ngram_jaccard_pairs": _sql_pair(_jaccard_pairs_build),
+    "dedup_duplicate_clusters": QuerySpec(
+        _q_dedup_clusters, _dedup_clusters_build(x.DUCK)
+    ),
     "ann_cosine_topk": _sql_pair(_ann_topk_build, headline=True),
     "ann_lsh_buckets": _sql_pair(_ann_lsh_buckets_build),
     "dedup_embedding_cosine_pairs": QuerySpec(
@@ -1483,8 +1527,7 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "ann_ivf_topk": _sql_pair(_ann_ivf_topk_build),
     "text_token_stats": _sql_pair(_token_stats_build),
-    "text_langid": _sql_pair(_langid_build),
-    "text_quality_score": _sql_pair(_quality_build),
+    "text_langid_quality": _sql_pair(_langid_quality_build),
     "text_top_tokens": _sql_pair(_top_tokens_build),
     "text_tfidf_top_terms": QuerySpec(_q_tfidf, _tfidf_build(x.DUCK)),
     "docs_quality_filter": _sql_pair(_quality_filter_build),

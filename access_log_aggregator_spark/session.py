@@ -25,6 +25,18 @@ def get_spark(
         "SPARK_GRAFT_MASTER",
         f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
     )
+    extra_conf = dict(extra_conf or {})
+    # Throughput GC: the parse path moves ~64 MB Arrow batches, which under
+    # G1 are humongous allocations — each one can trigger a concurrent mark
+    # cycle whose GC threads burn 3x the job's own CPU in bursts (measured:
+    # identical back-to-back 200k-page runs varied 1.2s-5.1s with zero host
+    # steal; per-process accounting pinned the extra jiffies on the JVM and
+    # the GC log on "Pause Young (G1 Humongous Allocation)" concurrent
+    # starts). ParallelGC has no concurrent cycles: same best-case runtime,
+    # far tighter spread. Callers' extraJavaOptions are appended (they win
+    # on conflicts, JVM last-flag-wins).
+    jvm_key = "spark.driver.extraJavaOptions"
+    extra_conf[jvm_key] = ("-XX:+UseParallelGC " + extra_conf.get(jvm_key, "")).strip()
     b = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -53,6 +65,6 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
     )
-    for k, v in (extra_conf or {}).items():
+    for k, v in extra_conf.items():
         b = b.config(k, v)
     return b.getOrCreate()

@@ -24,8 +24,8 @@ REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
 PIPELINE_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "200000"))
-PIPELINE_TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "9"))
-QUERY_TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_QUERY_TRIALS", "2"))
+PIPELINE_TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "10"))
+QUERY_TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_QUERY_TRIALS", "3"))
 
 
 def _cpu_times() -> tuple[int, int]:
@@ -151,15 +151,15 @@ def main() -> int:
             log(f"{name}: {timings[name]}s")
 
         # north-star: full pipeline throughput over the synthesized corpus
-        # (4 warm-up runs — python workers + whole-stage-codegen JIT need
-        # several iterations; with only 2, the first timed trials still ran
-        # ~2x slow at zero host steal — then best of N trials, spread
-        # reported)
+        # (8 warm-up runs: C2 JIT on this plan's codegen needs ~7 iterations
+        # to plateau — measured on an idle host, per-run times settle only
+        # after that many runs even with the headline queries already
+        # executed — then best of N trials, spread reported)
         from access_log_aggregator_spark.plans.pipeline import build_routed
 
         lookup = spark.createDataFrame(generate_host_lookup())
         pages = spark.read.parquet(str(pages_path))  # scan-parallel, no shuffle
-        for _ in range(4):
+        for _ in range(8):
             _noop_run(build_routed(pages, lookup))
         trials = []
         steals = []

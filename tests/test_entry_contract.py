@@ -24,7 +24,7 @@ SUBSET = [
     "doc_fingerprints",
     "dedup_simhash",
     "ann_cosine_topk",
-    "text_langid",
+    "text_langid_quality",
 ]
 
 

@@ -240,17 +240,18 @@ def test_lsh_topk_is_bucket_subset(spark, emb):
 
 
 def test_text_ops_match_sql(spark, docs):
+    merged = QUERIES["text_langid_quality"].spark_fn(spark, SF)
+
     api = text.with_quality_score(docs).select(
         "doc_id", "n_tokens", F.length("text").alias("n_chars"), "quality_score"
     )
-    sql = QUERIES["text_quality_score"].spark_fn(spark, SF)
-    _same(api, sql)
+    _same(api, merged.select("doc_id", "n_tokens", "n_chars", "quality_score"))
 
     api2 = text.with_lang_guess(docs).select(
         "doc_id", "lang", "hits_en", "hits_es", "hits_de", "hits_fr", "guessed_lang"
     )
-    sql2 = QUERIES["text_langid"].spark_fn(spark, SF)
-    _same(api2, sql2)
+    _same(api2, merged.select("doc_id", "lang", "hits_en", "hits_es",
+                              "hits_de", "hits_fr", "guessed_lang"))
 
     api3 = text.with_fingerprint(text.with_token_count(docs)).select(
         "doc_id", "fingerprint", "n_tokens"
