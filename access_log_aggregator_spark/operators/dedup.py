@@ -37,11 +37,18 @@ def exact_dedup_keep_first(df: DataFrame, text_col: str = "text",
     return df.join(keep.select(id_col), on=id_col, how="left_semi")
 
 
-def with_minhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+def with_minhash(df: DataFrame, text_col: str = "text",
+                 engine: str = "arrow") -> DataFrame:
     """Append mh0..mh{K-1} minhash signature columns (no shuffle).
 
-    Computes exactly the canonical values (xsql: distinct 5-char shingles ->
-    polyhash -> K affine mins) through a faster equivalent plan:
+    ``engine="arrow"`` (default) computes the canonical values with the
+    numpy-vectorized pandas UDF (functions/minhash_arrow.py) — 3x faster
+    than the Catalyst formulation because higher-order array lambdas are
+    evaluated interpreted, outside whole-stage codegen.
+
+    ``engine="catalyst"`` keeps the pure-expression plan (xsql: distinct
+    5-char shingles -> polyhash -> K affine mins, computed via a faster
+    equivalent single-aggregate struct fold):
 
     - shingle hash = weighted char-code sum mod P (congruent to the
       stepwise ``(acc*31+c) % P`` fold — intermediates stay < 2^63);
@@ -49,15 +56,24 @@ def with_minhash(df: DataFrame, text_col: str = "text") -> DataFrame:
     - one aggregate pass carries all K minima in a struct accumulator
       instead of K transform+array_min passes over K temporary arrays.
 
-    The API==SQL parity test pins the equivalence.
+    Both paths emit identical values (arrow == catalyst == DuckDB oracle,
+    pinned by tests/test_training_ops.py).
     """
+    k = len(x.MINHASH_COEFFS)
+    if engine == "arrow":
+        from ..functions.minhash_arrow import minhash_signature
+
+        out = df.withColumn("_sig", minhash_signature(text_col))
+        for i in range(k):
+            out = out.withColumn(f"mh{i}", F.col("_sig").getItem(i))
+        return out.drop("_sig")
     codes, hs, agg = x.minhash_fast_spark(text_col)
     out = (
         df.withColumn("_codes", _e(codes))
         .withColumn("_hs", _e(hs))
         .withColumn("_mh", _e(agg))
     )
-    for i in range(len(x.MINHASH_COEFFS)):
+    for i in range(k):
         # canonical array_min over an empty shingle set is NULL
         out = out.withColumn(
             f"mh{i}",

@@ -658,6 +658,19 @@ select * from s order by doc_id
 """
 
 
+def _q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame implementation: Arrow/numpy signature UDF (operators/
+    dedup.py:with_minhash, engine='arrow') — 3x faster than the Catalyst
+    higher-order-function plan, which is evaluated interpreted (lambda
+    bodies sit outside whole-stage codegen). Values are bit-identical to
+    the canonical SQL (arrow == catalyst == DuckDB pinned by
+    tests/test_training_ops.py::test_minhash_matches_sql)."""
+    from .operators.dedup import with_minhash
+
+    docs = _t(spark, sf_dir, "documents")
+    return with_minhash(docs.select("doc_id", "text")).drop("text").orderBy("doc_id")
+
+
 def _q_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DataFrame implementation (operators/dedup.py): LSH candidate pairs
     WITH their signature-agreement Jaccard estimates — one registry entry
@@ -1508,7 +1521,9 @@ QUERIES: dict[str, QuerySpec] = {
     # training-data ops
     "dedup_exact": _sql_pair(_dedup_exact_build),
     "doc_fingerprints": _sql_pair(_fingerprint_build, headline=True),
-    "dedup_minhash_signatures": _sql_pair(_minhash_build, headline=True),
+    "dedup_minhash_signatures": QuerySpec(
+        _q_minhash_signatures, _minhash_build(x.DUCK), headline=True
+    ),
     "dedup_minhash_lsh_pairs": QuerySpec(
         _q_minhash_jaccard_est, _minhash_jaccard_est_build(x.DUCK), headline=True
     ),

@@ -31,9 +31,29 @@ def _same(a, b):
 
 
 def test_minhash_matches_sql(spark, docs):
+    """arrow UDF == catalyst higher-order-function SQL formulation (the
+    DuckDB leg of the triangle is the driver's oracle check)."""
+    from access_log_aggregator_spark.functions import xsql as x
+    from access_log_aggregator_spark.queries import _minhash_build, load_views
+
     api = dedup.with_minhash(docs.select("doc_id", "text")).drop("text")
-    sql = QUERIES["dedup_minhash_signatures"].spark_fn(spark, SF)
+    load_views(spark, SF)
+    sql = spark.sql(_minhash_build(x.SPARK))
     _same(api.select(sql.columns), sql)
+
+
+def test_minhash_arrow_edge_vectors(spark):
+    """NULL / empty / sub-shingle / exactly-5 / astral-unicode texts:
+    arrow and catalyst paths agree code-point-exactly."""
+    rows = [(0, None), (1, ""), (2, "abcd"), (3, "abcde"),
+            (4, "a\U0001F600bcdéf"), (5, "hello world hello")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = dedup.with_minhash(df, engine="arrow").drop("text")
+    c = dedup.with_minhash(df, engine="catalyst").drop("text")
+    _same(a, c)
+    got = {r["doc_id"]: r["mh0"] for r in a.collect()}
+    assert got[0] is None and got[1] is None and got[2] is None
+    assert got[3] is not None and got[4] is not None
 
 
 def test_lsh_pairs_match_sql(spark, docs):
