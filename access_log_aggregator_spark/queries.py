@@ -649,6 +649,24 @@ order by doc_id
 """
 
 
+def _q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame implementation: Arrow/numpy fingerprint+token-count UDF
+    (functions/fingerprint_arrow.py) — the canonical polyhash fold is an
+    interpreted higher-order ``aggregate`` on Catalyst; the vectorized twin
+    is bit-identical (equality + edge vectors pinned in
+    tests/test_training_ops.py) and faster. Oracle stays the canonical
+    DuckDB formulation."""
+    from .functions.fingerprint_arrow import fingerprint_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", fingerprint_tokens("text").alias("_ft"))
+        .select("doc_id", F.col("_ft.fingerprint").alias("fingerprint"),
+                F.col("_ft.n_tokens").alias("n_tokens"))
+        .orderBy("doc_id")
+    )
+
+
 def _minhash_build(d: str) -> str:
     """Signatures via the dialect-appropriate plan (fast single-pass on
     Spark, canonical on DuckDB — identical values, xsql.minhash_sig_sql)."""
@@ -1520,7 +1538,9 @@ QUERIES: dict[str, QuerySpec] = {
     "except_nations_without_suppliers": _sql_pair(_setop_build),
     # training-data ops
     "dedup_exact": _sql_pair(_dedup_exact_build),
-    "doc_fingerprints": _sql_pair(_fingerprint_build, headline=True),
+    "doc_fingerprints": QuerySpec(
+        _q_doc_fingerprints, _fingerprint_build(x.DUCK), headline=True
+    ),
     "dedup_minhash_signatures": QuerySpec(
         _q_minhash_signatures, _minhash_build(x.DUCK), headline=True
     ),

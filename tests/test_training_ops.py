@@ -42,6 +42,34 @@ def test_minhash_matches_sql(spark, docs):
     _same(api.select(sql.columns), sql)
 
 
+def test_fingerprint_arrow_edge_vectors(spark):
+    """arrow fingerprint/token UDF == catalyst expressions on the nasty
+    cases: NULL (canonical fingerprint 0, n_tokens NULL), empty, spaces
+    only, tab-led (Spark trim strips ONLY spaces), trailing separators
+    (Java split limit -1 keeps trailing empties), \\x0B (token char under
+    the explicit class), astral unicode, and a >CHUNK-length text (chunked
+    mod reduction)."""
+    from access_log_aggregator_spark.functions import xsql as x
+    from access_log_aggregator_spark.functions.fingerprint_arrow import (
+        fingerprint_tokens,
+    )
+
+    rows = [(0, None), (1, ""), (2, "   "), (3, "\ta b\t"), (4, "a b "),
+            (5, "a\x0bb c"), (6, "a\U0001F600b cd"), (7, "word " * 3000)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    arrow = (
+        df.select("doc_id", fingerprint_tokens("text").alias("_ft"))
+        .select("doc_id", F.col("_ft.fingerprint").alias("fingerprint"),
+                F.col("_ft.n_tokens").alias("n_tokens"))
+    )
+    catalyst = df.selectExpr(
+        "doc_id",
+        f"{x.polyhash('text', x.SPARK)} as fingerprint",
+        f"{x.arr_size(x.tokens('text', x.SPARK), x.SPARK)} as n_tokens",
+    )
+    _same(arrow, catalyst)
+
+
 def test_minhash_arrow_edge_vectors(spark):
     """NULL / empty / sub-shingle / exactly-5 / astral-unicode texts:
     arrow and catalyst paths agree code-point-exactly."""
