@@ -52,7 +52,7 @@ sys.path.insert(0, {repo!r})
 from access_log_aggregator_spark.session import get_spark
 from access_log_aggregator_spark.sources.pages import generate_host_lookup
 from access_log_aggregator_spark.plans.pipeline import build_routed
-from bench import bench_scan_conf
+from bench import bench_scan_conf, _cpu_times
 
 conf = bench_scan_conf(Path(pages_path), cores)
 conf["spark.driver.extraJavaOptions"] = f"-XX:ActiveProcessorCount={{cores}}"
@@ -66,22 +66,26 @@ def run():
     df.write.format("noop").mode("overwrite").save()
 
 run(); run()  # warm-up: python workers + codegen JIT
-trials = []
+trials, steals = [], []
 for _ in range(int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "5"))):
-    t0 = time.time(); run(); trials.append(round(time.time() - t0, 3))
-print(json.dumps({{"cores": cores, "trials": trials}}))
+    s0, j0 = _cpu_times(); t0 = time.time()
+    run()
+    el = time.time() - t0; s1, j1 = _cpu_times()
+    trials.append(round(el, 3))
+    steals.append(round(100.0 * (s1 - s0) / max(1, j1 - j0), 1))
+print(json.dumps({{"cores": cores, "trials": trials, "steal_pct": steals}}))
 spark.stop()
 """
 
 
-def run_session(cores: int, pages_path: str) -> list[float]:
+def run_session(cores: int, pages_path: str) -> dict:
     script = WORKER.format(repo=str(REPO))
     out = subprocess.run(
         [sys.executable, "-c", script, str(cores), pages_path],
         capture_output=True, text=True, timeout=2400, check=True,
     )
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-    return json.loads(line)["trials"]
+    return json.loads(line)
 
 
 def main() -> int:
@@ -94,12 +98,15 @@ def main() -> int:
     pages_path = str(bench_mod._cached_pages(n_pages))
 
     levels = {n_level: [], 4 * n_level: []}
+    steals = {n_level: [], 4 * n_level: []}
     for s in range(sessions):
         for cores in (n_level, 4 * n_level):  # alternate: noise hits both
             print(f"session {s + 1}/{sessions}: {cores} CPUs ...", file=sys.stderr)
-            trials = run_session(cores, pages_path)
-            print(f"  -> {trials}", file=sys.stderr)
-            levels[cores].extend(trials)
+            res = run_session(cores, pages_path)
+            print(f"  -> {res['trials']} steal% {res.get('steal_pct')}",
+                  file=sys.stderr)
+            levels[cores].extend(res["trials"])
+            steals[cores].extend(res.get("steal_pct", []))
 
     def stats(cores):
         t = levels[cores]
@@ -128,6 +135,7 @@ def main() -> int:
             "scaling_efficiency": round(eff_best, 3),
             "scaling_efficiency_median": round(eff_median, 3),
             "trials": {str(k): v for k, v in levels.items()},
+            "steal_pct": {str(k): v for k, v in steals.items()},
         }))
         return 0
 
@@ -145,6 +153,7 @@ def main() -> int:
         "speedup_best": round(hi["pages_per_sec_best"] / lo["pages_per_sec_best"], 3),
         "scaling_efficiency": round(eff_best, 3),
         "scaling_efficiency_median": round(eff_median, 3),
+        "steal_pct": {str(k): v for k, v in steals.items()},
         "machine_calibration": cal,
         "gate": ">= 0.8",
         "pass": eff_best >= 0.8,
