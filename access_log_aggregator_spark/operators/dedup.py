@@ -162,8 +162,17 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
     )
 
 
-def with_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Append a SIMHASH_BITS-bit simhash column over token hashes."""
+def with_simhash(df: DataFrame, text_col: str = "text",
+                 engine: str = "arrow") -> DataFrame:
+    """Append a SIMHASH_BITS-bit simhash column over token hashes.
+
+    ``engine="arrow"`` (default) uses the numpy-vectorized twin
+    (functions/simhash_arrow.py); ``engine="catalyst"`` keeps the pure
+    expression plan. Identical values, pinned by the triangle tests."""
+    if engine == "arrow":
+        from ..functions.simhash_arrow import simhash
+
+        return df.withColumn("simhash", simhash(text_col))
     th = x.transform(x.tokens(text_col, x.SPARK), "t", x.polyhash("t", x.SPARK), x.SPARK)
     return df.withColumn("_th", _e(th)).withColumn(
         "simhash", _e(x.simhash_expr("_th", x.SPARK))

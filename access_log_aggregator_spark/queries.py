@@ -831,6 +831,18 @@ select doc_id, {x.simhash_expr('th', d)} as simhash from t order by doc_id
 """
 
 
+def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame implementation: Arrow/numpy simhash UDF (operators/
+    dedup.py:with_simhash, engine='arrow') — same interpreted-HOF
+    bottleneck as minhash; values bit-identical to the canonical SQL
+    (pinned by tests/test_training_ops.py::test_simhash_matches_sql)."""
+    from .operators.dedup import with_simhash
+
+    docs = _t(spark, sf_dir, "documents")
+    return (with_simhash(docs.select("doc_id", "text"))
+            .select("doc_id", "simhash").orderBy("doc_id"))
+
+
 def _q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DataFrame implementation: banded equi-join (exact via pigeonhole +
     hamming filter) instead of the oracle's O(n^2) nested loop."""
@@ -1547,7 +1559,7 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_minhash_lsh_pairs": QuerySpec(
         _q_minhash_jaccard_est, _minhash_jaccard_est_build(x.DUCK), headline=True
     ),
-    "dedup_simhash": _sql_pair(_simhash_build),
+    "dedup_simhash": QuerySpec(_q_dedup_simhash, _simhash_build(x.DUCK)),
     "dedup_simhash_near_pairs": QuerySpec(
         _q_simhash_near_pairs, _simhash_pairs_build(x.DUCK)
     ),

@@ -104,9 +104,26 @@ def test_minhash_jaccard_est_matches_sql(spark, docs):
 
 
 def test_simhash_matches_sql(spark, docs):
+    """arrow simhash UDF == catalyst higher-order-function formulation."""
+    from access_log_aggregator_spark.functions import xsql as x
+    from access_log_aggregator_spark.queries import _simhash_build, load_views
+
     api = dedup.with_simhash(docs.select("doc_id", "text")).select("doc_id", "simhash")
-    sql = QUERIES["dedup_simhash"].spark_fn(spark, SF)
-    _same(api, sql)
+    load_views(spark, SF)
+    _same(api, spark.sql(_simhash_build(x.SPARK)))
+
+
+def test_simhash_arrow_edge_vectors(spark):
+    """NULL / empty / tab-led / \\x0B / astral / huge-single-token texts:
+    arrow and catalyst simhash agree exactly (incl. the int64 sign bit
+    and empty-token hash-0 lanes)."""
+    rows = [(0, None), (1, ""), (2, "   "), (3, "\ta b\t"),
+            (4, "a\x0bb c"), (5, "x\U0001F600y z"), (6, "q" * 5000 + " w"),
+            (7, "the quick brown fox " * 40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = dedup.with_simhash(df, engine="arrow").select("doc_id", "simhash")
+    c = dedup.with_simhash(df, engine="catalyst").select("doc_id", "simhash")
+    _same(a, c)
 
 
 def test_jaccard_matches_sql(spark, docs):
