@@ -23,7 +23,13 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
-PIPELINE_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "200000"))
+#: 4M pages ≈ 4 GB parquet — sized so one pipeline trial runs ~10 s at 32
+#: cores: long enough that single-straggler noise (a GC pause, one stolen
+#: jiffy burst) amortizes instead of setting the trial time, which is what
+#: drove the r02 3x trial spread on 2-second trials. Same cache key as
+#: scripts/scaling_bench.py's default corpus, so the two harnesses share
+#: one generated corpus.
+PIPELINE_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "4000000"))
 PIPELINE_TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "10"))
 QUERY_TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_QUERY_TRIALS", "3"))
 
@@ -43,6 +49,42 @@ def _cpu_times() -> tuple[int, int]:
         return (vals[7] if len(vals) > 7 else 0), sum(vals)
     except (OSError, ValueError, IndexError):  # pragma: no cover
         return 0, 0
+
+
+def _tree_jiffies() -> int:
+    """utime+stime jiffies summed over THIS job's whole process tree.
+
+    Walks /proc and keeps every process whose ancestor chain reaches this
+    python process (the JVM and pyspark.daemon workers are descendants).
+    Per-trial deltas attribute a slow trial: job-tree CPU ≈ cores*elapsed
+    means the job itself burned the time (e.g. a GC storm); job-tree CPU
+    far below it while VM-total jiffy coverage stays ~1.0 means some OTHER
+    process inside the VM had the cores — external contention, not the plan.
+    """
+    me = os.getpid()
+    procs: dict[int, tuple[int, int]] = {}  # pid -> (ppid, jiffies)
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat") as f:
+                s = f.read()
+        except OSError:
+            continue
+        # field 2 (comm) may contain spaces/parens: split after the last ')'
+        rest = s[s.rindex(")") + 2:].split()
+        procs[int(d)] = (int(rest[1]), int(rest[11]) + int(rest[12]))
+    total = 0
+    for pid, (ppid, jif) in procs.items():
+        p = pid
+        for _ in range(64):  # ancestry walk, cycle-bounded
+            if p == me:
+                total += jif
+                break
+            if p <= 1:
+                break
+            p = procs.get(p, (0, 0))[0]
+    return total
 
 
 def log(*a):
@@ -94,14 +136,24 @@ def _cached_pages(n: int) -> Path:
     return cache
 
 
+#: scan waves per core: 2 = fewer-but-bigger splits, 4 = better tail balance
+#: (measured: 4 waves = 76-80% core utilization vs 70% at 2, ~20% faster)
+BENCH_WAVES = int(os.environ.get("SPARK_GRAFT_BENCH_WAVES", "4"))
+
+
 def bench_scan_conf(pages_dir: Path, cores: int) -> dict[str, str]:
-    """Size scan splits so the small bench corpus yields >= 2 tasks/core
-    (a real TB-scale table has natural file parallelism instead)."""
+    """Size scan splits so the small bench corpus yields >= BENCH_WAVES
+    tasks/core (a real TB-scale table has natural file parallelism instead).
+    Also a 16g heap: the sandbox has 128 GiB and the parse path's Arrow
+    batches churn the old gen hard enough on 8g that occasional ParallelGC
+    full-GC storms doubled a trial's CPU (measured via the per-trial
+    job_cpu/gc_sec instrumentation)."""
     total = sum(f.stat().st_size for f in pages_dir.glob("*.parquet"))
-    target = max(1_048_576, total // (cores * 2))
+    target = max(1_048_576, total // (cores * BENCH_WAVES))
     return {
         "spark.sql.files.maxPartitionBytes": str(target),
         "spark.sql.files.openCostInBytes": str(target // 8),
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
     }
 
 
@@ -130,7 +182,13 @@ def main() -> int:
     pages_path = _cached_pages(PIPELINE_PAGES)
 
     conf = bench_scan_conf(pages_path, int(cpus))
-    conf["spark.driver.extraJavaOptions"] = f"-XX:ActiveProcessorCount={cpus}"
+    # -Xms == -Xmx: letting ParallelGC grow the heap from its small initial
+    # size fires repeated full GCs early on (measured: a 62s trial with 30s
+    # of stop-the-world right after warm-up); pre-sizing removes the ramp.
+    # (-Xmx itself is forbidden in extraJavaOptions; -Xms is allowed.)
+    heap = conf.get("spark.driver.memory", "16g")
+    conf["spark.driver.extraJavaOptions"] = (
+        f"-XX:ActiveProcessorCount={cpus} -Xms{heap}")
     spark = get_spark(app_name="alas-bench", master=f"local[{cpus}]",
                       shuffle_partitions=int(cpus), extra_conf=conf)
     timings: dict[str, float] = {}
@@ -142,6 +200,8 @@ def main() -> int:
         for name, spec in QUERIES.items():
             if not spec.headline:
                 continue
+            if os.environ.get("SPARK_GRAFT_BENCH_PIPELINE_ONLY"):  # iteration aid
+                continue
             best = math.inf
             for _ in range(QUERY_TRIALS):  # best-of-k: ambient noise is additive
                 t0 = time.time()
@@ -150,34 +210,49 @@ def main() -> int:
             timings[name] = round(best, 3)
             log(f"{name}: {timings[name]}s")
 
-        # north-star: full pipeline throughput over the synthesized corpus
-        # (8 warm-up runs: C2 JIT on this plan's codegen needs ~7 iterations
-        # to plateau — measured on an idle host, per-run times settle only
-        # after that many runs even with the headline queries already
-        # executed — then best of N trials, spread reported)
+        # north-star: full pipeline throughput over the synthesized corpus.
+        # Warm-ups cover python-worker spawn + C2 JIT; on the 2-second r02
+        # trials the JIT needed ~7 runs to plateau, but a single 4M-page run
+        # executes ~20x more loop iterations so 3 runs is past the compile
+        # thresholds (verified: trial 1 is not an outlier in the trial list).
         from access_log_aggregator_spark.plans.pipeline import build_routed
 
         lookup = spark.createDataFrame(generate_host_lookup())
         pages = spark.read.parquet(str(pages_path))  # scan-parallel, no shuffle
-        for _ in range(8):
+        for _ in range(3):
             _noop_run(build_routed(pages, lookup))
+        def _gc_ms() -> int:
+            """Cumulative stop-the-world GC milliseconds of the local JVM."""
+            beans = (spark._jvm.java.lang.management.ManagementFactory
+                     .getGarbageCollectorMXBeans())
+            return sum(b.getCollectionTime() for b in beans)
+
         trials = []
         steals = []
         coverage = []
+        job_cpu = []  # job-tree CPU seconds per trial (JVM + python workers)
+        gc_sec = []  # JVM stop-the-world GC seconds per trial
         hz = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
         n_host = os.cpu_count() or int(cpus)
         for i in range(PIPELINE_TRIALS):
             s0, j0 = _cpu_times()
+            g0 = _tree_jiffies()
+            gc0 = _gc_ms()
             t0 = time.time()
             _noop_run(build_routed(pages, lookup))
             el = time.time() - t0
             trials.append(el)
             s1, j1 = _cpu_times()
+            g1 = _tree_jiffies()
+            gc_sec.append((_gc_ms() - gc0) / 1000.0)
             steals.append(100.0 * (s1 - s0) / max(1, j1 - j0))
             coverage.append((j1 - j0) / max(1e-9, n_host * el * hz))
+            job_cpu.append((g1 - g0) / hz)
             log(f"pipeline trial {i + 1}: {el:.3f}s "
                 f"(host steal {steals[-1]:.1f}%, jiffy coverage "
-                f"{coverage[-1]:.2f})")
+                f"{coverage[-1]:.2f}, job cpu {job_cpu[-1]:.0f}s = "
+                f"{job_cpu[-1] / (n_host * el):.0%} of cores, "
+                f"gc {gc_sec[-1]:.1f}s)")
         order = sorted(range(len(trials)), key=lambda k: trials[k])
         trials_sorted = [trials[k] for k in order]
         pipe_sec = trials_sorted[0]
@@ -212,6 +287,14 @@ def main() -> int:
             # descheduled by the VMM (invisible to steal accounting) — the
             # proof that a slow outlier trial measured the host, not the plan
             "jiffy_coverage_per_trial": [round(c, 2) for c in coverage],
+            # this job tree's own CPU seconds per trial: a slow trial whose
+            # job_cpu matches the fast trials did the same work — the extra
+            # wall time went to something else on the box; a slow trial with
+            # proportionally MORE job_cpu points at the job (e.g. GC)
+            "job_cpu_sec_per_trial": [round(c, 1) for c in job_cpu],
+            # stop-the-world GC seconds inside the trial (JMX collector
+            # beans): ties job-side slow trials to collector behavior
+            "gc_sec_per_trial": [round(c, 1) for c in gc_sec],
         }))
         return 0
     finally:

@@ -55,7 +55,9 @@ from access_log_aggregator_spark.plans.pipeline import build_routed
 from bench import bench_scan_conf, _cpu_times
 
 conf = bench_scan_conf(Path(pages_path), cores)
-conf["spark.driver.extraJavaOptions"] = f"-XX:ActiveProcessorCount={{cores}}"
+heap = conf.get("spark.driver.memory", "16g")
+conf["spark.driver.extraJavaOptions"] = (
+    f"-XX:ActiveProcessorCount={{cores}} -Xms{{heap}}")
 spark = get_spark(app_name=f"scaling-{{cores}}", master=f"local[{{cores}}]",
                   shuffle_partitions=cores, extra_conf=conf)
 pages = spark.read.parquet(pages_path)  # scan-parallel, no shuffle
