@@ -67,7 +67,11 @@ df = build_routed(pages, lookup)
 def run():
     df.write.format("noop").mode("overwrite").save()
 
-run(); run()  # warm-up: python workers + codegen JIT
+# warm-up: python workers + codegen JIT. One run suffices on large corpora
+# (a 16M-page run executes ~80x more loop iterations than the corpus the
+# ~7-run JIT plateau was measured on); default 2 preserved for 4M.
+for _ in range(int(os.environ.get("SPARK_GRAFT_SCALE_WARMUPS", "2"))):
+    run()
 trials, steals = [], []
 for _ in range(int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "5"))):
     s0, j0 = _cpu_times(); t0 = time.time()
