@@ -198,15 +198,25 @@ additive — contamination only ever slows a trial — so the minimum over
 alternated sessions is the least-contaminated measurement of each level.
 Read the result against the same-window machine calibration below.
 
-## Level-pair choice (and the 4 -> 16 supplementary point)
+## Level-pair choice and supplementary points
 
 The north rule fixes the RATIO (N -> 4N), not N. The primary pair is
-{n_level} -> {4 * n_level} pinned cores; a supplementary 4 -> 16 run on the
-same 4M-page corpus (2026-08-16) measured 115,164 -> 323,311 pages/sec
-(eff 0.702) — but the no-Spark pure-ALU calibration at 4 -> 16 processes on
-this shared host was itself only 0.72, i.e. past ~8 busy cores the
-HYPERVISOR stops scaling, not the dataflow. Within the host's honest
-scaling range the pipeline tracks the hardware ceiling.
+{n_level} -> {4 * n_level} pinned cores. Supplementary evidence
+(`SPARK_GRAFT_SCALE_SUPPLEMENT=1`, same methodology):
+
+| run | corpus | N -> 4N | pages/sec | eff (best) | eff (median) |
+|---|---|---|---|---|---|
+| 16M-page, 2 -> 8 (2026-08-17) | 4x the primary corpus | 49,026 -> 171,337 | 0.874 | **0.849** |
+| 4M-page, 4 -> 16 (2026-08-16) | same as primary | 115,164 -> 323,311 | 0.702 | — |
+
+The 16M run shows efficiency HOLDS as fixed per-job overhead (scheduling,
+broadcast, JIT) amortizes over a 4x larger input — and its median-based
+efficiency also clears the 0.8 gate, so the result does not rest on the
+best-trial estimator. The 4 -> 16 point is hypervisor-limited, not
+dataflow-limited: the no-Spark pure-ALU calibration at 4 -> 16 processes
+on this shared host was itself only 0.72 — past ~8 busy cores the HOST
+stops scaling. Within the host's honest scaling range the pipeline tracks
+the hardware ceiling.
 
 ## Machine calibration (same levels, no Spark)
 
