@@ -1462,23 +1462,73 @@ def _q_multimodal_resize(spark, sf_dir):
     from .operators.multimodal import resize_stub
 
     out = resize_stub(_media_docs(spark, sf_dir))
-    # project blob -> length+hash so the result is comparable/hashable
+    # project blob -> length+hash so the result is comparable/hashable;
+    # the hash is md5 over the HEX encoding of the blob: DuckDB 1.0 cannot
+    # md5 raw BLOBs, and hashing the hex string is engine-portable with the
+    # same discriminating power (Spark and DuckDB both emit uppercase hex)
     return out.select(
         "doc_id", "width", "height", "out_width", "out_height",
         F.length("resized").alias("resized_bytes"),
-        F.md5("resized").alias("resized_md5"),
+        F.md5(F.hex("resized")).alias("resized_md5"),
     ).orderBy("doc_id")
+
+
+def _multimodal_resize_oracle() -> str:
+    """Value-exact DuckDB re-derivation of the stub resize: output byte i
+    (of out_w*out_h = 64) is input byte (i*nb)//64, carved as two hex chars
+    from hex(payload); dims re-derive _decode_stub's byte arithmetic."""
+    B = ("(strpos('0123456789ABCDEF', substring(hx, 2*{i} - 1, 1)) - 1) * 16"
+         " + (strpos('0123456789ABCDEF', substring(hx, 2*{i}, 1)) - 1)")
+    return f"""
+with m as (select doc_id, encode(text) as payload from documents),
+h as (select doc_id, octet_length(payload)::bigint as nb, hex(payload) as hx from m),
+r as (
+  select doc_id, nb, hx,
+    case when nb = 0 then null
+         else list_aggregate(
+                list_transform(range(0, 64),
+                               i -> substring(hx, ((i * nb) // 64) * 2 + 1, 2)),
+                'string_agg', '')
+    end as rhex
+  from h
+)
+select doc_id,
+  (case when nb = 0 then -1 else 16 + ({B.format(i='1')}) % 64 end)::int as width,
+  (case when nb = 0 then -1 else 16 + ({B.format(i='nb')}) % 64 end)::int as height,
+  8 as out_width, 8 as out_height,
+  (case when nb = 0 then null else 64 end)::int as resized_bytes,
+  md5(rhex) as resized_md5
+from r order by doc_id
+"""
 
 
 def _q_multimodal_frame_sample(spark, sf_dir):
     from .operators.multimodal import frame_sample_stub
 
     out = frame_sample_stub(_media_docs(spark, sf_dir))
+    # frame hash = md5 over the hex encoding (see _q_multimodal_resize)
     return out.select(
         "doc_id", "frame_no", "frame_offset",
         F.length("frame").alias("frame_bytes"),
-        F.md5("frame").alias("frame_md5"),
+        F.md5(F.hex("frame")).alias("frame_md5"),
     ).orderBy("doc_id", "frame_no")
+
+
+def _multimodal_frame_sample_oracle() -> str:
+    """DuckDB re-derivation of the frame sampler: complete 256-byte frames,
+    every 4th kept; frame k covers payload bytes [4k*256, 4k*256+256) =
+    hex chars [4k*512+1, +512]."""
+    return """
+with m as (select doc_id, encode(text) as payload from documents),
+h as (select doc_id, octet_length(payload)::bigint as nb, hex(payload) as hx from m),
+f as (select doc_id, hx, unnest(range(0, nb // 256, 4)) as fr from h)
+select doc_id,
+  (fr // 4)::int as frame_no,
+  (fr * 256)::bigint as frame_offset,
+  256::int as frame_bytes,
+  md5(substring(hx, fr * 512 + 1, 512)) as frame_md5
+from f order by doc_id, frame_no
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1597,6 +1647,8 @@ QUERIES: dict[str, QuerySpec] = {
     "multimodal_stub_features": QuerySpec(
         _q_multimodal_features, _multimodal_features_oracle()
     ),
-    "multimodal_resize": QuerySpec(_q_multimodal_resize, None),
-    "multimodal_frame_sample": QuerySpec(_q_multimodal_frame_sample, None),
+    "multimodal_resize": QuerySpec(_q_multimodal_resize, _multimodal_resize_oracle()),
+    "multimodal_frame_sample": QuerySpec(
+        _q_multimodal_frame_sample, _multimodal_frame_sample_oracle()
+    ),
 }

@@ -41,15 +41,15 @@ def test_registry_shape():
     oracles = entry_mod.oracle_sql()
     assert set(oracles) <= set(qs)
     assert len(qs) >= 25
-    # every oracle-less entry is a deliberate rows-only op
-    # (stub_features gained a byte-arithmetic DuckDB oracle in round 3)
-    rows_only = set(qs) - set(oracles)
-    assert rows_only == {"multimodal_resize", "multimodal_frame_sample"}
-    # every oracled entry sits inside the driver's 50-row CORRECTNESS
-    # window (the r2 gap: 52 oracled queries in 55 positions left 2 unseen)
+    # EVERY registry entry now has a DuckDB oracle (round 3: the last two
+    # multimodal queries gained hex-arithmetic oracles — md5 over the hex
+    # encoding, since DuckDB 1.0 cannot md5 raw blobs)
+    assert set(qs) == set(oracles)
+    # every entry inside the driver's 50-row CORRECTNESS window is oracled;
+    # entries past the window (the 2 multimodal ops) are covered by the
+    # local mirror (tests/run_entry_check.py) and this suite
     names = list(qs)
     assert all(n in oracles for n in names[:50])
-    assert len(oracles) <= 50
 
 
 def test_all_oracles_parse_in_duckdb(duck):

@@ -62,11 +62,12 @@ def test_resize_match_local_stub(media):
 
 
 def test_registry_query_goldens(spark):
-    """Driver-side GOLDEN value check for the three rows-only registry
-    queries (DuckDB cannot process BLOBs, so this is their hard correctness
-    signal): every output row — dims, norms, byte lengths, md5 digests —
-    equals a pure-Python recomputation from the same documents parquet.
-    Exact equality, all rows."""
+    """Driver-side GOLDEN value check for the three multimodal registry
+    queries, INDEPENDENT of their DuckDB oracles (a 3-way triangle:
+    Spark == pure Python here, Spark == DuckDB in run_entry_check): every
+    output row — dims, norms, byte lengths, md5 digests — equals a
+    pure-Python recomputation from the same documents parquet. Exact
+    equality, all rows."""
     import hashlib
 
     import pyarrow.parquet as pq
@@ -96,15 +97,20 @@ def test_registry_query_goldens(spark):
         out = _resize_stub(b, 8, 8)
         r = got[did]
         assert (r["out_width"], r["out_height"]) == (8, 8)
+        # registry hash is md5 over the UPPERCASE HEX encoding (DuckDB 1.0
+        # cannot md5 raw blobs; both engines hash the hex string)
         assert (r["resized_bytes"], r["resized_md5"]) \
-            == (len(out), hashlib.md5(out).hexdigest()), did
+            == (len(out), hashlib.md5(out.hex().upper().encode()).hexdigest()), did
 
     frames = QUERIES["multimodal_frame_sample"].spark_fn(spark, sf).collect()
     want = {}
     for did, b in docs.items():
         for k, f in enumerate(range(0, len(b) // 256, 4)):
             chunk = b[f * 256:(f + 1) * 256]
-            want[(did, k)] = (f * 256, len(chunk), hashlib.md5(chunk).hexdigest())
+            want[(did, k)] = (
+                f * 256, len(chunk),
+                hashlib.md5(chunk.hex().upper().encode()).hexdigest(),
+            )
     got_frames = {
         (r["doc_id"], r["frame_no"]): (r["frame_offset"], r["frame_bytes"], r["frame_md5"])
         for r in frames
