@@ -309,6 +309,25 @@ class SnapshotTable:
         pq.write_table(table, dest)
         return self._commit_files([dest], len(pdf), marker)
 
+    def add_files(self, files, marker: Optional[str] = None) -> int:
+        """Register PRE-EXISTING parquet files as one append snapshot — the
+        Iceberg ``add_files`` migration-procedure analog: no data rewrite,
+        each source is hardlinked into ``data/`` (copied when the link
+        crosses filesystems) under a fresh ``part-*`` name and committed
+        atomically. Row counts come from parquet footers, not a scan."""
+        staged: list[Path] = []
+        n = 0
+        for src in files:
+            src = Path(src)
+            dest = self.root / "data" / f"part-{uuid.uuid4().hex}.parquet"
+            try:
+                os.link(src, dest)
+            except OSError:
+                shutil.copy2(src, dest)
+            n += pq.read_metadata(dest).num_rows
+            staged.append(dest)
+        return self._commit_files(staged, n, marker)
+
     def append_spark(self, df: DataFrame, marker: Optional[str] = None) -> int:
         """Write a DataFrame's partitions as one snapshot (staging dir + move)."""
         staging = self.root / f"_staging-{uuid.uuid4().hex}"

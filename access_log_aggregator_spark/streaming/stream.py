@@ -70,6 +70,7 @@ def run_streaming(
     checkpoint_dir: str | Path,
     available_now: bool = True,
     processing_time: Optional[str] = None,
+    max_files_per_trigger: int = 16,
 ) -> list[str]:
     """Stream the pages table through the batch pipeline via foreachBatch.
 
@@ -84,7 +85,7 @@ def run_streaming(
     def handle(batch_df, batch_id: int) -> None:
         processed.append(pipeline.process_batch(batch_df, batch_id=f"stream-{batch_id}"))
 
-    stream = _page_stream(spark, pages_table, checkpoint_dir, 16)
+    stream = _page_stream(spark, pages_table, checkpoint_dir, max_files_per_trigger)
     writer = stream.writeStream.foreachBatch(handle).option(
         "checkpointLocation", str(checkpoint_dir)
     )

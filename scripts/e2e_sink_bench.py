@@ -36,7 +36,9 @@ def main() -> int:
 
     pages_path = bench_mod._cached_pages(n_pages)
     conf = bench_mod.bench_scan_conf(pages_path, cores)
-    conf["spark.driver.extraJavaOptions"] = f"-XX:ActiveProcessorCount={cores}"
+    heap = conf.get("spark.driver.memory", "16g")
+    conf["spark.driver.extraJavaOptions"] = (
+        f"-XX:ActiveProcessorCount={cores} -Xms{heap}")
     spark = get_spark(app_name="e2e-sink-bench", master=f"local[{cores}]",
                       shuffle_partitions=cores, extra_conf=conf)
     out_root = Path(tempfile.mkdtemp(prefix="e2e_sink_"))

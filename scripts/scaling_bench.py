@@ -251,6 +251,16 @@ internal/app/run.go:31) aggregates on ONE core by construction; its test
 corpus is 1,000 lines. This pipeline's single-node throughput at 4N is
 {hi['pages_per_sec_best']:,} pages/sec including full routing, enrichment
 and lineage stamping.
+
+## End-to-end sink-inclusive throughput (companion measurements)
+
+Regenerating this file replaces measured companion numbers — re-run and
+paste: `scripts/e2e_sink_bench.py 8 4000000` (batch: full route + sink
+write + commit + aggregate tables) and `scripts/streaming_bench.py 8
+4000000 64` (the same path as AvailableNow micro-batches over a
+SnapshotTable; both print one JSON line). Check sink counts sum to
+rows_in and match COUNT-FOR-COUNT across the two modes — micro-batched
+execution must be routing-equivalent to the one-shot batch.
 """
     (REPO / "BENCH").mkdir(exist_ok=True)
     (REPO / "BENCH" / "BASELINE.md").write_text(md)

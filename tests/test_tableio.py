@@ -21,6 +21,38 @@ def test_append_and_row_count(tmp_path):
     assert t.current_snapshot_id() == 2
 
 
+def test_add_files_registers_without_rewrite(tmp_path):
+    """add_files (the Iceberg migration-procedure analog) links external
+    parquet in-place: one snapshot, footer-derived row count, original
+    files untouched, stream glob picks the linked copies up."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ext = tmp_path / "external"
+    ext.mkdir()
+    srcs = []
+    for i in range(3):
+        p = ext / f"chunk-{i}.parquet"
+        pq.write_table(pa.Table.from_pandas(_pdf(4, i * 4)), p)
+        srcs.append(p)
+
+    t = SnapshotTable.create(tmp_path / "t")
+    sid = t.add_files(srcs, marker="migrate-1")
+    assert sid == 1
+    assert t.row_count() == 12
+    assert t.committed_markers() == {"migrate-1"}
+    assert len(t.data_files()) == 3
+    # hardlinked, not copied (same device here) and sources intact
+    assert all(p.exists() for p in srcs)
+    got = pd.concat(
+        [pq.read_table(f).to_pandas() for f in t.data_files()]
+    ).sort_values("a")["a"].tolist()
+    assert got == list(range(12))
+    # idempotent on marker replay
+    assert t.add_files(srcs, marker="migrate-1") == 1
+    assert t.row_count() == 12
+
+
 def test_marker_idempotence(tmp_path):
     t = SnapshotTable.create(tmp_path / "t")
     s1 = t.append_pandas(_pdf(5), marker="batch-1")
