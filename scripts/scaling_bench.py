@@ -244,6 +244,13 @@ GC domain, so the shared-bandwidth ceiling measured here does not apply;
 the dataflow itself has no scaling bottleneck (no shuffle, no skewed
 reducer, no driver-side loop).
 
+Measured CPU split at 8 pinned cores (2026-08-17, per-process-tree jiffies
+over one 4M-page run): JVM 112 CPU-s (parquet decode, UTF-8, Catalyst
+expressions, Arrow IPC) vs Python workers 61 CPU-s (RE2 extraction +
+fast-path mask + sparse fallback) — 95% of the core budget busy, both
+sides data-parallel per split. The Python share (35%) scales with the
+executors like everything else; there is no serial Python anywhere.
+
 ## Reference comparison
 
 The reference (single Go consumer goroutine, per-line json.Unmarshal —
