@@ -51,18 +51,20 @@ def _cpu_times() -> tuple[int, int]:
         return 0, 0
 
 
-def _tree_jiffies() -> int:
-    """utime+stime jiffies summed over THIS job's whole process tree.
+def _tree_jiffies() -> dict[str, int]:
+    """utime+stime jiffies by process name over THIS job's process tree.
 
     Walks /proc and keeps every process whose ancestor chain reaches this
-    python process (the JVM and pyspark.daemon workers are descendants).
-    Per-trial deltas attribute a slow trial: job-tree CPU ≈ cores*elapsed
-    means the job itself burned the time (e.g. a GC storm); job-tree CPU
-    far below it while VM-total jiffy coverage stays ~1.0 means some OTHER
-    process inside the VM had the cores — external contention, not the plan.
+    python process (the JVM and pyspark.daemon workers are descendants);
+    returns ``{"total": j, "java": j, "python": j}``. Per-trial deltas
+    attribute a slow trial three ways: job-tree CPU ≈ cores*elapsed means
+    the job itself burned the time (and the java/python split says WHICH
+    side — e.g. a JVM GC storm vs worker respawns re-importing numpy);
+    job-tree CPU far below it while VM-total jiffy coverage stays ~1.0
+    means some OTHER process inside the VM had the cores.
     """
     me = os.getpid()
-    procs: dict[int, tuple[int, int]] = {}  # pid -> (ppid, jiffies)
+    procs: dict[int, tuple[int, int, str]] = {}  # pid -> (ppid, jiffies, comm)
     for d in os.listdir("/proc"):
         if not d.isdigit():
             continue
@@ -72,19 +74,24 @@ def _tree_jiffies() -> int:
         except OSError:
             continue
         # field 2 (comm) may contain spaces/parens: split after the last ')'
+        comm = s[s.index("(") + 1:s.rindex(")")]
         rest = s[s.rindex(")") + 2:].split()
-        procs[int(d)] = (int(rest[1]), int(rest[11]) + int(rest[12]))
-    total = 0
-    for pid, (ppid, jif) in procs.items():
+        procs[int(d)] = (int(rest[1]), int(rest[11]) + int(rest[12]), comm)
+    out = {"total": 0, "java": 0, "python": 0}
+    for pid, (ppid, jif, comm) in procs.items():
         p = pid
         for _ in range(64):  # ancestry walk, cycle-bounded
             if p == me:
-                total += jif
+                out["total"] += jif
+                if comm.startswith("java"):
+                    out["java"] += jif
+                elif comm.startswith("python"):
+                    out["python"] += jif
                 break
             if p <= 1:
                 break
-            p = procs.get(p, (0, 0))[0]
-    return total
+            p = procs.get(p, (0, 0, ""))[0]
+    return out
 
 
 def log(*a):
@@ -231,6 +238,8 @@ def main() -> int:
         steals = []
         coverage = []
         job_cpu = []  # job-tree CPU seconds per trial (JVM + python workers)
+        jvm_cpu = []
+        py_cpu = []
         gc_sec = []  # JVM stop-the-world GC seconds per trial
         hz = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
         n_host = os.cpu_count() or int(cpus)
@@ -247,11 +256,14 @@ def main() -> int:
             gc_sec.append((_gc_ms() - gc0) / 1000.0)
             steals.append(100.0 * (s1 - s0) / max(1, j1 - j0))
             coverage.append((j1 - j0) / max(1e-9, n_host * el * hz))
-            job_cpu.append((g1 - g0) / hz)
+            job_cpu.append((g1["total"] - g0["total"]) / hz)
+            jvm_cpu.append((g1["java"] - g0["java"]) / hz)
+            py_cpu.append((g1["python"] - g0["python"]) / hz)
             log(f"pipeline trial {i + 1}: {el:.3f}s "
                 f"(host steal {steals[-1]:.1f}%, jiffy coverage "
                 f"{coverage[-1]:.2f}, job cpu {job_cpu[-1]:.0f}s = "
-                f"{job_cpu[-1] / (n_host * el):.0%} of cores, "
+                f"{job_cpu[-1] / (n_host * el):.0%} of cores "
+                f"[jvm {jvm_cpu[-1]:.0f} / py {py_cpu[-1]:.0f}], "
                 f"gc {gc_sec[-1]:.1f}s)")
         order = sorted(range(len(trials)), key=lambda k: trials[k])
         trials_sorted = [trials[k] for k in order]
@@ -292,6 +304,8 @@ def main() -> int:
             # wall time went to something else on the box; a slow trial with
             # proportionally MORE job_cpu points at the job (e.g. GC)
             "job_cpu_sec_per_trial": [round(c, 1) for c in job_cpu],
+            "jvm_cpu_sec_per_trial": [round(c, 1) for c in jvm_cpu],
+            "py_cpu_sec_per_trial": [round(c, 1) for c in py_cpu],
             # stop-the-world GC seconds inside the trial (JMX collector
             # beans): ties job-side slow trials to collector behavior
             "gc_sec_per_trial": [round(c, 1) for c in gc_sec],

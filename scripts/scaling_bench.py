@@ -198,6 +198,14 @@ additive — contamination only ever slows a trial — so the minimum over
 alternated sessions is the least-contaminated measurement of each level.
 Read the result against the same-window machine calibration below.
 
+`bench.py` attributes every slow trial to one of four measured causes:
+hypervisor steal, VMM descheduling (jiffy coverage << 1), a JVM GC storm
+(gc_sec / jvm_cpu inflated), or uniform cycle-stretch (jvm+py CPU both
+multiplied at their usual ratio with busy cores) — the last being a
+co-tenant saturating shared memory bandwidth, the same mechanism the
+memory-stream calibration shows collapsing in bad windows. Only the GC
+case is the job's own; it has not recurred since the heap was pre-sized.
+
 ## Level-pair choice and supplementary points
 
 The north rule fixes the RATIO (N -> 4N), not N. The primary pair is
