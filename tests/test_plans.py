@@ -206,3 +206,52 @@ def test_session_scale_posture(spark):
     assert conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
     assert conf.get("spark.sql.execution.arrow.pyspark.enabled") == "true"
     assert conf.get("spark.sql.session.timeZone") == "UTC"
+
+
+def test_aqe_splits_skewed_join_at_runtime(spark):
+    """Not just conf-on: AQE skew-join splitting ENGAGES. A shuffle join
+    whose build of one key holds 95% of the rows (the corpus's hot-host
+    shape) is re-planned at runtime — the executed adaptive plan shows
+    SortMergeJoin(skew=true) with a skewed AQEShuffleRead — and the split
+    join returns exactly the rows a broadcast-join reference produces.
+    Thresholds are lowered to trigger at test scale; at production scale
+    the defaults (256 MB partitions) fire on genuinely skewed reducers."""
+    from pyspark.sql import functions as F
+
+    tuned = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    saved = {k: spark.conf.get(k) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        big = spark.range(200_000).select(
+            F.when(F.col("id") % 100 < 95, F.lit("hot"))
+            .otherwise(F.concat(F.lit("k"), (F.col("id") % 997).cast("string")))
+            .alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+        )
+        dim = spark.range(997).select(
+            F.concat(F.lit("k"), F.col("id").cast("string")).alias("k"),
+            F.col("id").alias("v"),
+        ).union(spark.range(1).select(F.lit("hot").alias("k"),
+                                      F.lit(-1).alias("v")))
+        joined = big.join(dim, "k")
+        n_split = joined.count()
+        # collect() executes THIS df's query so its adaptive plan finalizes
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+        assert "skewed" in plan  # AQEShuffleRead ... skewed
+
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+        reference = big.join(F.broadcast(dim), "k")
+        assert n_split == reference.count() == 200_000
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
