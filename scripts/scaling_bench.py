@@ -269,13 +269,22 @@ and lineage stamping.
 
 ## End-to-end sink-inclusive throughput (companion measurements)
 
-Regenerating this file replaces measured companion numbers — re-run and
-paste: `scripts/e2e_sink_bench.py 8 4000000` (batch: full route + sink
-write + commit + aggregate tables) and `scripts/streaming_bench.py 8
-4000000 64` (the same path as AvailableNow micro-batches over a
-SnapshotTable; both print one JSON line). Check sink counts sum to
-rows_in and match COUNT-FOR-COUNT across the two modes — micro-batched
-execution must be routing-equivalent to the one-shot batch.
+Full production path — scan → parse → enrich → route → hive-partitioned
+parquet sink write → atomic snapshot commit → all three aggregate-table
+writes — same pinned-core methodology, 4M-page corpus (2026-08-17, 16g
+pre-sized ParallelGC heap; re-run the scripts to refresh):
+
+| mode | script | 8-core sec | pages/sec | note |
+|---|---|---|---|---|
+| batch | `scripts/e2e_sink_bench.py 8 4000000` | 32.75 (28.55 route + 4.2 agg) | **122,134** | one job, one commit |
+| streaming | `scripts/streaming_bench.py 8 4000000 64` | 51.62 | **77,493** | 7 AvailableNow micro-batches over a SnapshotTable (registered via `add_files`, zero-copy), checkpoint + commit per batch |
+
+Sink counts sum exactly to rows_in in BOTH modes (4,000,000 = 3,279,329
+parsed + 479,929 unparsed + 200,544 bot + 40,198 error) and the two modes
+agree COUNT-FOR-COUNT on every sink — micro-batched execution is
+routing-equivalent to the one-shot batch, measured on all 4M pages. The
+streaming/batch ratio (0.63) is the measured cost of incremental
+operation: per-micro-batch scheduling, sink commit, checkpoint advance.
 """
     (REPO / "BENCH").mkdir(exist_ok=True)
     (REPO / "BENCH" / "BASELINE.md").write_text(md)
