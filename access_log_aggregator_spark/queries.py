@@ -1533,6 +1533,15 @@ from f order by doc_id, frame_no
 
 # ---------------------------------------------------------------------------
 # Registry
+#
+# Ordering matters: the round-2 driver checked exactly the FIRST 50 entries,
+# so every query whose driver row we need (notably the north-star
+# pipeline_agg_by_window / pipeline_url_params, positions 48-49) sits inside
+# that window. The two entries past position 50 (multimodal_resize,
+# multimodal_frame_sample) still have full DuckDB oracles and are verified by
+# pytest (test_entry_contract) and tests/run_entry_check.py — they are last
+# because losing their driver row costs the least: multimodal_stub_features
+# at position 50 already driver-checks the same mapInPandas plumbing.
 # ---------------------------------------------------------------------------
 
 QUERIES: dict[str, QuerySpec] = {
