@@ -218,16 +218,27 @@ def main() -> int:
             log(f"{name}: {timings[name]}s")
 
         # north-star: full pipeline throughput over the synthesized corpus.
-        # Warm-ups cover python-worker spawn + C2 JIT; on the 2-second r02
-        # trials the JIT needed ~7 runs to plateau, but a single 4M-page run
-        # executes ~20x more loop iterations so 3 runs is past the compile
-        # thresholds (verified: trial 1 is not an outlier in the trial list).
+        # Warm-up covers python-worker spawn, the parquet page cache, and C2
+        # JIT — and the JIT budget is WALL TIME, not iterations: the compiler
+        # threads run concurrently with the job, so at 32 cores (10 s trials)
+        # the same compile backlog that 2 pinned cores clear in 2 runs takes
+        # ~8 (measured 2026-08-17: jvm CPU per identical run fell 396 s ->
+        # 182 s across the first 8 runs, then flattened; the r02 2-second
+        # trials showed the same ~2 min cumulative plateau as ~7 runs).
+        # So: warm until cumulative warm wall-clock reaches the plateau
+        # budget (>= 100 s and >= 3 runs, cap 12) — steady-state throughput
+        # is the number that projects to a long-running 100 TB job.
         from access_log_aggregator_spark.plans.pipeline import build_routed
 
         lookup = spark.createDataFrame(generate_host_lookup())
         pages = spark.read.parquet(str(pages_path))  # scan-parallel, no shuffle
-        for _ in range(3):
+        warm_wall, warm_runs = 0.0, 0
+        while (warm_wall < 100.0 or warm_runs < 3) and warm_runs < 12:
+            w0 = time.time()
             _noop_run(build_routed(pages, lookup))
+            warm_wall += time.time() - w0
+            warm_runs += 1
+        log(f"warm-up: {warm_runs} runs, {warm_wall:.1f}s")
         def _gc_ms() -> int:
             """Cumulative stop-the-world GC milliseconds of the local JVM."""
             beans = (spark._jvm.java.lang.management.ManagementFactory
