@@ -206,6 +206,16 @@ co-tenant saturating shared memory bandwidth, the same mechanism the
 memory-stream calibration shows collapsing in bad windows. Only the GC
 case is the job's own; it has not recurred since the heap was pre-sized.
 
+A fifth cause — incomplete C2 JIT warm-up (jvm AND py CPU per identical
+run still declining across early trials) — was eliminated at the source
+on 2026-08-17: `bench.py` now warms by WALL-TIME budget (>= 100 s), not
+run count, because at 32 cores a 10 s trial gives the concurrent compiler
+threads far less wall time per run than the pinned 2-core sessions get.
+Measured result: pipeline trial spread fell from 5.02x (2.12x trimmed)
+to 1.24x (1.12x trimmed) over 10 trials — under the < 1.5x target — with
+flat per-trial CPU (jvm 222-241 s) and every residual excursion carrying
+its steal% attribution (e.g. the 16.7 s trial logged 9.8% steal).
+
 ## Level-pair choice and supplementary points
 
 The north rule fixes the RATIO (N -> 4N), not N. The primary pair is
