@@ -300,6 +300,12 @@ def main() -> int:
             "sf": float(sf),
             "pipeline_pages": PIPELINE_PAGES,
             "pipeline_pages_per_sec": pages_per_sec,
+            # round-over-round: compare per-query timings and
+            # pipeline_pages_per_sec, NOT "value" — the pipeline corpus grew
+            # 200k (r02) -> 4M pages so its wall-clock term is 20x more work
+            # (155,379 -> ~300k pages/s on the same host is the real delta)
+            "note": "pipeline_full runs the full 4M-page corpus since r03; "
+                    "'value' is not comparable to rounds that used 200k",
             "pipeline_median_sec": round(pipe_median, 3),
             "pipeline_trial_spread": round(trials_sorted[-1] / pipe_sec, 2),
             "pipeline_trial_spread_trimmed": round(trimmed[-1] / pipe_sec, 2),
