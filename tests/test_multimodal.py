@@ -62,12 +62,13 @@ def test_resize_match_local_stub(media):
 
 
 def test_registry_query_goldens(spark):
-    """Driver-side GOLDEN value check for the three multimodal registry
+    """Driver-side GOLDEN value check for the two multimodal registry
     queries, INDEPENDENT of their DuckDB oracles (a 3-way triangle:
     Spark == pure Python here, Spark == DuckDB in run_entry_check): every
     output row — dims, norms, byte lengths, md5 digests — equals a
     pure-Python recomputation from the same documents parquet. Exact
-    equality, all rows."""
+    equality, all rows (both ops of the merged multimodal_transforms
+    union are checked row-for-row)."""
     import hashlib
 
     import pyarrow.parquet as pq
@@ -90,19 +91,20 @@ def test_registry_query_goldens(spark):
         assert (r["payload_bytes"], r["width"], r["height"], r["feature_norm"]) \
             == (len(b), w, h, fn), did
 
-    got = {r["doc_id"]: r for r in
-           QUERIES["multimodal_resize"].spark_fn(spark, sf).collect()}
-    assert set(got) == set(docs)
+    rows = QUERIES["multimodal_transforms"].spark_fn(spark, sf).collect()
+    resized = {r["doc_id"]: r for r in rows if r["op"] == "resize"}
+    assert set(resized) == set(docs)
     for did, b in docs.items():
         out = _resize_stub(b, 8, 8)
-        r = got[did]
-        assert (r["out_width"], r["out_height"]) == (8, 8)
+        r = resized[did]
+        assert (r["width"], r["height"], r["out_width"], r["out_height"]) \
+            == (*_decode_stub(b)[:2], 8, 8)
         # registry hash is md5 over the UPPERCASE HEX encoding (DuckDB 1.0
         # cannot md5 raw blobs; both engines hash the hex string)
-        assert (r["resized_bytes"], r["resized_md5"]) \
+        assert (r["n_bytes"], r["content_md5"]) \
             == (len(out), hashlib.md5(out.hex().upper().encode()).hexdigest()), did
+        assert r["byte_offset"] is None and r["item_no"] == 0
 
-    frames = QUERIES["multimodal_frame_sample"].spark_fn(spark, sf).collect()
     want = {}
     for did, b in docs.items():
         for k, f in enumerate(range(0, len(b) // 256, 4)):
@@ -112,8 +114,8 @@ def test_registry_query_goldens(spark):
                 hashlib.md5(chunk.hex().upper().encode()).hexdigest(),
             )
     got_frames = {
-        (r["doc_id"], r["frame_no"]): (r["frame_offset"], r["frame_bytes"], r["frame_md5"])
-        for r in frames
+        (r["doc_id"], r["item_no"]): (r["byte_offset"], r["n_bytes"], r["content_md5"])
+        for r in rows if r["op"] == "frame"
     }
     assert got_frames == want
 
