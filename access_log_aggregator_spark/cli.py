@@ -57,6 +57,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--stream", action="store_true",
                     help="Structured Streaming mode: foreachBatch fan-out with "
                          "a streaming checkpoint (drains all unseen snapshots)")
+    ap.add_argument("--retire-stream", action="store_true",
+                    help="declare this run's stream checkpoint permanently "
+                         "done: remove its marker from the pages table so "
+                         "--expire-snapshots is no longer blocked by it "
+                         "(do NOT pass this if the checkpoint will resume — "
+                         "the marker protects appends committed between "
+                         "drains from being compacted+expired unseen)")
     ap.add_argument("--trigger-interval", default=None, metavar="DUR",
                     help="with --stream: processingTime trigger, e.g. '10 seconds' "
                          "(the -interval ticker analog, flags.go:13); default is "
@@ -134,6 +141,9 @@ def main(argv: list[str] | None = None) -> int:
             # contract as batch mode (a second idle --stream run reports 0,
             # not the routed table's all-time totals)
             results = processed
+            if args.retire_stream:
+                pages_table.unregister_stream(ckpt_dir)
+                print(f"retired stream checkpoint {ckpt_dir}", file=sys.stderr)
         else:
             cp = Checkpoint(args.checkpoint)
             results = run_incremental(spark, pages_table, pipe, cp,
@@ -156,8 +166,14 @@ def main(argv: list[str] | None = None) -> int:
             print(f"compacted routed sink -> snapshot {sid}" if sid
                   else "routed sink already compact", file=sys.stderr)
         if args.expire_snapshots:
-            gone = pipe.routed_table.expire_snapshots()
-            print(f"expired {len(gone)} data file(s)", file=sys.stderr)
+            # a registered stream checkpoint makes expiry refuse (it would
+            # delete part-* files the checkpoint may still need); that is a
+            # clean maintenance outcome, not a crash — report and move on
+            try:
+                gone = pipe.routed_table.expire_snapshots()
+                print(f"expired {len(gone)} data file(s)", file=sys.stderr)
+            except RuntimeError as e:
+                print(f"expire-snapshots refused: {e}", file=sys.stderr)
         agg_rows = pipe.write_aggregates() if rows_in else {}
         print(json.dumps({"batches": n_batches, "rows_in": rows_in,
                           "sink_counts": totals,

@@ -56,12 +56,17 @@ def _token_hashes(tokens: list[str], powers: np.ndarray) -> np.ndarray:
     idx_in_tok = np.arange(total, dtype=np.int64) - np.repeat(starts, lengths)
     exp = np.repeat(lengths - 1, lengths) - idx_in_tok
     terms = codes * powers[exp]
-    # starts are clipped: a TRAILING empty token's start == total, which
-    # reduceat rejects; clipped segments belong to empty tokens only and
-    # are overwritten below (reduceat also yields the element AT the start
-    # index for any empty segment — the canonical hash of an empty token
-    # is 0 either way)
-    sums = np.add.reduceat(terms, np.minimum(starts, total - 1)) % x.P
+    # A TRAILING empty token's start == total, which reduceat rejects —
+    # and clipping it to total-1 would be WRONG: it would also move the
+    # PRECEDING segment's end back by one, dropping the last character
+    # from the last real token's hash (trailing-separator texts like
+    # "hello world\n" produce exactly this shape). So reduceat runs only
+    # over in-range starts (the excluded tail tokens are empty by
+    # construction) and every empty token's hash is forced to the
+    # canonical 0 afterwards.
+    valid = starts < total
+    sums = np.zeros(len(tokens), dtype=np.int64)
+    sums[valid] = np.add.reduceat(terms, starts[valid]) % x.P
     sums[lengths == 0] = 0
     return sums
 

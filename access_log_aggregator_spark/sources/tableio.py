@@ -105,6 +105,13 @@ class SnapshotTable:
         snaps = self._manifest()["snapshots"]
         return snaps[-1]["id"] if snaps else None
 
+    def stream_floor(self) -> Optional[int]:
+        """Snapshot id below which history has been expired (rows live only
+        in compact-* files streams do not glob), or None if never expired.
+        Stream checkpoints created after expiry observe only appends above
+        this floor; batch :meth:`read` still serves full content."""
+        return self._manifest().get("stream_floor")
+
     def committed_markers(self) -> set[str]:
         return {s["marker"] for s in self._manifest()["snapshots"] if s.get("marker")}
 
@@ -135,6 +142,20 @@ class SnapshotTable:
         d.mkdir(exist_ok=True)
         key = hashlib.md5(str(checkpoint_dir).encode()).hexdigest()
         (d / f"{key}.json").write_text(json.dumps({"checkpoint": str(checkpoint_dir)}))
+
+    def unregister_stream(self, checkpoint_dir: str | Path) -> bool:
+        """Retire a stream checkpoint's marker, unblocking
+        :meth:`expire_snapshots`. Call this only when the checkpoint will
+        never be resumed: the marker is what stops expiry from deleting
+        ``part-*`` files an incremental drain has not listed yet (a
+        drained-but-resumable checkpoint still needs appends committed
+        after its last run if they get compacted+expired in between).
+        Returns True when a marker was removed."""
+        key = hashlib.md5(str(checkpoint_dir).encode()).hexdigest()
+        p = self.root / ".streams" / f"{key}.json"
+        existed = p.exists()
+        p.unlink(missing_ok=True)
+        return existed
 
     def stream_markers(self) -> list[str]:
         d = self.root / ".streams"
@@ -234,19 +255,21 @@ class SnapshotTable:
             # cross-directory merge would lose the partition column
             groups[Path(f).parent].append(f)
         out: list[Path] = []
-        staged: list[Path] = []
         total = 0
         any_merge = False
         for d, fs in sorted(groups.items()):
-            smalls = [f for f in fs
-                      if pq.read_metadata(f).num_rows < rows_per_file]
+            # one footer read per file (conflict cleanup derives staged
+            # files inside _commit_files from out-minus-live, so no staged
+            # list is needed here)
+            nrows = {f: pq.read_metadata(f).num_rows for f in fs}
+            smalls = [f for f in fs if nrows[f] < rows_per_file]
             carry = [f for f in fs if f not in smalls]
             if len(smalls) < 2:  # nothing mergeable here: carry everything
                 carry = fs
                 smalls = []
             for f in carry:
                 out.append(Path(f))
-                total += pq.read_metadata(f).num_rows
+                total += nrows[f]
             if not smalls:
                 continue
             any_merge = True
@@ -258,7 +281,6 @@ class SnapshotTable:
                 dest = d / f"compact-{uuid.uuid4().hex}.parquet"
                 pq.write_table(merged.slice(lo, rows_per_file), dest)
                 out.append(dest)
-                staged.append(dest)
         if not any_merge:
             return None
         return self._commit_files(out, total, marker, operation="replace",
@@ -297,6 +319,13 @@ class SnapshotTable:
             kept_files = {f for s in keep for f in s["files"]}
             doomed = sorted({f for s in drop for f in s["files"]} - kept_files)
             m["snapshots"] = keep
+            # record the expiry floor: pre-compaction rows now exist ONLY in
+            # compact-* files, which directory-based streams deliberately do
+            # not glob — a stream checkpoint created after this point can
+            # observe appends after `base` but never the expired history
+            # (batch read() still serves full content via the manifest).
+            # _page_stream warns fresh checkpoints using this field.
+            m["stream_floor"] = base
             self._write_manifest(m)
         for f in doomed:
             (self.root / f).unlink(missing_ok=True)

@@ -53,7 +53,22 @@ def _page_stream(spark: SparkSession, pages_table: SnapshotTable,
     or a stream started after one — would ingest every merged row twice
     (tableio.STREAM_GLOB documents the convention). Registers the
     checkpoint on the table so expire_snapshots refuses to delete the
-    part-* files this stream reads."""
+    part-* files this stream reads; retire the marker with
+    table.unregister_stream(checkpoint) once the checkpoint is done for
+    good (a resumable checkpoint keeps its marker so appends committed
+    between drains cannot be compacted+expired out from under it)."""
+    floor = pages_table.stream_floor()
+    if floor is not None and not Path(checkpoint_dir).exists():
+        import warnings
+
+        warnings.warn(
+            f"starting a FRESH stream checkpoint on {pages_table.root}, "
+            f"whose history below snapshot {floor} has been expired: rows "
+            "from expired snapshots live only in compact-* files, which "
+            "streams do not read — this stream observes appends after the "
+            "expiry only; use batch table.read() for full content",
+            stacklevel=2,
+        )
     pages_table.register_stream(checkpoint_dir)
     return (
         spark.readStream.schema(PAGES_SCHEMA)

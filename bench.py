@@ -223,20 +223,22 @@ def main() -> int:
         # proxy: per-run job-tree CPU (JVM + python workers) declines while
         # the concurrent compiler threads still have a backlog (measured on
         # the 4M corpus at 32 cores: 838 s -> 423 s -> ~285 s flat), so warm
-        # until a run's CPU is within 10% of the previous run's — plus a
-        # >= 3 runs / >= 100 s wall floor (page cache, worker spawn) and a
-        # 15-run / 450 s cap. A noise-inflated run can only DELAY the stop
-        # (it raises current CPU, the next run shows a fresh decline), never
-        # fake a plateau downward — CPU cannot fall below the real work.
-        # Steady-state throughput is the number that projects to a
-        # long-running 100 TB job.
+        # until the last THREE runs' CPU agree within 10% — plus a >= 3
+        # runs / >= 100 s wall floor (page cache, worker spawn) and a
+        # 15-run / 450 s cap. Three-run window, not run-over-run: a single
+        # contaminated run (co-tenant cycle-stretch inflates the job's own
+        # jiffies) could land within 10% of its still-declining predecessor
+        # and fake a plateau; fooling a 3-run window needs two consecutive
+        # contaminated runs in a coordinated band, and the per-trial CPU
+        # arrays below would still expose the miss (timed trials' CPU
+        # continuing to decline). Steady-state throughput is the number
+        # that projects to a long-running 100 TB job.
         from access_log_aggregator_spark.plans.pipeline import build_routed
 
         hz = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
         lookup = spark.createDataFrame(generate_host_lookup())
         pages = spark.read.parquet(str(pages_path))  # scan-parallel, no shuffle
         warm_wall, warm_runs = 0.0, 0
-        prev_cpu = None
         warm_cpus = []
         while warm_runs < 15 and warm_wall < 450.0:
             c0 = _tree_jiffies()["total"]
@@ -244,14 +246,14 @@ def main() -> int:
             _noop_run(build_routed(pages, lookup))
             warm_wall += time.time() - w0
             warm_runs += 1
-            cpu = (_tree_jiffies()["total"] - c0) / hz
-            warm_cpus.append(round(cpu, 1))
+            warm_cpus.append(round((_tree_jiffies()["total"] - c0) / hz, 1))
+            window = warm_cpus[-3:]
             if (warm_runs >= 3 and warm_wall >= 100.0
-                    and prev_cpu is not None and cpu >= 0.90 * prev_cpu):
+                    and max(window) <= 1.10 * min(window)):
                 break
-            prev_cpu = cpu
         log(f"warm-up: {warm_runs} runs, {warm_wall:.1f}s, "
-            f"per-run job cpu {warm_cpus} (plateau when decline < 10%)")
+            f"per-run job cpu {warm_cpus} (plateau when last 3 runs "
+            f"agree within 10%)")
         def _gc_ms() -> int:
             """Cumulative stop-the-world GC milliseconds of the local JVM."""
             beans = (spark._jvm.java.lang.management.ManagementFactory

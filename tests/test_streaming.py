@@ -263,3 +263,40 @@ def test_stream_ignores_compaction_outputs(spark, corpus, lookup_sdf,
     pipe2 = Pipeline(spark, root / "out2", lookup_sdf)
     run_streaming(spark, pages_table, pipe2, root / "ckpt_b")
     assert pipe2.routed().count() == n
+
+
+def test_fresh_stream_after_expiry_warns_and_tails_new_appends(
+        spark, corpus, lookup_sdf, tmp_path_factory):
+    """After compact + expire_snapshots the pre-compaction rows exist only
+    in compact-* files, which streams deliberately do not glob. A FRESH
+    checkpoint started afterwards must (a) warn that it cannot observe the
+    expired history, and (b) still tail post-expiry appends exactly once.
+    Full-content consumers use batch table.read() (asserted too)."""
+    import warnings
+
+    root = tmp_path_factory.mktemp("stream_expire")
+    pages_table = SnapshotTable.create(root / "pages", "pages")
+    n = len(corpus.pages)
+    half = n // 2
+    pages_table.append_pandas(corpus.pages.iloc[:half])
+    pages_table.append_pandas(corpus.pages.iloc[half:])
+    pages_table.compact(rows_per_file=10 ** 6)
+    assert pages_table.expire_snapshots() != []
+
+    post = corpus.pages.iloc[:7].assign(
+        url=lambda d: "http://late.example.net/" + d.index.astype(str))
+    pages_table.append_pandas(post)
+
+    pipe = Pipeline(spark, root / "out", lookup_sdf)
+    with pytest.warns(UserWarning, match="expired"):
+        run_streaming(spark, pages_table, pipe, root / "ckpt_fresh")
+    assert pipe.routed().count() == 7  # post-expiry append only, once
+
+    # resuming the SAME checkpoint must not warn again (not fresh anymore)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        run_streaming(spark, pages_table, pipe, root / "ckpt_fresh")
+    assert pipe.routed().count() == 7
+
+    # batch read still serves the full table contents
+    assert pages_table.read(spark).count() == n + 7

@@ -279,3 +279,26 @@ def test_compact_warns_when_streamed(tmp_path):
         warnings.simplefilter("always")
         assert t.compact(rows_per_file=50) is not None
     assert any("expire_snapshots" in str(x.message) for x in w)
+
+
+def test_unregister_stream_unblocks_expiry(tmp_path):
+    t = SnapshotTable.create(tmp_path / "t")
+    for i in range(3):
+        t.append_pandas(_pdf(10, i * 10))
+    t.compact(rows_per_file=50)
+    t.register_stream(tmp_path / "ckpt")
+    assert t.stream_markers()
+    assert t.unregister_stream(tmp_path / "ckpt") is True
+    assert t.unregister_stream(tmp_path / "ckpt") is False  # idempotent
+    assert t.stream_markers() == []
+    assert t.expire_snapshots() != []  # no longer blocked
+
+
+def test_expiry_records_stream_floor(tmp_path):
+    t = SnapshotTable.create(tmp_path / "t")
+    for i in range(3):
+        t.append_pandas(_pdf(10, i * 10))
+    assert t.stream_floor() is None
+    replace_id = t.compact(rows_per_file=50)
+    t.expire_snapshots()
+    assert t.stream_floor() == replace_id

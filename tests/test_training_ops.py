@@ -119,7 +119,14 @@ def test_simhash_arrow_edge_vectors(spark):
     and empty-token hash-0 lanes)."""
     rows = [(0, None), (1, ""), (2, "   "), (3, "\ta b\t"),
             (4, "a\x0bb c"), (5, "x\U0001F600y z"), (6, "q" * 5000 + " w"),
-            (7, "the quick brown fox " * 40)]
+            (7, "the quick brown fox " * 40),
+            # trailing separator after a >= 2-char token: the trailing empty
+            # token's reduceat segment must not truncate the LAST REAL
+            # token's hash (regression — the old start-clipping dropped
+            # 'world's final char and diverged from canonical on every
+            # newline-terminated document)
+            (8, "hello world\n"), (9, "ab\t"), (10, "ab \n"),
+            (11, "hello world\r\n"), (12, "\nab"), (13, "a\n")]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     a = dedup.with_simhash(df, engine="arrow").select("doc_id", "simhash")
     c = dedup.with_simhash(df, engine="catalyst").select("doc_id", "simhash")
