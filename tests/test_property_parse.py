@@ -113,3 +113,45 @@ def test_json_fuzz_agreement(payload):
     except GoParseError:
         go_valid = False
     assert (c.match_class in ("parsed", "bot")) == go_valid, (line, c.match_class)
+
+
+# -- vectorized token-hash fuzz (the simhash reduceat path) -------------------
+# The r3 review found a hand-picked-vector miss: trailing-separator texts
+# truncated the last token's hash. Fuzz _token_hashes (one reduceat pass over
+# all tokens) against the scalar per-token fold across arbitrary token lists,
+# including empty tokens at every position and astral-plane code points.
+
+@st.composite
+def _token_lists(draw):
+    tok = st.text(
+        alphabet=st.characters(
+            codec="utf-32-le",
+            exclude_characters=" \t\n\f\r\x0b",  # tokens never contain split chars
+        ),
+        max_size=12,
+    )
+    return draw(st.lists(tok, min_size=1, max_size=8))
+
+
+@settings(max_examples=300, deadline=None)
+@given(_token_lists())
+def test_token_hashes_match_scalar_fold(tokens):
+    import numpy as np
+
+    from access_log_aggregator_spark.functions import xsql as x
+    from access_log_aggregator_spark.functions.fingerprint_arrow import _polyhash
+    from access_log_aggregator_spark.functions.simhash_arrow import _token_hashes
+
+    max_len = max((len(t) for t in tokens), default=1)
+    powers = np.empty(max(max_len, 1) + 1, dtype=np.int64)
+    powers[0] = 1
+    for i in range(1, powers.shape[0]):
+        powers[i] = powers[i - 1] * 31 % x.P
+
+    got = _token_hashes(tokens, powers)
+    want = [
+        _polyhash(np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+                  .astype(np.int64), powers) if t else 0
+        for t in tokens
+    ]
+    assert got.tolist() == want
