@@ -58,12 +58,22 @@ def main(argv: list[str] | None = None) -> int:
                     help="Structured Streaming mode: foreachBatch fan-out with "
                          "a streaming checkpoint (drains all unseen snapshots)")
     ap.add_argument("--retire-stream", action="store_true",
-                    help="declare this run's stream checkpoint permanently "
-                         "done: remove its marker from the pages table so "
-                         "--expire-snapshots is no longer blocked by it "
-                         "(do NOT pass this if the checkpoint will resume — "
-                         "the marker protects appends committed between "
-                         "drains from being compacted+expired unseen)")
+                    help="declare this checkpoint's PAGES-table stream "
+                         "permanently done: remove its marker so "
+                         "--expire-pages-snapshots is no longer blocked by "
+                         "it (works with or without --stream; do NOT pass "
+                         "this if the checkpoint will resume — the marker "
+                         "protects appends committed between drains from "
+                         "being compacted+expired unseen)")
+    ap.add_argument("--compact-pages", action="store_true",
+                    help="compact the PAGES table's small files into a "
+                         "replace snapshot (safe beside streams: they glob "
+                         "part-* and compaction writes compact-*)")
+    ap.add_argument("--expire-pages-snapshots", action="store_true",
+                    help="delete PAGES-table data files only reachable from "
+                         "pre-compaction snapshots (refuses while a stream "
+                         "checkpoint marker is registered on the pages "
+                         "table — see --retire-stream)")
     ap.add_argument("--trigger-interval", default=None, metavar="DUR",
                     help="with --stream: processingTime trigger, e.g. '10 seconds' "
                          "(the -interval ticker analog, flags.go:13); default is "
@@ -77,11 +87,14 @@ def main(argv: list[str] | None = None) -> int:
     from .sources.pages import generate_host_lookup, generate_pages
     from .sources.tableio import SnapshotTable
 
-    if args.generate:
-        if not args.data_dir:
-            ap.error("--generate requires --data-dir")
+    if args.generate and not args.data_dir:
+        ap.error("--generate requires --data-dir")
+    if args.data_dir:
+        # --data-dir derives the three paths with or without --generate, so
+        # maintenance-only runs (--retire-stream / --compact* / --expire*)
+        # address the same layout a --generate run created
         root = Path(args.data_dir)
-        args.pages_table = str(root / "pages")
+        args.pages_table = args.pages_table or str(root / "pages")
         args.out = args.out or str(root / "out")
         args.checkpoint = args.checkpoint or str(root / "checkpoint.json")
 
@@ -141,9 +154,6 @@ def main(argv: list[str] | None = None) -> int:
             # contract as batch mode (a second idle --stream run reports 0,
             # not the routed table's all-time totals)
             results = processed
-            if args.retire_stream:
-                pages_table.unregister_stream(ckpt_dir)
-                print(f"retired stream checkpoint {ckpt_dir}", file=sys.stderr)
         else:
             cp = Checkpoint(args.checkpoint)
             results = run_incremental(spark, pages_table, pipe, cp,
@@ -165,15 +175,38 @@ def main(argv: list[str] | None = None) -> int:
             )
             print(f"compacted routed sink -> snapshot {sid}" if sid
                   else "routed sink already compact", file=sys.stderr)
+        if args.retire_stream:
+            # works in maintenance-only runs too (no --stream): the marker
+            # belongs to the PAGES table and the checkpoint path is derived
+            # the same way the streaming mode derives it
+            ckpt = Path(args.checkpoint).with_suffix(".stream_ckpt")
+            removed = pages_table.unregister_stream(ckpt)
+            print(f"retired stream checkpoint {ckpt}" if removed
+                  else f"no stream marker for {ckpt}", file=sys.stderr)
         if args.expire_snapshots:
             # a registered stream checkpoint makes expiry refuse (it would
             # delete part-* files the checkpoint may still need); that is a
-            # clean maintenance outcome, not a crash — report and move on
+            # clean maintenance outcome, not a crash — report and move on.
+            # (--expire-snapshots targets the ROUTED sink; the pages table
+            # the CLI's own stream reads is --expire-pages-snapshots.)
             try:
                 gone = pipe.routed_table.expire_snapshots()
                 print(f"expired {len(gone)} data file(s)", file=sys.stderr)
             except RuntimeError as e:
                 print(f"expire-snapshots refused: {e}", file=sys.stderr)
+        if args.compact_pages:
+            sid = pages_table.compact(
+                rows_per_file=args.compact_rows_per_file
+            )
+            print(f"compacted pages table -> snapshot {sid}" if sid
+                  else "pages table already compact", file=sys.stderr)
+        if args.expire_pages_snapshots:
+            try:
+                gone = pages_table.expire_snapshots()
+                print(f"expired {len(gone)} pages data file(s)",
+                      file=sys.stderr)
+            except RuntimeError as e:
+                print(f"expire-pages-snapshots refused: {e}", file=sys.stderr)
         agg_rows = pipe.write_aggregates() if rows_in else {}
         print(json.dumps({"batches": n_batches, "rows_in": rows_in,
                           "sink_counts": totals,

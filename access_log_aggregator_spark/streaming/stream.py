@@ -64,9 +64,12 @@ def _page_stream(spark: SparkSession, pages_table: SnapshotTable,
         warnings.warn(
             f"starting a FRESH stream checkpoint on {pages_table.root}, "
             f"whose history below snapshot {floor} has been expired: rows "
-            "from expired snapshots live only in compact-* files, which "
-            "streams do not read — this stream observes appends after the "
-            "expiry only; use batch table.read() for full content",
+            f"from snapshots before {floor} live only in compact-* files, "
+            "which streams do not read — this stream observes appends "
+            f"committed after snapshot {floor} (their part-* files survive "
+            "expiry), nothing earlier; use batch table.read() for full "
+            "content, and do not ALSO backfill post-floor appends from a "
+            "batch read or they will arrive twice",
             stacklevel=2,
         )
     pages_table.register_stream(checkpoint_dir)

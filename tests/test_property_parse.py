@@ -126,7 +126,9 @@ def _token_lists(draw):
     tok = st.text(
         alphabet=st.characters(
             codec="utf-32-le",
-            exclude_characters=" \t\n\f\r\x0b",  # tokens never contain split chars
+            # only the actual split class [ \t\n\f\r] is excluded; \x0b is
+            # NOT a split char and real tokens can contain it
+            exclude_characters=" \t\n\f\r",
         ),
         max_size=12,
     )

@@ -293,9 +293,12 @@ def test_fresh_stream_after_expiry_warns_and_tails_new_appends(
     assert pipe.routed().count() == 7  # post-expiry append only, once
 
     # resuming the SAME checkpoint must not warn again (not fresh anymore)
-    with warnings.catch_warnings():
-        warnings.simplefilter("error")
+    # — assert the SPECIFIC warning is absent rather than escalating every
+    # incidental library warning to a failure
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
         run_streaming(spark, pages_table, pipe, root / "ckpt_fresh")
+    assert not [w for w in caught if "expired" in str(w.message)]
     assert pipe.routed().count() == 7
 
     # batch read still serves the full table contents
