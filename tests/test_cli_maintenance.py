@@ -1,0 +1,71 @@
+"""The table-maintenance surface of the CLI: ``--compact-pages``,
+``--expire-pages-snapshots`` and ``--retire-stream`` run the full
+compact -> refuse-while-streamed -> retire -> expire lifecycle against
+the pages table, in the same process layout a deployment would use
+(fresh interpreter per invocation, paths derived from ``--data-dir``).
+
+The library-level lifecycle is covered in test_tableio.py /
+test_streaming.py; this exercises the operational wiring on top.
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _run_cli(*argv: str) -> subprocess.CompletedProcess:
+    out = subprocess.run(
+        [sys.executable, "-m", "access_log_aggregator_spark.cli",
+         "--master", "local[4]", *argv],
+        capture_output=True, text=True, timeout=420, cwd=str(REPO),
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    return out
+
+
+def test_pages_maintenance_lifecycle(tmp_path):
+    data_dir = str(tmp_path / "data")
+
+    # 1) generate + stream-drain, then compact the pages table; expiry must
+    #    REFUSE because this run's own stream checkpoint is still registered
+    out1 = _run_cli("--generate", "400", "--snapshots", "2",
+                    "--data-dir", data_dir, "--stream",
+                    "--compact-pages", "--expire-pages-snapshots")
+    d1 = json.loads([l for l in out1.stdout.splitlines()
+                     if l.startswith('{"batches')][-1])
+    assert d1["rows_in"] == 400
+    assert sum(d1["sink_counts"].values()) == 400
+    assert "compacted pages table -> snapshot" in out1.stderr
+    assert "expire-pages-snapshots refused" in out1.stderr
+    # pre-compaction part-* files still on disk (expiry was refused)
+    pages_root = Path(data_dir) / "pages"
+    assert list(pages_root.rglob("part-*"))
+
+    # 2) drain again (idle), declare the stream done, expire: now the
+    #    pre-compaction files are reclaimed and the retire is acknowledged
+    out2 = _run_cli("--data-dir", data_dir, "--stream",
+                    "--retire-stream", "--expire-pages-snapshots")
+    d2 = json.loads([l for l in out2.stdout.splitlines()
+                     if l.startswith('{"batches')][-1])
+    assert d2["rows_in"] == 0  # checkpoint already covers every snapshot
+    assert "retired stream checkpoint" in out2.stderr
+    assert "expired" in out2.stderr and "refused" not in out2.stderr
+    assert not list(pages_root.rglob("part-*"))  # only compact-* files live
+    assert list(pages_root.rglob("compact-*"))
+
+    # 3) maintenance-only invocation (no --stream/--generate): compacting an
+    #    already-compact table is a no-op, expiry finds nothing to reclaim —
+    #    rerunning maintenance does not grow the table (ADVICE r2: bounded
+    #    growth under routine maintenance)
+    before = sorted(p.name for p in pages_root.rglob("compact-*"))
+    out3 = _run_cli("--data-dir", data_dir,
+                    "--compact-pages", "--expire-pages-snapshots")
+    assert "pages table already compact" in out3.stderr
+    assert "expired 0 pages data file(s)" in out3.stderr
+    after = sorted(p.name for p in pages_root.rglob("compact-*"))
+    assert before == after
