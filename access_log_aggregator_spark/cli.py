@@ -74,6 +74,13 @@ def main(argv: list[str] | None = None) -> int:
                          "pre-compaction snapshots (refuses while a stream "
                          "checkpoint marker is registered on the pages "
                          "table — see --retire-stream)")
+    ap.add_argument("--maintenance-only", action="store_true",
+                    help="run only the maintenance flags (--compact*, "
+                         "--expire*, --retire-stream) without processing "
+                         "any pages: required when the layout is managed "
+                         "by a --stream checkpoint, because a batch run "
+                         "would re-route already-streamed rows under "
+                         "different idempotence markers")
     ap.add_argument("--trigger-interval", default=None, metavar="DUR",
                     help="with --stream: processingTime trigger, e.g. '10 seconds' "
                          "(the -interval ticker analog, flags.go:13); default is "
@@ -107,18 +114,29 @@ def main(argv: list[str] | None = None) -> int:
         if args.generate:
             pdf = generate_pages(args.generate, seed=args.seed)
             step = (len(pdf) + args.snapshots - 1) // args.snapshots
+            before = pages_table.current_snapshot_id() or 0
             for lo in range(0, len(pdf), step):
                 pages_table.append_pandas(pdf.iloc[lo: lo + step],
                                           marker=f"gen-{args.seed}-{lo}")
-            print(f"generated {len(pdf)} pages into {args.snapshots} snapshots",
-                  file=sys.stderr)
+            new = (pages_table.current_snapshot_id() or 0) - before
+            if new:
+                print(f"generated {len(pdf)} pages into {new} snapshots",
+                      file=sys.stderr)
+            else:
+                # same seed + same offsets => same idempotence markers: the
+                # whole generate was deduplicated against earlier commits
+                print(f"generate: all {args.snapshots} snapshots already "
+                      f"committed (markers gen-{args.seed}-*), nothing "
+                      "appended", file=sys.stderr)
 
         lookup = spark.createDataFrame(generate_host_lookup(seed=args.seed))
         pipe = Pipeline(spark, args.out, lookup,
                         use_arrow_udf=not args.no_arrow_udf,
                         salt_buckets=args.salt_buckets,
                         write_partitions=args.write_partitions)
-        if args.stream:
+        if args.maintenance_only:
+            results = []
+        elif args.stream:
             from .streaming.stream import run_streaming, start_live_stream
 
             ckpt_dir = Path(args.checkpoint).with_suffix(".stream_ckpt")
@@ -155,6 +173,22 @@ def main(argv: list[str] | None = None) -> int:
             # not the routed table's all-time totals)
             results = processed
         else:
+            # mixed-mode guard: batch and stream keep INDEPENDENT cursors
+            # and use different sink idempotence markers (pages-snap-<id>
+            # vs stream-<n>), so a batch run with a fresh cursor over a
+            # layout a stream checkpoint already drained would re-route
+            # every page as duplicates. Refuse that exact shape.
+            if (not Path(args.checkpoint).exists()
+                    and pages_table.stream_markers()):
+                ap.error(
+                    f"{args.pages_table} is managed by a stream checkpoint "
+                    f"({pages_table.stream_markers()}) and no batch "
+                    f"checkpoint exists at {args.checkpoint}: a fresh batch "
+                    "run would duplicate already-streamed rows in the "
+                    "routed sink. Use --stream to resume it, or "
+                    "--maintenance-only for maintenance, or --retire-stream "
+                    "first if the stream is permanently done."
+                )
             cp = Checkpoint(args.checkpoint)
             results = run_incremental(spark, pages_table, pipe, cp,
                                       from_start=args.from_start)

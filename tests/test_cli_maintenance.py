@@ -18,14 +18,21 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 
 
-def _run_cli(*argv: str) -> subprocess.CompletedProcess:
+def _run_cli(*argv: str, expect_rc: int = 0) -> subprocess.CompletedProcess:
     out = subprocess.run(
         [sys.executable, "-m", "access_log_aggregator_spark.cli",
          "--master", "local[4]", *argv],
         capture_output=True, text=True, timeout=420, cwd=str(REPO),
     )
-    assert out.returncode == 0, out.stderr[-3000:]
+    assert out.returncode == expect_rc, out.stderr[-3000:]
     return out
+
+
+def _routed_rows(data_dir: str) -> int:
+    m = json.loads((Path(data_dir) / "out" / "routed" /
+                    "manifest.json").read_text())
+    return sum(s["row_count"] for s in m["snapshots"]
+               if s["operation"] == "append")
 
 
 def test_pages_maintenance_lifecycle(tmp_path):
@@ -61,11 +68,28 @@ def test_pages_maintenance_lifecycle(tmp_path):
     # 3) maintenance-only invocation (no --stream/--generate): compacting an
     #    already-compact table is a no-op, expiry finds nothing to reclaim —
     #    rerunning maintenance does not grow the table (ADVICE r2: bounded
-    #    growth under routine maintenance)
+    #    growth under routine maintenance) and, critically, does NOT process
+    #    pages: batch mode's independent cursor would re-route every
+    #    already-streamed row under pages-snap-* markers
     before = sorted(p.name for p in pages_root.rglob("compact-*"))
-    out3 = _run_cli("--data-dir", data_dir,
+    routed_before = _routed_rows(data_dir)
+    out3 = _run_cli("--data-dir", data_dir, "--maintenance-only",
                     "--compact-pages", "--expire-pages-snapshots")
+    d3 = json.loads([l for l in out3.stdout.splitlines()
+                     if l.startswith('{"batches')][-1])
+    assert d3["rows_in"] == 0 and d3["batches"] == 0
     assert "pages table already compact" in out3.stderr
     assert "expired 0 pages data file(s)" in out3.stderr
-    after = sorted(p.name for p in pages_root.rglob("compact-*"))
-    assert before == after
+    assert sorted(p.name for p in pages_root.rglob("compact-*")) == before
+    assert _routed_rows(data_dir) == routed_before
+
+
+def test_batch_mode_refuses_stream_managed_layout(tmp_path):
+    """A fresh-cursor batch run over a stream-drained layout would duplicate
+    every routed row (different idempotence markers); the CLI must refuse."""
+    data_dir = str(tmp_path / "data")
+    _run_cli("--generate", "300", "--snapshots", "2",
+             "--data-dir", data_dir, "--stream")
+    out = _run_cli("--data-dir", data_dir, expect_rc=2)  # argparse error exit
+    assert "managed by a stream checkpoint" in out.stderr
+    assert _routed_rows(data_dir) == 300  # nothing was duplicated
