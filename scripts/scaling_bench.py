@@ -165,23 +165,8 @@ def main() -> int:
         "pass": eff_best >= 0.8,
     }
 
-    md = f"""# BENCH — measured baseline & scaling evidence
-
-Updated: {datetime.now(timezone.utc).strftime('%Y-%m-%d %H:%M UTC')}
-
-## North-star pipeline throughput (parse -> enrich -> route, single pass)
-
-Job: full `build_routed` (Arrow pandas-UDF extraction [RE2/pyarrow
-vectorized] + Catalyst field parse/validate + broadcast enrich + router)
-over the deterministic {n_pages:,}-page KB-scale corpus (seed 42, one
-parquet file per 10k-row chunk so the scan parallelizes without any
-repartition shuffle), `noop` sink.
-
-Methodology: each level = fresh JVM, CPU-pinned (`sched_setaffinity`) to its
-budget — JVM task threads AND Python workers share it, since `local[N]`
-alone does not bound total CPU; 2 warm-ups then timed trials per session;
-levels alternate across {sessions} sessions so ambient noise on this shared
-host hits both; result = best trial (median also shown).
+    block = f"""<!-- primary-scaling:begin -->
+Measured {datetime.now(timezone.utc).strftime('%Y-%m-%d %H:%M UTC')}.
 
 | level | cores (pinned) | best sec | median sec | pages/sec (best) |
 |---|---|---|---|---|
@@ -189,122 +174,22 @@ host hits both; result = best trial (median also shown).
 | 4N | {hi['cores']} | {hi['best_sec']} | {hi['median_sec']} | {hi['pages_per_sec_best']:,} |
 
 **Scaling efficiency = (T_4N / T_N) / 4 = {result['scaling_efficiency']}**
-(median-based: {result['scaling_efficiency_median']}; gate ≥ 0.8:
+(median-based: {result['scaling_efficiency_median']}; gate >= 0.8:
 {"PASS" if result['pass'] else "FAIL"})
 
-Best-trial is the estimator because the host's noise (hypervisor steal
-bursts, measured up to ~13% and varying hour to hour) is strictly
-additive — contamination only ever slows a trial — so the minimum over
-alternated sessions is the least-contaminated measurement of each level.
-Read the result against the same-window machine calibration below.
-
-`bench.py` attributes every slow trial to one of four measured causes:
-hypervisor steal, VMM descheduling (jiffy coverage << 1), a JVM GC storm
-(gc_sec / jvm_cpu inflated), or uniform cycle-stretch (jvm+py CPU both
-multiplied at their usual ratio with busy cores) — the last being a
-co-tenant saturating shared memory bandwidth, the same mechanism the
-memory-stream calibration shows collapsing in bad windows. Only the GC
-case is the job's own; it has not recurred since the heap was pre-sized.
-
-A fifth cause — incomplete C2 JIT warm-up (jvm AND py CPU per identical
-run still declining across early trials) — was eliminated at the source
-on 2026-08-17: `bench.py` now warms by WALL-TIME budget (>= 100 s), not
-run count, because at 32 cores a 10 s trial gives the concurrent compiler
-threads far less wall time per run than the pinned 2-core sessions get.
-Measured result: pipeline trial spread fell from 5.02x (2.12x trimmed)
-to 1.24x (1.12x trimmed) over 10 trials — under the < 1.5x target — with
-flat per-trial CPU (jvm 222-241 s) and every residual excursion carrying
-its steal% attribution (e.g. the 16.7 s trial logged 9.8% steal).
-
-## Level-pair choice and supplementary points
-
-The north rule fixes the RATIO (N -> 4N), not N. The primary pair is
-{n_level} -> {4 * n_level} pinned cores. Supplementary evidence
-(`SPARK_GRAFT_SCALE_SUPPLEMENT=1`, same methodology):
-
-| run | corpus | N -> 4N | pages/sec | eff (best) | eff (median) |
-|---|---|---|---|---|---|
-| 16M-page, 2 -> 8 (2026-08-17) | 4x the primary corpus | 49,026 -> 171,337 | 0.874 | **0.849** |
-| 4M-page, 2 -> 8 rerun (2026-08-17 19:20) | same as primary | 50,284 -> 178,755 | 0.889 | 0.657 |
-| 4M-page, 4 -> 16 (2026-08-16) | same as primary | 115,164 -> 323,311 | 0.702 | — |
-
-The 16M run shows efficiency HOLDS as fixed per-job overhead (scheduling,
-broadcast, JIT) amortizes over a 4x larger input — and its median-based
-efficiency also clears the 0.8 gate, so the result does not rest on the
-best-trial estimator. The 4M rerun is an independent same-day repeat of
-the primary protocol: per-level bests reproduce within 3% (79.5s vs 79.1s
-at 2 cores, 22.4s vs 21.8s at 8) and the gate passes again; its lower
-median is explained, not mysterious — the second 8-core session ran
-concurrently with the repo's own pytest suite (an unpinned local[4] JVM),
-which is exactly the additive-contamination case the best-trial estimator
-exists for. The 4 -> 16 point is hypervisor-limited, not
-dataflow-limited: the no-Spark pure-ALU calibration at 4 -> 16 processes
-on this shared host was itself only 0.72 — past ~8 busy cores the HOST
-stops scaling. Within the host's honest scaling range the pipeline tracks
-the hardware ceiling.
-
-## Machine calibration (same levels, no Spark)
-
-What this host physically delivers when scaling {n_level} -> {4 * n_level}
-processes (`scripts/machine_calibration.py`):
-
-| workload | eff (N->4N) | note |
-|---|---|---|
-| pure ALU busy-loop | {cal['pure_alu']['efficiency']} | hypervisor/SMT ceiling |
-| memory streaming (numpy sums) | {cal['memory_stream']['efficiency']} | shared memory-bandwidth ceiling — the regime a parquet+string pipeline lives in |
-
-Historical `/proc/stat` shows ~13% CPU steal under load on this host.
-Pipeline efficiency should be read against the memory-stream ceiling, not
-1.0: the job's work is parquet decode + UTF-8 validation + regex over
-~2 KB strings — bandwidth-bound at high core counts on shared hardware.
-
-## Why this scales to a real cluster
-
-The plan is one parquet scan -> ArrowEvalPython -> projections ->
-BroadcastHashJoin (zero shuffles; asserted by tests/test_plans.py).
-Work is embarrassingly parallel per input split; the only serial parts are
-job scheduling and the broadcast of the ~1k-row host dim. On a real
-N -> 4N executor cluster each executor brings ITS OWN memory bandwidth and
-GC domain, so the shared-bandwidth ceiling measured here does not apply;
-the dataflow itself has no scaling bottleneck (no shuffle, no skewed
-reducer, no driver-side loop).
-
-Measured CPU split at 8 pinned cores (2026-08-17, per-process-tree jiffies
-over one 4M-page run): JVM 112 CPU-s (parquet decode, UTF-8, Catalyst
-expressions, Arrow IPC) vs Python workers 61 CPU-s (RE2 extraction +
-fast-path mask + sparse fallback) — 95% of the core budget busy, both
-sides data-parallel per split. The Python share (35%) scales with the
-executors like everything else; there is no serial Python anywhere.
-
-## Reference comparison
-
-The reference (single Go consumer goroutine, per-line json.Unmarshal —
-internal/app/run.go:31) aggregates on ONE core by construction; its test
-corpus is 1,000 lines. This pipeline's single-node throughput at 4N is
-{hi['pages_per_sec_best']:,} pages/sec including full routing, enrichment
-and lineage stamping.
-
-## End-to-end sink-inclusive throughput (companion measurements)
-
-Full production path — scan → parse → enrich → route → hive-partitioned
-parquet sink write → atomic snapshot commit → all three aggregate-table
-writes — same pinned-core methodology, 4M-page corpus (2026-08-17, 16g
-pre-sized ParallelGC heap; re-run the scripts to refresh):
-
-| mode | script | 8-core sec | pages/sec | note |
-|---|---|---|---|---|
-| batch | `scripts/e2e_sink_bench.py 8 4000000` | 32.75 (28.55 route + 4.2 agg) | **122,134** | one job, one commit |
-| streaming | `scripts/streaming_bench.py 8 4000000 64` | 51.62 | **77,493** | 7 AvailableNow micro-batches over a SnapshotTable (registered via `add_files`, zero-copy), checkpoint + commit per batch |
-
-Sink counts sum exactly to rows_in in BOTH modes (4,000,000 = 3,279,329
-parsed + 479,929 unparsed + 200,544 bot + 40,198 error) and the two modes
-agree COUNT-FOR-COUNT on every sink — micro-batched execution is
-routing-equivalent to the one-shot batch, measured on all 4M pages. The
-streaming/batch ratio (0.63) is the measured cost of incremental
-operation: per-micro-batch scheduling, sink commit, checkpoint advance.
-"""
-    (REPO / "BENCH").mkdir(exist_ok=True)
-    (REPO / "BENCH" / "BASELINE.md").write_text(md)
+Same-window machine calibration ({n_level} -> {4 * n_level} processes,
+no Spark): pure-ALU efficiency {cal['pure_alu']['efficiency']},
+memory-stream efficiency {cal['memory_stream']['efficiency']}.
+<!-- primary-scaling:end -->"""
+    # patch ONLY the marked block: BASELINE.md's prose (methodology,
+    # attribution taxonomy, parse-twin table, CPU split, companion
+    # measurements) is curated by hand and must survive a refresh —
+    # the old whole-file regeneration silently reverted those sections
+    path = REPO / "BENCH" / "BASELINE.md"
+    text = path.read_text()
+    begin, end = "<!-- primary-scaling:begin -->", "<!-- primary-scaling:end -->"
+    i, j = text.index(begin), text.index(end) + len(end)
+    path.write_text(text[:i] + block + text[j:])
     print(json.dumps(result))
     return 0
 
