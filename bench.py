@@ -377,6 +377,10 @@ def main() -> int:
             "value": total,
             "unit": "sec",
             "queries": timings,
+            # round-over-round comparable headline: the query set minus
+            # pipeline_full (whose corpus grew 200k -> 4M pages in r03)
+            "queries_total_sec": round(
+                sum(v for k, v in timings.items() if k != "pipeline_full"), 3),
             "sf": float(sf),
             "pipeline_pages": PIPELINE_PAGES,
             "pipeline_pages_per_sec": pages_per_sec,
