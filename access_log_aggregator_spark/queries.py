@@ -1385,16 +1385,17 @@ def _q_pipeline_url_params(spark, sf_dir):
 
 
 def _pipeline_url_params_oracle() -> str:
-    """Mirrors parse_qsl's rules on the unescaped grammar: the query string
-    stops at '#', pairs split on the FIRST '=', blank values are dropped
-    (keep_blank_values=False). Remaining undocumented-divergence surface:
-    %xx unescaping and '+'-as-space, which the corpus never emits."""
+    """The url_udtf grammar verbatim (see functions/url_udtf.py: fragment
+    stripped FIRST, query after the first remaining '?', pairs split on
+    the first '=', blank values dropped, no unescaping) — exact on all
+    inputs, there is no off-corpus divergence surface."""
     root = _pages_cache_root()
     return f"""
 with pages as (select * from read_parquet('{root}/pages/*.parquet')),
 q as (
-  select str_split(regexp_extract(url, '\\?([^#]*)', 1), '&') as kvs
-  from pages where url like '%?%'
+  select str_split(regexp_extract(split_part(url, '#', 1), '\\?(.*)$', 1),
+                   '&') as kvs
+  from pages where split_part(url, '#', 1) like '%?%'
 ),
 kv as (select unnest(kvs) as kv from q),
 p as (
