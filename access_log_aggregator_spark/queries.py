@@ -695,7 +695,11 @@ def _q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import with_minhash
 
     docs = _t(spark, sf_dir, "documents")
-    return with_minhash(docs.select("doc_id", "text")).drop("text").orderBy("doc_id")
+    # materialize before the presentation sort: RangePartitioning SAMPLES
+    # its child by re-executing it, which would run the signature UDF a
+    # second time over the full corpus (measured ~20% of query wall)
+    return (with_minhash(docs.select("doc_id", "text")).drop("text")
+            .localCheckpoint(eager=False).orderBy("doc_id"))
 
 
 def _q_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -709,7 +713,10 @@ def _q_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import minhash_jaccard_estimates
 
     docs = _t(spark, sf_dir, "documents")
-    return minhash_jaccard_estimates(docs).orderBy("doc_a", "doc_b")
+    # checkpoint before the presentation sort (same sampling-reexecution
+    # rationale as _q_minhash_signatures; the pair frame is tiny)
+    return (minhash_jaccard_estimates(docs)
+            .localCheckpoint(eager=False).orderBy("doc_a", "doc_b"))
 
 
 def _minhash_cand_ctes(d: str) -> str:
