@@ -175,20 +175,36 @@ def main(argv: list[str] | None = None) -> int:
         else:
             # mixed-mode guard: batch and stream keep INDEPENDENT cursors
             # and use different sink idempotence markers (pages-snap-<id>
-            # vs stream-<n>), so a batch run with a fresh cursor over a
-            # layout a stream checkpoint already drained would re-route
-            # every page as duplicates. Refuse that exact shape.
-            if (not Path(args.checkpoint).exists()
-                    and pages_table.stream_markers()):
-                ap.error(
-                    f"{args.pages_table} is managed by a stream checkpoint "
-                    f"({pages_table.stream_markers()}) and no batch "
-                    f"checkpoint exists at {args.checkpoint}: a fresh batch "
-                    "run would duplicate already-streamed rows in the "
-                    "routed sink. Use --stream to resume it, or "
-                    "--maintenance-only for maintenance, or --retire-stream "
-                    "first if the stream is permanently done."
-                )
+            # vs stream-<n>), so a batch run whose cursor is BEHIND what a
+            # stream checkpoint already drained would re-route those
+            # snapshots as duplicates. Covers both the fresh-cursor case
+            # (no batch checkpoint at all) and a stale existing checkpoint
+            # left over from before the stream took over: the drained set
+            # is recovered from each registered checkpoint's file-source
+            # metadata log, not inferred from the checkpoint's existence.
+            markers = pages_table.stream_markers()
+            if markers:
+                behind_cursor = 0
+                if Path(args.checkpoint).exists() and not args.from_start:
+                    behind_cursor = (
+                        Checkpoint(args.checkpoint).load().last_snapshot_id
+                    )
+                drained: set[int] = set()
+                for m in markers:
+                    drained |= pages_table.stream_drained_snapshots(m)
+                overlap = sorted(s for s in drained if s > behind_cursor)
+                if overlap:
+                    ap.error(
+                        f"{args.pages_table} is managed by stream "
+                        f"checkpoint(s) {markers} which already drained "
+                        f"snapshot(s) {overlap} ahead of the batch cursor "
+                        f"({behind_cursor} at {args.checkpoint}): a batch "
+                        "run would duplicate those rows in the routed "
+                        "sink. Use --stream to resume the stream, or "
+                        "--maintenance-only for maintenance, or "
+                        "--retire-stream first if the stream is "
+                        "permanently done."
+                    )
             cp = Checkpoint(args.checkpoint)
             results = run_incremental(spark, pages_table, pipe, cp,
                                       from_start=args.from_start)

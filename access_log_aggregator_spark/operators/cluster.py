@@ -22,8 +22,10 @@ Components in MapReduce and Beyond", SoCC'14 — hash-to-min shape):
   compression step is insurance against exactly those chains;
 - convergence is detected by counting changed labels (a driver-side
   scalar per round — NOT a collect of the data; the label frames are
-  localCheckpoint-ed each round so lineage stays flat and the loop's
-  cost per round is 2 narrow shuffles over (id, label) rows).
+  pinned each round via the materializer seam (operators/materialize.py;
+  localCheckpoint by default, durable SnapshotTable write on clusters)
+  so lineage stays flat and the loop's cost per round is 2 narrow
+  shuffles over (id, label) rows).
 
 At 100 TB the shape holds: edges and labels are both narrow two-column
 frames partitioned by id; every round is equi-join + partial/final min
@@ -38,27 +40,30 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .materialize import Materializer, pin
+
 
 def connected_components(edges: DataFrame, src: str = "doc_a",
-                         dst: str = "doc_b", max_rounds: int = 25) -> DataFrame:
+                         dst: str = "doc_b", max_rounds: int = 25,
+                         materializer: Materializer | None = None) -> DataFrame:
     """(id, label) for every node in ``edges``; label = min node id in the
     node's connected component. Deterministic for any edge order.
 
     ``edges`` may be directed/deduplicated (e.g. the doc_a < doc_b pair
     frames from operators/dedup.py) — it is symmetrized here.
     """
-    sym = (
+    sym = pin(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
-        .localCheckpoint(eager=False)
+        .distinct(),
+        "cc_edges", materializer,
     )
-    labels = (
+    labels = pin(
         sym.select(F.col("a").alias("id")).distinct()
-        .withColumn("label", F.col("id"))
-        .localCheckpoint(eager=False)
+        .withColumn("label", F.col("id")),
+        "cc_labels_0", materializer,
     )
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds):
         nbr_min = (
             sym.join(labels.withColumnRenamed("id", "b"), "b")
             .groupBy("a").agg(F.min("label").alias("nbr_label"))
@@ -71,10 +76,10 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
         # ids (min over node ids), so the self-join lookup always resolves;
         # left+coalesce keeps the frame total even if a label were foreign.
         jump = prop.select(F.col("id").alias("_lid"), F.col("label").alias("_llabel"))
-        new_labels = (
+        new_labels = pin(
             prop.join(jump, prop["label"] == jump["_lid"], "left")
-            .select("id", F.coalesce("_llabel", "label").alias("label"))
-            .localCheckpoint(eager=False)
+            .select("id", F.coalesce("_llabel", "label").alias("label")),
+            f"cc_labels_{rnd + 1}", materializer,
         )
         changed = (
             new_labels.alias("n")
@@ -92,7 +97,8 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
 
 
 def duplicate_clusters(df: DataFrame, id_col: str = "doc_id",
-                       text_col: str = "text") -> DataFrame:
+                       text_col: str = "text",
+                       materializer: Materializer | None = None) -> DataFrame:
     """Cluster assignment for every document that has at least one MinHash
     LSH candidate partner: (doc_id, cluster_id, cluster_size), where
     cluster_id = min doc_id in the document's connected component of the
@@ -102,8 +108,10 @@ def duplicate_clusters(df: DataFrame, id_col: str = "doc_id",
     """
     from .dedup import minhash_lsh_candidates
 
-    pairs = minhash_lsh_candidates(df, id_col=id_col, text_col=text_col)
-    labels = connected_components(pairs, "doc_a", "doc_b")
+    pairs = minhash_lsh_candidates(df, id_col=id_col, text_col=text_col,
+                                   materializer=materializer)
+    labels = connected_components(pairs, "doc_a", "doc_b",
+                                  materializer=materializer)
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
         labels.join(sizes, "label")

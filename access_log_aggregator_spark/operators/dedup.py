@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import xsql as x
+from .materialize import Materializer, pin
 
 
 def _e(sql: str) -> Column:
@@ -82,21 +83,25 @@ def with_minhash(df: DataFrame, text_col: str = "text",
     return out.drop("_codes", "_hs", "_mh")
 
 
-def _minhash_band_frame(sig: DataFrame, id_col: str) -> DataFrame:
+def _minhash_band_frame(sig: DataFrame, id_col: str,
+                        materializer: Materializer | None = None) -> DataFrame:
     """(id, band_no, band_val) rows from a signature frame — one inline
-    pass, localCheckpoint-ed (see minhash_lsh_candidates docstring)."""
+    pass, pinned via the materializer seam (see minhash_lsh_candidates
+    docstring and operators/materialize.py for the durable alternative)."""
     band_structs = ", ".join(
         f"named_struct('band_no', {b}, "
         f"'band_val', (mh{2 * b} * 31 + mh{2 * b + 1}) % {x.P})"
         for b in range(4)
     )
-    return sig.select(
-        F.col(id_col), F.expr(f"inline(array({band_structs}))")
-    ).localCheckpoint(eager=False)
+    return pin(
+        sig.select(F.col(id_col), F.expr(f"inline(array({band_structs}))")),
+        "minhash_bands", materializer,
+    )
 
 
 def minhash_jaccard_estimates(df: DataFrame, id_col: str = "doc_id",
-                              text_col: str = "text") -> DataFrame:
+                              text_col: str = "text",
+                              materializer: Materializer | None = None) -> DataFrame:
     """Signature-based Jaccard ESTIMATE for every LSH candidate pair: the
     fraction of the K minhash functions on which the two docs agree — the
     classic estimator (E[match] = true Jaccard), computed WITHOUT touching
@@ -106,9 +111,9 @@ def minhash_jaccard_estimates(df: DataFrame, id_col: str = "doc_id",
     the 100 TB shape (signatures table ~1% of the corpus bytes).
     """
     k = len(x.MINHASH_COEFFS)
-    sig = with_minhash(df.select(id_col, text_col), text_col) \
-        .drop(text_col).localCheckpoint(eager=False)
-    bands = _minhash_band_frame(sig, id_col)
+    sig = pin(with_minhash(df.select(id_col, text_col), text_col)
+              .drop(text_col), "minhash_signatures", materializer)
+    bands = _minhash_band_frame(sig, id_col, materializer)
     a, b_ = bands.alias("a"), bands.alias("b")
     cands = (
         a.join(b_, (F.col("a.band_no") == F.col("b.band_no"))
@@ -133,7 +138,8 @@ def minhash_jaccard_estimates(df: DataFrame, id_col: str = "doc_id",
 
 
 def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
-                           text_col: str = "text") -> DataFrame:
+                           text_col: str = "text",
+                           materializer: Materializer | None = None) -> DataFrame:
     """Candidate near-dup pairs sharing at least one LSH band (4 bands x 2).
 
     The band rows are tiny (id, band_no, band_val) but their plan subtree —
@@ -143,12 +149,16 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
     a materialization point WITHOUT the CacheManager leak of ``persist()``
     (checkpoint RDD storage is freed by the ContextCleaner once the frame
     is garbage collected; cached plans accumulate until unpersist). The
-    100 TB shape is the same idea made durable: write the signature table
-    once, band-join the narrow table.
+    100 TB shape is the same idea made durable — write the signature table
+    once, band-join the narrow table — and is CODE, not prose: pass
+    ``materializer=TableMaterializer(dfs_dir)`` (or scope it with
+    ``using_materializer``) to pin via a SnapshotTable write+read that
+    survives executor loss (operators/materialize.py; equality with the
+    localCheckpoint path is pinned by tests/test_materializer.py).
     """
     sig = with_minhash(df.select(id_col, text_col), text_col)
     # one pass over sig: explode the 4 band values instead of 4 projections
-    bands = _minhash_band_frame(sig, id_col)
+    bands = _minhash_band_frame(sig, id_col, materializer)
     a, b_ = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -181,7 +191,8 @@ def with_simhash(df: DataFrame, text_col: str = "text",
 
 def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", max_hamming: int = 3,
-                       blocked: bool = True) -> DataFrame:
+                       blocked: bool = True,
+                       materializer: Materializer | None = None) -> DataFrame:
     """Pairs within ``max_hamming`` simhash bits, EXACT under both plans.
 
     ``blocked`` (the scale path) splits the simhash into ``max_hamming + 1``
@@ -216,9 +227,11 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
         f"'band_val', (shiftright(simhash, {b * width}) & {(1 << width) - 1}))"
         for b in range(n_bands)
     )
-    bands = s.select(
-        F.col(id_col), F.col("simhash"), F.expr(f"inline(array({band_structs}))")
-    ).localCheckpoint(eager=False)
+    bands = pin(
+        s.select(F.col(id_col), F.col("simhash"),
+                 F.expr(f"inline(array({band_structs}))")),
+        "simhash_bands", materializer,
+    )
     a, b = bands.alias("a"), bands.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
@@ -247,7 +260,8 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
                              vec_col: str = "embedding", dim: int = 64,
                              threshold: float = 0.35,
                              n_bands: int = EMB_LSH_BANDS,
-                             planes_per_band: int = EMB_LSH_PLANES_PER_BAND) -> DataFrame:
+                             planes_per_band: int = EMB_LSH_PLANES_PER_BAND,
+                             materializer: Materializer | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, multi-band sign-LSH blocked.
 
     Each band hashes the vector with its own disjoint set of
@@ -275,10 +289,11 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
                                      plane_offset=b * planes_per_band))
         for b in range(n_bands)
     )
-    vecs = df.select(id_col, vec_col).localCheckpoint(eager=False)
-    bands = df.select(
-        F.col(id_col), F.expr(f"inline(array({band_structs}))")
-    ).localCheckpoint(eager=False)
+    vecs = pin(df.select(id_col, vec_col), "embedding_vectors", materializer)
+    bands = pin(
+        df.select(F.col(id_col), F.expr(f"inline(array({band_structs}))")),
+        "embedding_bands", materializer,
+    )
     a, c = bands.alias("a"), bands.alias("b")
     pairs = (
         a.join(c, (F.col("a.band_no") == F.col("b.band_no"))

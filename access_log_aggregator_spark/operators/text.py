@@ -12,6 +12,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import xsql as x
+from .materialize import Materializer, pin
 
 STOPWORDS = {
     "en": ["the", "of", "and", "to", "in"],
@@ -43,7 +44,8 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def tfidf_top_terms(df: DataFrame, k: int = 20, text_col: str = "text",
-                    id_col: str = "doc_id") -> DataFrame:
+                    id_col: str = "doc_id",
+                    materializer: Materializer | None = None) -> DataFrame:
     """Global top-k (doc, token) pairs by a deterministic tf-idf variant.
 
     score = tf * N / df — the idf uses the raw N/df ratio rather than a
@@ -60,11 +62,12 @@ def tfidf_top_terms(df: DataFrame, k: int = 20, text_col: str = "text",
     frame: the corpus is scanned exactly once, at tokenization.
     """
     toks = _e(x.tokens(text_col, x.SPARK))
-    # checkpoint the exploded token frame: all three aggregates (tf, df,
-    # n_docs) read it, and Catalyst would otherwise inline + re-tokenize
-    # the corpus once per consumer (the dedup modules' shared-subtree lesson)
-    tok = df.select(id_col, F.explode(toks).alias("token")) \
-        .localCheckpoint(eager=False)
+    # pin the exploded token frame: all three aggregates (tf, df, n_docs)
+    # read it, and Catalyst would otherwise inline + re-tokenize the corpus
+    # once per consumer (the dedup modules' shared-subtree lesson); the
+    # materializer seam picks localCheckpoint vs durable table
+    tok = pin(df.select(id_col, F.explode(toks).alias("token")),
+              "tfidf_tokens", materializer)
     tf = tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tok.groupBy("token").agg(F.countDistinct(id_col).alias("df"))
     nd = tok.agg(F.countDistinct(id_col).alias("n_docs"))

@@ -1395,19 +1395,22 @@ def _pipeline_url_params_oracle() -> str:
     """The url_udtf grammar verbatim (see functions/url_udtf.py: fragment
     stripped FIRST, query after the first remaining '?', pairs split on
     the first '=', blank values dropped, no unescaping) — exact on all
-    inputs, there is no off-corpus divergence surface."""
+    inputs, there is no off-corpus divergence surface. The (?s) dotall
+    prefix matters: without it RE2's '.' stops at a newline inside the
+    query string or a value, silently dropping params the python/UDTF
+    string-split grammar emits (pinned in tests/test_url_udtf.py)."""
     root = _pages_cache_root()
     return f"""
 with pages as (select * from read_parquet('{root}/pages/*.parquet')),
 q as (
-  select str_split(regexp_extract(split_part(url, '#', 1), '\\?(.*)$', 1),
+  select str_split(regexp_extract(split_part(url, '#', 1), '(?s)\\?(.*)$', 1),
                    '&') as kvs
   from pages where split_part(url, '#', 1) like '%?%'
 ),
 kv as (select unnest(kvs) as kv from q),
 p as (
-  select regexp_extract(kv, '^([^=]*)=(.*)$', 1) as param,
-         regexp_extract(kv, '^([^=]*)=(.*)$', 2) as value
+  select regexp_extract(kv, '(?s)^([^=]*)=(.*)$', 1) as param,
+         regexp_extract(kv, '(?s)^([^=]*)=(.*)$', 2) as value
   from kv where kv like '%=%'
 )
 select param, count(*) as n_urls, min(value) as min_value, max(value) as max_value

@@ -164,6 +164,35 @@ class SnapshotTable:
         return [json.loads(p.read_text())["checkpoint"]
                 for p in sorted(d.glob("*.json"))]
 
+    def stream_drained_snapshots(self, checkpoint_dir: str | Path) -> set[int]:
+        """Snapshot ids whose data files a registered stream checkpoint has
+        already ingested, recovered from Spark's FileStreamSource metadata
+        log (``<checkpoint>/sources/0/*`` — ``v1`` header then one JSON entry
+        per seen file; ``*.compact`` versions re-list full history, which is
+        harmless to a set union). ``part-*`` basenames are UUID-unique, so
+        the file→snapshot mapping is by basename; a checkpoint that predates
+        this table (or was deleted) yields the empty set."""
+        src = Path(checkpoint_dir) / "sources" / "0"
+        if not src.is_dir():
+            return set()
+        seen: set[str] = set()
+        for log in src.iterdir():
+            if not log.is_file() or log.name.startswith("."):
+                continue  # .<n>.crc checksum sidecars are binary
+            try:
+                for line in log.read_text().splitlines():
+                    if not line.startswith("{"):
+                        continue  # "v1" version header
+                    path = json.loads(line).get("path", "")
+                    if path:
+                        seen.add(path.rsplit("/", 1)[-1])
+            except (OSError, UnicodeDecodeError, json.JSONDecodeError):
+                continue  # torn/in-flight log entry: treat as not drained
+        return {
+            s.id for s in self.snapshots()
+            if any(f.rsplit("/", 1)[-1] in seen for f in s.files)
+        }
+
     # -- writes --------------------------------------------------------------
     def _commit_files(self, files: list[Path], row_count: int,
                       marker: Optional[str], operation: str = "append",

@@ -51,9 +51,13 @@ def _cpu_times() -> tuple[int, int]:
         return 0, 0
 
 
-#: last-seen (jiffies, comm-class) of every pid ever observed in this job's
-#: process tree — see the high-water note inside _tree_jiffies
-_TREE_SEEN: dict[int, tuple[int, str]] = {}
+#: last-seen (jiffies, comm-class) of every process ever observed in this
+#: job's tree, keyed by (pid, starttime) — starttime (/proc/<pid>/stat
+#: field 22) disambiguates pid reuse, so a recycled pid cannot overwrite a
+#: dead process's high-water jiffies with its own smaller counter (which
+#: would make the "monotonic" cumulative total regress). See the
+#: high-water note inside _tree_jiffies.
+_TREE_SEEN: dict[tuple[int, int], tuple[int, str]] = {}
 
 
 def _tree_jiffies() -> dict[str, int]:
@@ -89,28 +93,28 @@ def _tree_jiffies() -> dict[str, int]:
         # fold auto-reaped children into cutime — without the map a
         # worker's whole CPU history disappears from the tree at reap time
         # (observed as a -600 s per-run "delta").
-        procs[int(d)] = (int(rest[1]), int(rest[11]) + int(rest[12]), comm)
+        procs[int(d)] = (int(rest[1]), int(rest[11]) + int(rest[12]), comm,
+                         int(rest[19]))  # field 22: starttime, pid-reuse key
     out = {"total": 0, "java": 0, "python": 0}
-    for pid, (ppid, jif, comm) in procs.items():
+    for pid, (ppid, jif, comm, started) in procs.items():
         p = pid
         for _ in range(64):  # ancestry walk, cycle-bounded
             if p == me:
                 key = ("java" if comm.startswith("java")
                        else "python" if comm.startswith("python") else "")
-                _TREE_SEEN[pid] = (jif, key)
+                _TREE_SEEN[(pid, started)] = (jif, key)
                 break
             if p <= 1:
                 break
-            p = procs.get(p, (0, 0, ""))[0]
-    # high-water: pids that left the tree (exited, or reparented to init
-    # when their parent died) contribute their last-seen jiffies forever,
-    # keeping the cumulative total monotonic. The unmeasured remainder is
-    # only the CPU a process burned between the last snapshot and its
-    # death — idle workers being reaped burned none. pid reuse could in
-    # principle re-enter the map under a stale value; snapshots bracket
-    # every run, so a recycled pid is re-observed (and thus re-measured)
-    # the moment it does work for this tree.
-    for _pid, (jif, key) in _TREE_SEEN.items():
+            p = procs.get(p, (0, 0, "", 0))[0]
+    # high-water: processes that left the tree (exited, or reparented to
+    # init when their parent died) contribute their last-seen jiffies
+    # forever, keeping the cumulative total monotonic. The unmeasured
+    # remainder is only the CPU a process burned between the last snapshot
+    # and its death — idle workers being reaped burned none. A recycled pid
+    # gets its own (pid, starttime) entry, so it is measured from zero
+    # without erasing the dead process's history.
+    for _key, (jif, key) in _TREE_SEEN.items():
         out["total"] += jif
         if key:
             out[key] += jif

@@ -188,8 +188,17 @@ memory-stream efficiency {cal['memory_stream']['efficiency']}.
     path = REPO / "BENCH" / "BASELINE.md"
     text = path.read_text()
     begin, end = "<!-- primary-scaling:begin -->", "<!-- primary-scaling:end -->"
-    i, j = text.index(begin), text.index(end) + len(end)
-    path.write_text(text[:i] + block + text[j:])
+    i, j = text.find(begin), text.find(end)
+    if i < 0 or j < 0 or j < i:
+        # a hand-edit removed/reordered the markers: the measurements are
+        # already in hand, so append rather than abort the whole bench
+        print(f"WARNING: {path} is missing/misordering the {begin} / {end} "
+              "markers (hand-edited?); appending the block instead — "
+              "restore the markers to resume in-place refreshes",
+              file=sys.stderr)
+        path.write_text(text.rstrip("\n") + "\n\n" + block + "\n")
+    else:
+        path.write_text(text[:i] + block + text[j + len(end):])
     print(json.dumps(result))
     return 0
 

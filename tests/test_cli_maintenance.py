@@ -91,5 +91,39 @@ def test_batch_mode_refuses_stream_managed_layout(tmp_path):
     _run_cli("--generate", "300", "--snapshots", "2",
              "--data-dir", data_dir, "--stream")
     out = _run_cli("--data-dir", data_dir, expect_rc=2)  # argparse error exit
-    assert "managed by a stream checkpoint" in out.stderr
+    assert "managed by stream checkpoint(s)" in out.stderr
     assert _routed_rows(data_dir) == 300  # nothing was duplicated
+
+
+def test_batch_mode_refuses_stale_cursor_behind_stream(tmp_path):
+    """ADVICE r3: a STALE batch checkpoint (cursor behind what the stream
+    drained) duplicates just like a fresh one — batch would resume at its
+    old cursor and re-route stream-drained snapshots under pages-snap-*
+    markers the sink has never seen. The guard reads the drained set from
+    the stream checkpoint's file-source metadata log, so it must refuse the
+    stale shape too, and must NOT refuse a caught-up batch cursor."""
+    data_dir = str(tmp_path / "data")
+    _run_cli("--generate", "300", "--snapshots", "2",
+             "--data-dir", data_dir, "--stream")
+    ckpt = Path(data_dir) / "checkpoint.json"
+
+    # stale cursor: pretends a pre-stream batch era processed snapshot 1
+    # only; the stream has since drained snapshots 1 AND 2
+    ckpt.write_text(json.dumps({"last_snapshot_id": 1, "batches": []}))
+    out = _run_cli("--data-dir", data_dir, expect_rc=2)
+    assert "ahead of the batch cursor (1" in out.stderr
+    assert _routed_rows(data_dir) == 300
+
+    # --from-start ignores the cursor entirely: same refusal
+    out = _run_cli("--data-dir", data_dir, "--from-start", expect_rc=2)
+    assert "ahead of the batch cursor (0" in out.stderr
+
+    # caught-up cursor (= everything the stream drained): batch may run —
+    # it has nothing to re-route, and new appends belong to whoever takes
+    # them first
+    ckpt.write_text(json.dumps({"last_snapshot_id": 2, "batches": []}))
+    out = _run_cli("--data-dir", data_dir)
+    d = json.loads([l for l in out.stdout.splitlines()
+                    if l.startswith('{"batches')][-1])
+    assert d["rows_in"] == 0 and d["batches"] == 0
+    assert _routed_rows(data_dir) == 300

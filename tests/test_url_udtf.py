@@ -26,6 +26,8 @@ VECTORS = [
     "http://h/p#frag?x=9",              # fragment BEFORE any '?'
     "http://h/p?a=%20b&c=1+2",          # no unescaping: raw bytes compared
     "http://h/p?a=1&a=2",               # repeated param: both rows
+    "http://h/p?a=1\nb=2&c=3",          # newline INSIDE the query string
+    "http://h/p?a=x\ny&b=2",            # newline inside a value
     None,
 ]
 
@@ -42,6 +44,8 @@ EXPECTED = {
     "http://h/p#frag?x=9": [],
     "http://h/p?a=%20b&c=1+2": [("a", "%20b"), ("c", "1+2")],
     "http://h/p?a=1&a=2": [("a", "1"), ("a", "2")],
+    "http://h/p?a=1\nb=2&c=3": [("a", "1\nb=2"), ("c", "3")],
+    "http://h/p?a=x\ny&b=2": [("a", "x\ny"), ("b", "2")],
     None: [],
 }
 
@@ -50,15 +54,15 @@ EXPECTED = {
 DUCK_SQL = """
 with q as (
   select url,
-         str_split(regexp_extract(split_part(url, '#', 1), '\\?(.*)$', 1),
+         str_split(regexp_extract(split_part(url, '#', 1), '(?s)\\?(.*)$', 1),
                    '&') as kvs
   from urls where split_part(url, '#', 1) like '%?%'
 ),
 kv as (select url, unnest(kvs) as kv from q),
 p as (
   select url,
-         regexp_extract(kv, '^([^=]*)=(.*)$', 1) as param,
-         regexp_extract(kv, '^([^=]*)=(.*)$', 2) as value
+         regexp_extract(kv, '(?s)^([^=]*)=(.*)$', 1) as param,
+         regexp_extract(kv, '(?s)^([^=]*)=(.*)$', 2) as value
   from kv where kv like '%=%'
 )
 select url, param, value from p where value <> ''
