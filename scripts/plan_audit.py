@@ -1,16 +1,26 @@
-"""Generate PLANS.md: formatted physical plans for the flagship operators.
+"""Generate the physical-plan audit artifacts.
 
-The plan SHAPES are already pinned by tests/test_plans.py; this artifact
-makes them reviewable — for each audited query it prints the facts that
-matter at 100 TB (scan count, exchange count, join strategy, Python stage
-count, pushed filters / read schema) followed by the full
-``explain("formatted")`` output.
+Default mode writes PLANS.md: formatted physical plans for the flagship
+operators — for each audited query it prints the facts that matter at
+100 TB (scan count, exchange count, join strategy, Python stage count,
+pushed filters / read schema) followed by the full
+``explain("formatted")`` output. The plan SHAPES are pinned by
+tests/test_plans.py; this artifact makes them reviewable.
 
-Run: python scripts/plan_audit.py [sf_dir]   (plans only — nothing executes)
+``--all`` additionally audits EVERY registry query: it writes a summary
+table (PLANS-ALL.md) and the machine-readable shape budget
+(access_log_aggregator_spark/plans/shape_budgets.json) that
+tests/test_plans.py asserts against — any future plan that adds a scan,
+shuffle, sort-merge join, nested loop, or Python stage over the recorded
+ceiling fails CI (see plans/audit.py).
+
+Run: python scripts/plan_audit.py [--all] [sf_dir]  (plans only — nothing
+executes except the registry's own fixture generation on first use)
 """
 
 from __future__ import annotations
 
+import json
 import re
 import sys
 from datetime import datetime, timezone
@@ -19,39 +29,27 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
+from access_log_aggregator_spark.plans.audit import (  # noqa: E402
+    BUDGET_PATH,
+    CONSTANT_FRAME_OK,
+    plan_string as _plan,
+    shape_facts,
+    violations,
+)
 
-def _plan(df, mode: str = "formatted") -> str:
-    jmode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
-    return df._jdf.queryExecution().explainString(jmode)
 
-
-def _facts(plan: str, simple_plan: str) -> list[str]:
-    def nodes(name: str) -> int:
-        # formatted mode names each node once in the tree and once in the
-        # details; count only the unique "(n) Name" detail headers
-        return len(re.findall(rf"^\(\d+\) {name}", plan, re.M))
-
-    scans = nodes("Scan parquet")
-    in_mem = nodes("Scan In-memory") + nodes("InMemoryTableScan")
-    # formatted mode lists each Exchange's partitioning on its Arguments line
-    ex_hash = len(re.findall(r"^Arguments: hashpartitioning", plan, re.M))
-    ex_range = len(re.findall(r"^Arguments: rangepartitioning", plan, re.M))
-    ex_single = len(re.findall(r"^Arguments: SinglePartition", plan, re.M))
-    bhj = nodes("BroadcastHashJoin")
-    smj = nodes("SortMergeJoin")
-    nl = nodes("BroadcastNestedLoopJoin") + nodes("CartesianProduct")
-    py = nodes("ArrowEvalPython") + nodes("BatchEvalPython")
-    pandas = nodes("FlatMapGroupsInPandas") + nodes("MapInPandas")
-    # under AQE the un-executed simple plan hides codegen stars; the
-    # codegen explain mode reports the subtree count directly
-    m = re.search(r"Found (\d+) WholeStageCodegen subtrees", simple_plan)
-    wsc = int(m.group(1)) if m else len(set(re.findall(r"\*\((\d+)\)", simple_plan)))
+def _facts(plan: str, simple_plan: str, f: dict) -> list[str]:
+    in_mem = len(re.findall(r"^\(\d+\) (?:Scan In-memory|InMemoryTableScan)",
+                            plan, re.M))
     facts = [
-        f"parquet scans: {scans}" + (f" (+{in_mem} cached)" if in_mem else ""),
-        f"shuffles: {ex_hash} hash / {ex_range} range / {ex_single} single-partition",
-        f"joins: {bhj} broadcast-hash, {smj} sort-merge, {nl} nested-loop/cartesian",
-        f"python stages: {py} arrow-batched scalar, {pandas} grouped/mapInPandas",
-        f"whole-stage-codegen spans: {wsc}",
+        f"parquet scans: {f['scans']}" + (f" (+{in_mem} cached)" if in_mem else ""),
+        f"shuffles: {f['ex_hash']} hash / {f['ex_range']} range / "
+        f"{f['ex_single']} single-partition",
+        f"joins: {f['bhj']} broadcast-hash, {f['smj']} sort-merge, "
+        f"{f['nl']} nested-loop/cartesian",
+        f"python stages: {f['py_scalar']} arrow-batched scalar, "
+        f"{f['py_grouped']} grouped/mapInPandas",
+        f"whole-stage-codegen spans: {f['wsc']}",
     ]
     pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
     if pushed and pushed.group(1).strip():
@@ -114,8 +112,77 @@ AUDIT: list[tuple[str, str]] = [
 ]
 
 
+def _aqe_final_fact(df_aqe, static: dict) -> str:
+    """Execute under AQE (the production config) and report whether the
+    runtime-finalized plan keeps the audited join shape."""
+    df_aqe.collect()
+    plan = _plan(df_aqe)
+    assert "isFinalPlan=true" in plan, "adaptive plan did not finalize"
+    f = shape_facts(df_aqe)
+    deltas = [f"{k} {static[k]} -> {f[k]}"
+              for k in ("bhj", "smj", "nl") if f[k] != static[k]]
+    if not deltas:
+        return ("AQE-final: same join shape (broadcasts kept, no new "
+                "nested-loop or sort-merge joins at runtime)")
+    return "AQE-final join deltas: " + ", ".join(deltas)
+
+
+def _audit_all(spark, sf_dir: str) -> None:
+    """Write PLANS-ALL.md + plans/shape_budgets.json over every registry
+    query. Budgets are taken at sf0.001 with AQE off (deterministic static
+    plans; node counts are structural, not data-sized); tests/test_plans.py
+    replays the same config."""
+    from access_log_aggregator_spark.queries import QUERIES
+
+    rows, budget = {}, {}
+    for name, spec in QUERIES.items():
+        f = shape_facts(spec.spark_fn(spark, sf_dir))
+        rows[name] = f
+        budget[name] = f
+        bad = violations(name, f, f)
+        if bad:
+            raise SystemExit("structural rule violated:\n" + "\n".join(bad))
+        print(f"all:{name}: ok", file=sys.stderr)
+    BUDGET_PATH.write_text(json.dumps(
+        {"generated": datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC"),
+         "sf_dir": sf_dir, "aqe": False, "queries": budget}, indent=1))
+    lines = [
+        "# PLANS-ALL — shape-budget audit of every registry query",
+        "",
+        f"Generated by `scripts/plan_audit.py --all` on "
+        f"{datetime.now(timezone.utc).strftime('%Y-%m-%d %H:%M UTC')} over "
+        f"`{sf_dir}` (static plans, AQE off). Each row is the recorded "
+        "ceiling in `plans/shape_budgets.json`; `tests/test_plans.py` "
+        "re-derives every row and fails on any count above it, and on any "
+        "nested-loop/cartesian join or single-partition exchange outside "
+        "the reviewed constant-size-frame allowlist below.",
+        "",
+        "| query | scans | hash ex | range ex | single ex | BHJ | SMJ | "
+        "NL/cart | py scalar | py grouped | codegen spans |",
+        "|---|---|---|---|---|---|---|---|---|---|---|",
+    ]
+    for name, f in rows.items():
+        mark = " †" if name in CONSTANT_FRAME_OK else ""
+        lines.append(
+            f"| {name}{mark} | {f['scans']} | {f['ex_hash']} | {f['ex_range']} "
+            f"| {f['ex_single']} | {f['bhj']} | {f['smj']} | {f['nl']} "
+            f"| {f['py_scalar']} | {f['py_grouped']} | {f['wsc']} |")
+    lines += [
+        "",
+        "† allowlisted for nested-loop / single-partition against a "
+        "constant-size frame:",
+        "",
+    ]
+    lines += [f"- `{k}`: {v}" for k, v in CONSTANT_FRAME_OK.items()]
+    lines.append("")
+    (REPO / "PLANS-ALL.md").write_text("\n".join(lines))
+    print(f"wrote {REPO / 'PLANS-ALL.md'} and {BUDGET_PATH}", file=sys.stderr)
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = [a for a in sys.argv[1:] if a != "--all"]
+    do_all = "--all" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
 
     from access_log_aggregator_spark.plans.pipeline import build_routed
     from access_log_aggregator_spark.queries import QUERIES
@@ -136,11 +203,15 @@ def main() -> int:
         "",
         f"Generated by `scripts/plan_audit.py` on "
         f"{datetime.now(timezone.utc).strftime('%Y-%m-%d %H:%M UTC')} "
-        f"over `{sf_dir}` (plans only; nothing executed; AQE disabled for "
-        "the audit so the static plan shows codegen spans and exchanges — "
-        "production sessions run AQE on). The shape facts "
-        "below are enforced by `tests/test_plans.py` — this file is the "
-        "human-readable evidence.",
+        f"over `{sf_dir}`. Static facts are taken with AQE disabled (the "
+        "adaptive wrapper hides codegen spans and defers exchange "
+        "planning); each flagship is then EXECUTED on an AQE-on session "
+        "(the production config) and the `AQE-final` line reports whether "
+        "the runtime-finalized plan kept the audited join shape. The "
+        "shape facts below are enforced by `tests/test_plans.py` — this "
+        "file is the human-readable evidence. The registry-wide version "
+        "(every query, budget-pinned) is `PLANS-ALL.md` + "
+        "`access_log_aggregator_spark/plans/shape_budgets.json`.",
         "",
         "Reading guide: hash/range exchanges listed here carry GROUPED or "
         "PRE-AGGREGATED narrow rows (partials, band keys, window keys), "
@@ -151,27 +222,42 @@ def main() -> int:
         "global top-k) — they do not grow with the data.",
         "",
     ]
+    # second pass per flagship: execute on an AQE-ON session clone (the
+    # production config) and record whether the finalized plan keeps the
+    # audited join shape — runtime re-planning must not lose a broadcast
+    # or introduce a nested loop
+    aqe = spark.newSession()
+    aqe.conf.set("spark.sql.adaptive.enabled", "true")
     try:
         import tempfile
 
         tmp = tempfile.mkdtemp(prefix="planaudit_")
         spark.createDataFrame(generate_pages_chunk(0, 200)).write.mode(
             "overwrite").parquet(f"{tmp}/pages.parquet")
+        lookup = generate_host_lookup()
         routed = build_routed(
             spark.read.parquet(f"{tmp}/pages.parquet"),
-            spark.createDataFrame(generate_host_lookup()),
+            spark.createDataFrame(lookup),
         )
         for name, why in AUDIT:
             if name == "pipeline_routed":
                 df = routed
+                df_aqe = build_routed(
+                    aqe.read.parquet(f"{tmp}/pages.parquet"),
+                    aqe.createDataFrame(lookup),
+                )
             else:
                 df = QUERIES[name].spark_fn(spark, sf_dir)
+                df_aqe = QUERIES[name].spark_fn(aqe, sf_dir)
             plan = _plan(df)
+            static = shape_facts(df)
             out.append(f"## {name}")
             out.append("")
             out.append(why)
             out.append("")
-            out.extend(f"- {f}" for f in _facts(plan, _plan(df, "codegen")))
+            out.extend(
+                f"- {f}" for f in _facts(plan, _plan(df, "codegen"), static))
+            out.append(f"- {_aqe_final_fact(df_aqe, static)}")
             out.append("")
             out.append("<details><summary>explain(\"formatted\")</summary>")
             out.append("")
@@ -182,6 +268,10 @@ def main() -> int:
             out.append("</details>")
             out.append("")
             print(f"{name}: ok", file=sys.stderr)
+        if do_all:
+            # budgets are always taken at sf0.001: the fixed corpus the
+            # test suite replays (counts are structural, not data-sized)
+            _audit_all(spark, "/root/testdata/sf0.001")
     finally:
         spark.stop()
 

@@ -255,3 +255,55 @@ def test_aqe_splits_skewed_join_at_runtime(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_all_registry_plans_within_shape_budget(spark):
+    """EVERY registry query's static plan stays within its recorded shape
+    budget (plans/shape_budgets.json, written by scripts/plan_audit.py
+    --all): no added scans, shuffles, sort-merge joins, nested loops, or
+    Python stages — and nested-loop/cartesian joins or single-partition
+    exchanges appear ONLY in queries allowlisted as touching constant-size
+    frames. This is the 50/50 mechanical version of the flagship audits
+    above; a drift here means a change silently degraded a plan at scale."""
+    from access_log_aggregator_spark.plans.audit import (
+        load_budgets,
+        shape_facts,
+        violations,
+    )
+    from access_log_aggregator_spark.queries import QUERIES
+
+    s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")  # audit config
+    budgets = load_budgets()
+    assert set(budgets) == set(QUERIES), "regenerate shape_budgets.json"
+    problems = []
+    for name, spec in QUERIES.items():
+        facts = shape_facts(spec.spark_fn(s, "/root/testdata/sf0.001"))
+        problems += violations(name, facts, budgets[name])
+    assert not problems, "\n".join(problems)
+
+
+def test_flagship_plans_survive_aqe(spark):
+    """The audited static shapes hold under the PRODUCTION config: execute
+    flagship queries with AQE on and assert the runtime-finalized plan
+    kept every broadcast join and added no nested-loop or sort-merge join
+    over the static budget (AQE may only improve: e.g. SMJ -> BHJ)."""
+    from access_log_aggregator_spark.plans.audit import load_budgets, shape_facts
+    from access_log_aggregator_spark.queries import QUERIES
+
+    budgets = load_budgets()
+    flagships = [
+        "events_enrich_broadcast", "pipeline_agg_by_host",
+        "dedup_embedding_cosine_pairs", "events_session_interval_join",
+        "text_tfidf_top_terms",
+    ]
+    for name in flagships:
+        df = QUERIES[name].spark_fn(spark, "/root/testdata/sf0.001")
+        df.collect()  # finalize the adaptive plan
+        plan = _plan(df)
+        assert "isFinalPlan=true" in plan, name
+        f = shape_facts(df)
+        b = budgets[name]
+        assert f["nl"] <= b["nl"], (name, f)
+        assert f["smj"] <= b["smj"], (name, f)
+        assert f["bhj"] >= b["bhj"], (name, f)
