@@ -387,15 +387,30 @@ class SnapshotTable:
         return self._commit_files(staged, n, marker)
 
     def append_spark(self, df: DataFrame, marker: Optional[str] = None) -> int:
-        """Write a DataFrame's partitions as one snapshot (staging dir + move)."""
+        """Write a DataFrame's partitions as one snapshot (staging dir + move).
+
+        The committed ``row_count`` comes from an :class:`~pyspark.sql.
+        Observation` attached to the write job — counted executor-side as
+        the rows stream to parquet, aggregated by Spark's collect-metrics
+        machinery — so the commit path does ZERO driver-side footer reads.
+        At 10^5 files/commit a driver footer sweep (one ~KB metadata read
+        per file, serial) would be the last sequential stage of an
+        otherwise parallel pipeline; the file *renames* that remain are
+        pure metadata ops and map onto a manifest-rewrite (no move at all)
+        on a real object-store catalog. ``add_files`` keeps the footer
+        path: it registers pre-existing files without running a job."""
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
         staging = self.root / f"_staging-{uuid.uuid4().hex}"
-        df.write.mode("overwrite").parquet(str(staging))
+        obs = Observation()
+        df.observe(obs, F.count(F.lit(1)).alias("rows")) \
+            .write.mode("overwrite").parquet(str(staging))
+        n = int(obs.get["rows"])
         moved: list[Path] = []
-        n = 0
         for p in sorted(staging.glob("*.parquet")):
             dest = self.root / "data" / f"part-{uuid.uuid4().hex}.parquet"
             shutil.move(str(p), dest)
-            n += pq.read_metadata(dest).num_rows
             moved.append(dest)
         shutil.rmtree(staging, ignore_errors=True)
         return self._commit_files(moved, n, marker)

@@ -231,18 +231,40 @@ def main() -> int:
         log("warm-up ...")
         QUERIES["events_agg_by_type"].spark_fn(spark, sf_dir).collect()
 
+        # Per-query evidence mirrors the pipeline bench: every trial's wall
+        # time plus its job-tree CPU and host-steal snapshot, so a slow
+        # round-over-round number is attributable (same job CPU + high
+        # steal = host; more job CPU = the plan) instead of a bare wall
+        # delta — the r03 route_fanout/agg_by_host/q1 regressions had no
+        # such attribution and turned out to be ambient.
+        hz0 = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
+        query_evidence: dict[str, dict] = {}
         for name, spec in QUERIES.items():
             if not spec.headline:
                 continue
             if os.environ.get("SPARK_GRAFT_BENCH_PIPELINE_ONLY"):  # iteration aid
                 continue
-            best = math.inf
+            walls, cpus_s, steal_pct = [], [], []
             for _ in range(QUERY_TRIALS):  # best-of-k: ambient noise is additive
+                s0, j0 = _cpu_times()
+                c0 = _tree_jiffies()["total"]
                 t0 = time.time()
                 _noop_run(spec.spark_fn(spark, sf_dir))
-                best = min(best, time.time() - t0)
-            timings[name] = round(best, 3)
-            log(f"{name}: {timings[name]}s")
+                walls.append(time.time() - t0)
+                s1, j1 = _cpu_times()
+                cpus_s.append((_tree_jiffies()["total"] - c0) / hz0)
+                steal_pct.append(100.0 * (s1 - s0) / max(1, j1 - j0))
+            timings[name] = round(min(walls), 3)
+            query_evidence[name] = {
+                "trials_sec": [round(w, 3) for w in walls],
+                "median_sec": round(sorted(walls)[len(walls) // 2], 3),
+                "job_cpu_sec_per_trial": [round(c, 1) for c in cpus_s],
+                "host_steal_pct_per_trial": [round(s, 1) for s in steal_pct],
+            }
+            log(f"{name}: best {timings[name]}s "
+                f"(trials {query_evidence[name]['trials_sec']}, "
+                f"job cpu {query_evidence[name]['job_cpu_sec_per_trial']}, "
+                f"steal {query_evidence[name]['host_steal_pct_per_trial']})")
 
         # north-star: full pipeline throughput over the synthesized corpus.
         # Warm-up covers python-worker spawn, the parquet page cache, and C2
@@ -385,6 +407,10 @@ def main() -> int:
             # pipeline_full (whose corpus grew 200k -> 4M pages in r03)
             "queries_total_sec": round(
                 sum(v for k, v in timings.items() if k != "pipeline_full"), 3),
+            # per-query attribution (trials, median, job-tree CPU, steal):
+            # compare wall deltas against job_cpu — equal CPU + higher
+            # steal/wall is the host, more CPU is the plan
+            "query_evidence": query_evidence,
             "sf": float(sf),
             "pipeline_pages": PIPELINE_PAGES,
             "pipeline_pages_per_sec": pages_per_sec,

@@ -302,3 +302,106 @@ def test_expiry_records_stream_floor(tmp_path):
     replace_id = t.compact(rows_per_file=50)
     t.expire_snapshots()
     assert t.stream_floor() == replace_id
+
+
+def test_crash_before_manifest_swap_leaves_table_clean(tmp_path, monkeypatch):
+    """Kill the commit at the worst moment: data files staged into data/
+    and the new manifest fully written to its tmp file, but the process
+    dies BEFORE the atomic os.replace. The half-committed snapshot must be
+    invisible (manifest unchanged, orphan data + tmp-manifest files
+    ignored by every read surface), and replaying the batch under the same
+    idempotence marker must commit it exactly once — the reference's
+    resume-without-loss contract (tailer/tailer.go:58-72) across a
+    mid-commit crash, not just between batches."""
+    import os as _os
+
+    t = SnapshotTable.create(tmp_path / "t")
+    t.append_pandas(_pdf(5), marker="batch-1")
+
+    real_replace = _os.replace
+
+    def torn_replace(src, dst, *a, **k):
+        if str(dst).endswith("manifest.json"):
+            raise OSError("simulated crash before manifest rename")
+        return real_replace(src, dst, *a, **k)
+
+    monkeypatch.setattr("os.replace", torn_replace)
+    try:
+        t.append_pandas(_pdf(3, 5), marker="batch-2")
+        raise AssertionError("commit should have crashed")
+    except OSError:
+        pass
+    monkeypatch.setattr("os.replace", real_replace)
+
+    # the torn commit is invisible: manifest state is the pre-crash table,
+    # the orphan data file and the tmp manifest are ignored
+    assert t.current_snapshot_id() == 1
+    assert t.row_count() == 5
+    assert len(t.data_files()) == 1
+    assert list((tmp_path / "t").glob("manifest.json.*.tmp"))  # torn tmp exists
+    orphans = {p.name for p in (tmp_path / "t" / "data").glob("*.parquet")}
+    assert len(orphans) == 2  # committed + orphan on disk ...
+    assert len(t.data_files()) == 1  # ... but only the committed one is live
+
+    # replay is clean and the marker dedupes exactly once
+    sid = t.append_pandas(_pdf(3, 5), marker="batch-2")
+    assert sid == 2
+    assert t.row_count() == 8
+    assert t.append_pandas(_pdf(3, 5), marker="batch-2") == 2
+    assert t.row_count() == 8
+
+
+def test_crash_mid_manifest_write_preserves_old_manifest(tmp_path, monkeypatch):
+    """Crash WHILE writing the tmp manifest (partial JSON on disk, rename
+    never reached): the live manifest is untouched, readers see the old
+    snapshot, and a later commit succeeds and ignores the garbage tmp."""
+    import json as _json
+
+    t = SnapshotTable.create(tmp_path / "t")
+    t.append_pandas(_pdf(4), marker="b1")
+
+    real_dump = _json.dump
+
+    def torn_dump(obj, fh, **k):
+        fh.write('{"name": "t", "snapsho')  # half-written JSON
+        raise OSError("simulated crash mid manifest write")
+
+    monkeypatch.setattr("json.dump", torn_dump)
+    try:
+        t.append_pandas(_pdf(2, 4), marker="b2")
+        raise AssertionError("commit should have crashed")
+    except OSError:
+        pass
+    monkeypatch.setattr("json.dump", real_dump)
+
+    assert t.current_snapshot_id() == 1
+    assert t.row_count() == 4
+    sid = t.append_pandas(_pdf(2, 4), marker="b2")
+    assert sid == 2 and t.row_count() == 6
+
+
+def test_append_spark_commit_reads_zero_parquet_footers(tmp_path, spark, monkeypatch):
+    """append_spark's committed row_count comes from the write job's own
+    Observation (executor-side collect-metrics), NOT from driver-side
+    footer reads — at 10^5 files/commit a serial footer sweep would be
+    the last sequential stage of the pipeline. Poisoning pq.read_metadata
+    proves the commit path never touches it (add_files keeps the footer
+    path: it registers files without running a job)."""
+    from access_log_aggregator_spark.sources import tableio as tio
+
+    def boom(*a, **k):
+        raise AssertionError("driver-side footer read on the commit path")
+
+    t = SnapshotTable.create(tmp_path / "t")
+    df = spark.range(0, 1000).selectExpr("id AS a", "'x' AS b").repartition(4)
+    monkeypatch.setattr(tio.pq, "read_metadata", boom)
+    sid = t.append_spark(df, marker="spark-1")
+    empty = spark.range(0, 0).selectExpr("id AS a", "'x' AS b")
+    sid_empty = t.append_spark(empty, marker="spark-empty")
+    monkeypatch.undo()
+    assert sid == 1 and sid_empty == 2
+    assert t.row_count() == 1000
+    assert t.read(spark).count() == 1000
+    # marker replay still dedupes on the Observation path
+    assert t.append_spark(df, marker="spark-1") == 1
+    assert t.row_count() == 1000
