@@ -1118,7 +1118,12 @@ limit 10
 #    internal/accesslog/model.go:16-29, summaries.go:3-27).
 # ---------------------------------------------------------------------------
 
-_PAGES_N = 2000
+#: 20k rows over 4 parquet files: the driver's hash-exact pipeline checks
+#: then exercise MULTI-PARTITION parallel aggregation (4 scan partitions →
+#: real partial/final exchange traffic and the salted path), not the
+#: single-partition degenerate case a one-file 2k corpus planned.
+_PAGES_N = 20_000
+_PAGES_FILES = 4
 
 
 def _pages_cache_root():
@@ -1133,7 +1138,7 @@ def _pages_cache_root():
     from .sources import pages as pages_mod
 
     key = hashlib.md5(
-        f"{_PAGES_N}|{inspect.getsource(pages_mod)}".encode()
+        f"{_PAGES_N}|{_PAGES_FILES}|{inspect.getsource(pages_mod)}".encode()
     ).hexdigest()[:12]
     return Path(tempfile.gettempdir()) / f"alas_q_pages_{_PAGES_N}_{key}"
 
@@ -1152,14 +1157,19 @@ def ensure_pipeline_fixtures():
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from .sources.pages import generate_host_lookup, generate_pages
+    from .sources.pages import generate_host_lookup, generate_pages_chunk
 
     tmp = root.with_name(root.name + f".tmp-{uuid.uuid4().hex}")
     (tmp / "pages").mkdir(parents=True)
-    pq.write_table(
-        pa.Table.from_pandas(generate_pages(_PAGES_N), preserve_index=False),
-        tmp / "pages" / "part-0.parquet",
-    )
+    per_file = _PAGES_N // _PAGES_FILES
+    for i in range(_PAGES_FILES):
+        lo = i * per_file
+        n = per_file if i < _PAGES_FILES - 1 else _PAGES_N - lo
+        pq.write_table(
+            pa.Table.from_pandas(generate_pages_chunk(lo, n),
+                                 preserve_index=False),
+            tmp / "pages" / f"part-{i}.parquet",
+        )
     pq.write_table(
         pa.Table.from_pandas(generate_host_lookup(), preserve_index=False),
         tmp / "lookup.parquet",
