@@ -52,6 +52,18 @@ CONSTANT_FRAME_OK: dict[str, str] = {
                               "global validity counters (one output row)",
 }
 
+#: queries whose returned frame is a driver-local relation (the real work
+#: ran inside the call — e.g. a streaming drain through foreachBatch), so
+#: shape_facts on the RESULT would audit nothing: the underlying plan is
+#: covered elsewhere (the pipeline flagships in PLANS.md / the streaming
+#: tests), and the budget audit skips them rather than recording a
+#: meaningless all-zero row.
+DRIVER_MATERIALIZED: dict[str, str] = {
+    "streaming_routed_counts": "AvailableNow drain via foreachBatch; the "
+                               "executed plan is build_routed (audited as "
+                               "pipeline_routed in PLANS.md) per micro-batch",
+}
+
 BUDGET_PATH = Path(__file__).with_name("shape_budgets.json")
 
 

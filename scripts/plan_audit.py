@@ -32,6 +32,7 @@ sys.path.insert(0, str(REPO))
 from access_log_aggregator_spark.plans.audit import (  # noqa: E402
     BUDGET_PATH,
     CONSTANT_FRAME_OK,
+    DRIVER_MATERIALIZED,
     plan_string as _plan,
     shape_facts,
     violations,
@@ -136,6 +137,10 @@ def _audit_all(spark, sf_dir: str) -> None:
 
     rows, budget = {}, {}
     for name, spec in QUERIES.items():
+        if name in DRIVER_MATERIALIZED:
+            print(f"all:{name}: skipped ({DRIVER_MATERIALIZED[name]})",
+                  file=sys.stderr)
+            continue
         f = shape_facts(spec.spark_fn(spark, sf_dir))
         rows[name] = f
         budget[name] = f
@@ -174,6 +179,14 @@ def _audit_all(spark, sf_dir: str) -> None:
         "",
     ]
     lines += [f"- `{k}`: {v}" for k, v in CONSTANT_FRAME_OK.items()]
+    if DRIVER_MATERIALIZED:
+        lines += [
+            "",
+            "Skipped (result frame is driver-local; the executed plan is "
+            "audited elsewhere):",
+            "",
+        ]
+        lines += [f"- `{k}`: {v}" for k, v in DRIVER_MATERIALIZED.items()]
     lines.append("")
     (REPO / "PLANS-ALL.md").write_text("\n".join(lines))
     print(f"wrote {REPO / 'PLANS-ALL.md'} and {BUDGET_PATH}", file=sys.stderr)

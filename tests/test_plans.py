@@ -266,6 +266,7 @@ def test_all_registry_plans_within_shape_budget(spark):
     frames. This is the 50/50 mechanical version of the flagship audits
     above; a drift here means a change silently degraded a plan at scale."""
     from access_log_aggregator_spark.plans.audit import (
+        DRIVER_MATERIALIZED,
         load_budgets,
         shape_facts,
         violations,
@@ -275,9 +276,12 @@ def test_all_registry_plans_within_shape_budget(spark):
     s = spark.newSession()
     s.conf.set("spark.sql.adaptive.enabled", "false")  # audit config
     budgets = load_budgets()
-    assert set(budgets) == set(QUERIES), "regenerate shape_budgets.json"
+    assert set(budgets) | set(DRIVER_MATERIALIZED) == set(QUERIES), \
+        "regenerate shape_budgets.json"
     problems = []
     for name, spec in QUERIES.items():
+        if name in DRIVER_MATERIALIZED:
+            continue  # driver-local result; underlying plan audited elsewhere
         facts = shape_facts(spec.spark_fn(s, "/root/testdata/sf0.001"))
         problems += violations(name, facts, budgets[name])
     assert not problems, "\n".join(problems)
