@@ -3,9 +3,14 @@
 Mirrors the reference CLI's flag surface (internal/config/flags.go:10-14)
 on Spark terms:
 
-    -file (repeatable)  ->  --pages-table DIR   (the snapshot table replaces
-                            the tailed-file list; partition-parallel scan
-                            replaces goroutine fan-in)
+    -file (repeatable)  ->  --log-file PATH (repeatable): the LITERAL
+                            analog — raw newline-JSON logs, parsed
+                            directly, summary to stdout (optionally routed
+                            to sinks with --out); or --pages-table DIR
+                            (the snapshot table replaces the tailed-file
+                            list; partition-parallel scan replaces
+                            goroutine fan-in, incremental cursors replace
+                            seek-to-end)
     -from-start         ->  --from-start        (ignore checkpoint, process
                             every snapshot from the beginning)
     -interval           ->  one invocation == one batch tick; schedule
@@ -24,8 +29,108 @@ import sys
 from pathlib import Path
 
 
+def _run_log_files(args, ap) -> int:
+    """The reference's literal input mode: ``accessAgg -file a.log`` ->
+    ``--log-file a.log``. Lines parse through the SAME dual-engine
+    parse/validate/route chain (extraction is the identity on a bare log
+    line — byte-parity pinned on the reference corpus); output is the
+    reference-format summary table plus the counts JSON. With --out (or
+    --data-dir) the batch also commits to the routed sink + aggregate
+    tables under an idempotence marker derived from the files'
+    (path, size, mtime) signature, so re-running over unchanged files is
+    a no-op and appending to a log re-commits exactly the new state."""
+    import hashlib
+
+    from .operators.aggregate import aggregate_by_host
+    from .plans.pipeline import Pipeline, build_routed, summary_text_from_agg
+    from .session import get_spark
+    from .sources.logfiles import read_log_files
+    from .sources.pages import generate_host_lookup
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from .functions import extract as X
+
+    missing = [p for p in args.log_file if not Path(p).exists()]
+    if missing:
+        ap.error(f"--log-file path(s) not found: {missing}")
+    out = args.out or (str(Path(args.data_dir) / "out")
+                       if args.data_dir else None)
+
+    spark = get_spark(master=args.master)
+    try:
+        pages = read_log_files(spark, args.log_file)
+        lookup = spark.createDataFrame(generate_host_lookup(seed=args.seed))
+        classes = (X.CLASS_PARSED, X.CLASS_UNPARSED, X.CLASS_BOT,
+                   X.CLASS_ERROR)
+        if out:
+            # Sink semantics mirror the reference's -from-start rebuild:
+            # each run represents the files' CURRENT full state, so a
+            # changed state truncates and re-commits (old lines would
+            # otherwise duplicate), while an UNCHANGED state is a marker
+            # no-op. Incremental tailing of growing logs is the
+            # SnapshotTable/--stream path, not this mode.
+            pipe = Pipeline(spark, out, lookup,
+                            use_arrow_udf=not args.no_arrow_udf,
+                            salt_buckets=args.salt_buckets,
+                            write_partitions=args.write_partitions)
+            sig = hashlib.md5("|".join(
+                f"{Path(p).resolve()}:{Path(p).stat().st_size}:"
+                f"{Path(p).stat().st_mtime_ns}"
+                for p in sorted(args.log_file)).encode()).hexdigest()[:12]
+            marker = f"logfiles-{sig}"
+            if marker in pipe.routed_table.committed_markers():
+                counts = {c: 0 for c in classes}
+                rows_in = 0
+                agg_rows = {}
+            else:
+                pipe.routed_table.truncate()
+                r = pipe.process_batch(pages, batch_id=marker)
+                counts = dict(r.sink_counts)
+                rows_in = r.rows_in
+                agg_rows = pipe.write_aggregates() if rows_in else {}
+            summary = pipe.summary_text()
+        else:
+            # summary-only (the reference's exact behavior: no sinks) —
+            # class counts ride the aggregation job via observe(), so the
+            # files scan once
+            routed = build_routed(pages, lookup,
+                                  use_arrow_udf=not args.no_arrow_udf)
+            obs = Observation("logfile_counts")
+            routed = routed.observe(
+                obs, F.count(F.lit(1)).alias("rows_in"),
+                *[F.count_if(F.col("match_class") == c).alias(c)
+                  for c in classes])
+            valid = routed.filter(
+                F.col("match_class").isin(X.CLASS_PARSED, X.CLASS_BOT))
+            summary = summary_text_from_agg(
+                aggregate_by_host(valid, args.salt_buckets))
+            got = obs.get
+            counts = {c: int(got.get(c, 0)) for c in classes}
+            rows_in = int(got.get("rows_in", 0))
+            agg_rows = {}
+        print(json.dumps({
+            "files": len(args.log_file), "rows_in": rows_in,
+            "sink_counts": counts,
+            "malformed": counts[X.CLASS_UNPARSED] + counts[X.CLASS_ERROR],
+            "aggregate_tables": agg_rows,
+        }))
+        print(summary)
+        return 0
+    finally:
+        spark.stop()
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="access-log-aggregator-spark")
+    ap.add_argument("--log-file", action="append", metavar="PATH",
+                    help="raw newline-JSON access-log file (repeatable) — "
+                         "the reference's -file analog (flags.go:10): parse "
+                         "the lines directly and print the summary table; "
+                         "add --out (or --data-dir) to also route to sinks. "
+                         "Empty lines count as malformed and an "
+                         "unterminated final line is held back, matching "
+                         "the reference tailer's delimiter semantics")
     ap.add_argument("--pages-table", help="pages SnapshotTable root dir")
     ap.add_argument("--out", help="output root (routed sink + aggregates)")
     ap.add_argument("--checkpoint", help="checkpoint JSON path")
@@ -93,6 +198,14 @@ def main(argv: list[str] | None = None) -> int:
     from .session import get_spark
     from .sources.pages import generate_host_lookup, generate_pages
     from .sources.tableio import SnapshotTable
+
+    if args.log_file:
+        if (args.generate or args.stream or args.maintenance_only
+                or args.pages_table):
+            ap.error("--log-file is its own input mode: it cannot combine "
+                     "with --generate/--pages-table/--stream/"
+                     "--maintenance-only")
+        return _run_log_files(args, ap)
 
     if args.generate and not args.data_dir:
         ap.error("--generate requires --data-dir")

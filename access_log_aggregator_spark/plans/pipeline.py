@@ -209,18 +209,24 @@ class Pipeline:
 
     def summary_text(self, now=None) -> str:
         """Reference-format table (print.go:26-49) rendered from the aggregate."""
-        from ..oracle.summaries import Summaries, Summary, format_summaries
+        return summary_text_from_agg(self.agg_by_host(), now=now)
 
-        agg = self.agg_by_host()
-        ss = Summaries()
-        if agg is not None:
-            for r in agg.collect():
-                ss.by_host[r["host"]] = Summary(
-                    request_total=r["total_requests"],
-                    request_2xx=r["requests_2xx"],
-                    duration_total=float(r["sum_duration_s"]),
-                )
-        return format_summaries(ss, now=now)
+
+def summary_text_from_agg(agg: Optional[DataFrame], now=None) -> str:
+    """Reference-format summary table (print.go:26-49) from an
+    aggregate_by_host frame (None -> the empty table). The collect is
+    bounded: one row per distinct host."""
+    from ..oracle.summaries import Summaries, Summary, format_summaries
+
+    ss = Summaries()
+    if agg is not None:
+        for r in agg.collect():
+            ss.by_host[r["host"]] = Summary(
+                request_total=r["total_requests"],
+                request_2xx=r["requests_2xx"],
+                duration_total=float(r["sum_duration_s"]),
+            )
+    return format_summaries(ss, now=now)
 
 
 def lookup_df(spark: SparkSession, lookup_pdf: pd.DataFrame) -> DataFrame:

@@ -1,0 +1,152 @@
+"""Raw log-file ingestion (`--log-file`, sources/logfiles.py): the
+reference's literal `-file a.log` input mode through the Spark pipeline —
+line-delimiter semantics (empty lines malformed, unterminated tail held,
+tailer.go:13-25), and the reference corpus end-to-end."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from access_log_aggregator_spark.operators.aggregate import aggregate_by_host
+from access_log_aggregator_spark.plans.pipeline import build_routed
+from access_log_aggregator_spark.sources.logfiles import (
+    _unterminated_tail,
+    read_log_files,
+)
+
+REF_LOG = Path("/root/reference/test/testdata/log.log")
+
+GOOD = (b'{"time":"2025-01-01T00:00:%02dZ","host":"%s",'
+        b'"status_code":%d,"duration":0.25}')
+
+
+def _line(i=0, host=b"a.com", status=200) -> bytes:
+    return GOOD % (i % 60, host, status)
+
+
+def _routed_counts(spark, lookup_sdf, paths):
+    routed = build_routed(read_log_files(spark, paths), lookup_sdf)
+    rows = routed.groupBy("match_class").agg(F.count("*").alias("n")).collect()
+    return {r["match_class"]: r["n"] for r in rows}
+
+
+def test_empty_lines_are_malformed_records(tmp_path, spark, lookup_sdf):
+    """ReadBytes('\\n') delivers empty lines to json.Unmarshal, which
+    fails -> malformed (model.go:18); read.text + the parse stage agree."""
+    p = tmp_path / "a.log"
+    p.write_bytes(_line(0) + b"\n\n" + _line(1) + b"\n\n\n")
+    got = _routed_counts(spark, lookup_sdf, [p])
+    assert got.get("parsed", 0) == 2
+    assert got.get("unparsed", 0) == 3  # three empty lines, each a record
+
+
+def test_unterminated_final_line_is_held(tmp_path, spark, lookup_sdf):
+    """tailer.go:13-25 returns EOF without delivering a partial final
+    line; once the newline arrives the line is a record. The hold drops
+    exactly ONE occurrence even when an earlier complete line has
+    identical text."""
+    dup = _line(7)
+    p = tmp_path / "a.log"
+    p.write_bytes(dup + b"\n" + _line(8) + b"\n" + dup)  # no trailing \n
+    got = _routed_counts(spark, lookup_sdf, [p])
+    assert sum(got.values()) == 2  # the partial dup-text tail is held
+    assert got.get("parsed", 0) == 2
+
+    p.write_bytes(p.read_bytes() + b"\n")  # the newline lands
+    got = _routed_counts(spark, lookup_sdf, [p])
+    assert got.get("parsed", 0) == 3
+
+    assert _unterminated_tail(p) is None
+    empty = tmp_path / "empty.log"
+    empty.write_bytes(b"")
+    assert _unterminated_tail(empty) is None
+    part = tmp_path / "part.log"
+    part.write_bytes(b'{"partial')
+    assert _unterminated_tail(part) == ('{"partial', True)
+
+
+def test_multiple_files_fan_in(tmp_path, spark, lookup_sdf):
+    a, b = tmp_path / "a.log", tmp_path / "b.log"
+    a.write_bytes(b"\n".join(_line(i, b"a.com") for i in range(5)) + b"\n")
+    b.write_bytes(b"\n".join(_line(i, b"b.com", 404) for i in range(3)) + b"\n")
+    routed = build_routed(read_log_files(spark, [a, b]), lookup_sdf)
+    valid = routed.filter(F.col("match_class").isin("parsed", "bot"))
+    rows = {r["host"]: r for r in aggregate_by_host(valid).collect()}
+    assert rows["a.com"]["total_requests"] == 5
+    assert rows["a.com"]["requests_2xx"] == 5
+    assert rows["b.com"]["total_requests"] == 3
+    assert rows["b.com"]["requests_2xx"] == 0
+    # per-file lineage in the adapted url column
+    srcs = {r["url"] for r in routed.select("url").distinct().collect()}
+    assert srcs == {f"log://{a.resolve().as_uri()}",
+                    f"log://{b.resolve().as_uri()}"}
+
+
+@pytest.mark.skipif(not REF_LOG.exists(), reason="reference corpus absent")
+def test_reference_corpus_through_log_source(spark, lookup_sdf):
+    """The reference's own 1000-line fixture via the RAW-FILE source (not
+    page embedding): per-host aggregate == the oracle fold == goldens."""
+    from access_log_aggregator_spark.oracle import Summaries
+
+    oracle = Summaries()
+    for line in REF_LOG.read_bytes().split(b"\n"):
+        if line:
+            oracle.aggregate_raw(line)
+
+    routed = build_routed(read_log_files(spark, [REF_LOG]), lookup_sdf)
+    valid = routed.filter(F.col("match_class").isin("parsed", "bot"))
+    rows = {r["host"]: r for r in aggregate_by_host(valid).collect()}
+    assert set(rows) == set(oracle.by_host)
+    for host, s in oracle.by_host.items():
+        r = rows[host]
+        assert (r["total_requests"], r["requests_2xx"]) == (
+            s.request_total, s.request_2xx)
+        assert abs(float(r["sum_duration_s"]) - s.duration_total) < 1e-9
+
+
+def test_cli_log_file_mode_sink_idempotence(tmp_path):
+    """--log-file with --out commits under a (path,size,mtime) marker:
+    re-running over unchanged files is a sink no-op; appending a line
+    re-commits the new state. Subprocess per run (the CLI owns and stops
+    its SparkSession — in-process it would stop the shared fixture)."""
+    import subprocess
+    import sys as _sys
+
+    from access_log_aggregator_spark.sources.tableio import SnapshotTable
+
+    repo = Path(__file__).resolve().parent.parent
+    p = tmp_path / "a.log"
+    p.write_bytes(b"\n".join(_line(i) for i in range(4)) + b"\n")
+    out = tmp_path / "out"
+
+    def run():
+        r = subprocess.run(
+            [_sys.executable, "-m", "access_log_aggregator_spark.cli",
+             "--log-file", str(p), "--out", str(out),
+             "--master", "local[2]"],
+            capture_output=True, text=True, timeout=420, cwd=str(repo),
+        )
+        assert r.returncode == 0, r.stderr[-3000:]
+        return json.loads(r.stdout.strip().splitlines()[0])
+
+    first = run()
+    assert first["rows_in"] == 4 and first["sink_counts"]["parsed"] == 4
+    routed = SnapshotTable(out / "routed")
+    n1 = routed.row_count()
+    assert n1 == 4
+
+    second = run()  # unchanged files: marker dedupes, no new rows
+    assert routed.row_count() == n1
+    assert second["rows_in"] == 0  # duplicate commit reports a no-op
+
+    with open(p, "ab") as f:
+        f.write(_line(9, b"c.com") + b"\n")
+    third = run()
+    # -from-start rebuild semantics: the NEW full state replaces the old
+    # (truncate + commit), so the grown file does not duplicate old lines
+    assert third["rows_in"] == 5
+    assert routed.row_count() == 5
