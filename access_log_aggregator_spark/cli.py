@@ -44,22 +44,41 @@ def _run_log_files(args, ap) -> int:
     from .operators.aggregate import aggregate_by_host
     from .plans.pipeline import Pipeline, build_routed, summary_text_from_agg
     from .session import get_spark
-    from .sources.logfiles import read_log_files
+    from .sources.logfiles import canonical_paths, read_log_files
     from .sources.pages import generate_host_lookup
+    from .sources.tableio import SnapshotTable
     from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
     from .functions import extract as X
 
-    missing = [p for p in args.log_file if not Path(p).exists()]
+    files = canonical_paths(args.log_file)
+    missing = [str(p) for p in files if not p.exists()]
     if missing:
         ap.error(f"--log-file path(s) not found: {missing}")
     out = args.out or (str(Path(args.data_dir) / "out")
                        if args.data_dir else None)
+    if out:
+        # refuse an output layout another mode owns BEFORE touching it:
+        # this mode REBUILDS the routed sink (truncate + recommit), which
+        # would destroy a batch/stream pipeline's accumulated state while
+        # its checkpoint still claims the rows were routed
+        routed_root = SnapshotTable(Path(out) / "routed")
+        if routed_root.exists():
+            foreign = sorted(m for m in routed_root.committed_markers()
+                             if not m.startswith("logfiles-"))
+            if foreign:
+                ap.error(
+                    f"{out}/routed is managed by the snapshot pipeline "
+                    f"(markers {foreign[:3]}{'...' if len(foreign) > 3 else ''}"
+                    "): --log-file rebuilds the routed sink from the "
+                    "files' current state and would destroy those rows. "
+                    "Point --out at a separate directory."
+                )
 
     spark = get_spark(master=args.master)
     try:
-        pages = read_log_files(spark, args.log_file)
+        pages = read_log_files(spark, files)
         lookup = spark.createDataFrame(generate_host_lookup(seed=args.seed))
         classes = (X.CLASS_PARSED, X.CLASS_UNPARSED, X.CLASS_BOT,
                    X.CLASS_ERROR)
@@ -74,10 +93,11 @@ def _run_log_files(args, ap) -> int:
                             use_arrow_udf=not args.no_arrow_udf,
                             salt_buckets=args.salt_buckets,
                             write_partitions=args.write_partitions)
+            # sorted by the SAME canonical string embedded in the hash, so
+            # flag order / spelling cannot change the marker
             sig = hashlib.md5("|".join(
-                f"{Path(p).resolve()}:{Path(p).stat().st_size}:"
-                f"{Path(p).stat().st_mtime_ns}"
-                for p in sorted(args.log_file)).encode()).hexdigest()[:12]
+                f"{p}:{p.stat().st_size}:{p.stat().st_mtime_ns}"
+                for p in sorted(files)).encode()).hexdigest()[:12]
             marker = f"logfiles-{sig}"
             if marker in pipe.routed_table.committed_markers():
                 counts = {c: 0 for c in classes}
@@ -88,8 +108,15 @@ def _run_log_files(args, ap) -> int:
                 r = pipe.process_batch(pages, batch_id=marker)
                 counts = dict(r.sink_counts)
                 rows_in = r.rows_in
-                agg_rows = pipe.write_aggregates() if rows_in else {}
-            summary = pipe.summary_text()
+                # unconditional: a now-EMPTY file state (e.g. logrotate
+                # copytruncate) must truncate the aggregate tables too,
+                # not leave them reporting the previous state
+                agg_rows = pipe.write_aggregates()
+            # render from the just-written agg_by_host table (tiny scan)
+            # instead of re-aggregating the routed sink
+            agg_t = SnapshotTable(Path(out) / "agg_by_host")
+            summary = summary_text_from_agg(
+                agg_t.read(spark) if agg_t.exists() else None)
         else:
             # summary-only (the reference's exact behavior: no sinks) —
             # class counts ride the aggregation job via observe(), so the
@@ -303,9 +330,27 @@ def main(argv: list[str] | None = None) -> int:
                         Checkpoint(args.checkpoint).load().last_snapshot_id
                     )
                 drained: set[int] = set()
+                unknown: list[str] = []
                 for m in markers:
-                    drained |= pages_table.stream_drained_snapshots(m)
+                    d = pages_table.stream_drained_snapshots(m)
+                    if d is None:
+                        unknown.append(m)
+                    else:
+                        drained |= d
                 overlap = sorted(s for s in drained if s > behind_cursor)
+                if unknown:
+                    # fail CLOSED: a registered stream whose checkpoint
+                    # metadata is gone may have drained anything — assuming
+                    # "nothing" would re-route every streamed row
+                    ap.error(
+                        f"{args.pages_table} is managed by stream "
+                        f"checkpoint(s) {unknown} whose drain state cannot "
+                        "be read (checkpoint dir deleted or moved?): a "
+                        "batch run could duplicate every streamed row in "
+                        "the routed sink. Restore the checkpoint, or "
+                        "--retire-stream if the stream is permanently "
+                        "done (then audit the sink for stream-* markers)."
+                    )
                 if overlap:
                     ap.error(
                         f"{args.pages_table} is managed by stream "

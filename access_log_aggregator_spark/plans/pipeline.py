@@ -192,14 +192,23 @@ class Pipeline:
     def write_aggregates(self) -> dict[str, int]:
         """Materialize the three aggregate views as sink tables
         (overwrite-by-job semantics — SURVEY.md §2.5 K1: the authoritative
-        sinks are tables, stdout is presentation). Returns rows per table."""
+        sinks are tables, stdout is presentation). Returns rows per table.
+
+        A None view (routed sink empty or absent) still TRUNCATES an
+        existing aggregate table: the sinks mirror the routed state, and a
+        state that became empty (--log-file rebuild over a truncated file)
+        must not leave the aggregates reporting the previous run."""
         out: dict[str, int] = {}
         for name, df in (
             ("agg_by_host", self.agg_by_host()),
             ("agg_by_status_bucket", self.agg_by_status_bucket()),
             ("agg_by_window", self.agg_by_window()),
         ):
+            t = SnapshotTable(self.out_root / name)
             if df is None:
+                if t.exists():
+                    t.truncate()
+                    out[name] = 0
                 continue
             t = SnapshotTable.create(self.out_root / name, name)
             t.truncate()

@@ -13,6 +13,21 @@ runs unchanged on raw logs.
 
 Semantics matched to the reference tailer:
 
+- ``\\n`` is THE record delimiter and nothing else is: the reference reads
+  ``ReadBytes('\\n')`` (tailer/tailer.go:14), so a ``\\r`` is ordinary line
+  content (Go's ``json.Unmarshal`` then ignores it as trailing whitespace
+  in the CRLF case). The scan sets ``lineSep="\\n"`` explicitly because
+  ``spark.read.text``'s DEFAULT splits on ``\\r`` and ``\\r\\n`` too, which
+  would both emit records the reference never sees (``a\\rb`` is ONE
+  incomplete line to the reference, two rows to the default) and break the
+  driver-side unterminated-tail probe below;
+- the reference hands the line to ``json.Unmarshal`` INCLUDING the
+  delimiter (and any CR before it), and Go's scanner skips exactly
+  ``space \\t \\r \\n`` at both ends — so this source ``btrim``s that
+  four-char set off each line before the pipeline's anchored extraction
+  (``LINE_PATTERN`` requires the object flush at ``^``/``$``).
+  Observationally identical to Go on every input: edge whitespace is
+  ignored there, interior whitespace is untouched here;
 - every delivered line is a record attempt — empty lines reach the parser
   and count as malformed, exactly like ``json.Unmarshal("")`` failing in
   ``model.go:18`` (``spark.read.text`` yields ``""`` for them);
@@ -29,6 +44,15 @@ Semantics matched to the reference tailer:
   so the nondeterministic pick does not affect results — and the window
   only ever runs when an unterminated file exists at all.
 
+Paths are canonicalized with ``os.path.abspath`` — NOT ``resolve()`` —
+and deduplicated before the scan: the held-tail join matches on
+``input_file_name()``, which reports the path AS HANDED to the reader
+(symlinks un-followed), so building the held rows from a symlink-resolved
+path would silently never match and the partial line would leak through.
+Listing the same file twice reads it once (the reference would tail a
+double-listed file twice and double-count it — a degenerate shape; the
+dedupe is the deliberate divergence).
+
 At 100 TB: text-file splitting is per-block, so one huge log file still
 scans wide; the hold-back check reads at most ``_TAIL_PROBE`` bytes per
 file on the driver (file COUNT-proportional, like any listing); all
@@ -37,6 +61,7 @@ downstream processing is the audited pipeline (PLANS.md).
 
 from __future__ import annotations
 
+import os
 from pathlib import Path
 from typing import Iterable
 
@@ -51,19 +76,27 @@ from pyspark.sql import functions as F
 _TAIL_PROBE = 1 << 20
 
 
+def canonical_paths(paths: Iterable[str | Path]) -> list[Path]:
+    """Absolute (but NOT symlink-resolved — see module docstring), order-
+    preserving, deduplicated path list: the single canonical form shared
+    by the scan, the held-tail join and the CLI's idempotence marker."""
+    return [Path(p) for p in dict.fromkeys(os.path.abspath(p) for p in paths)]
+
+
 def _unterminated_tail(path: Path) -> tuple[str, bool] | None:
     """The file's trailing bytes after the last newline, decoded as the
     text source will decode them — or None when the file is empty or
-    newline-terminated (nothing held). The bool is True when the probe
-    captured the WHOLE tail (match on equality) and False when the tail
-    is longer than the probe (match on endswith)."""
+    newline-terminated (nothing held). A trailing ``\\r`` does NOT
+    terminate: the reference's delimiter is ``\\n`` alone. The bool is
+    True when the probe captured the WHOLE tail (match on equality) and
+    False when the tail is longer than the probe (match on endswith)."""
     size = path.stat().st_size
     if size == 0:
         return None
     with open(path, "rb") as f:
         f.seek(max(0, size - _TAIL_PROBE))
         chunk = f.read()
-    if chunk.endswith(b"\n") or chunk.endswith(b"\r"):
+    if chunk.endswith(b"\n"):
         return None
     exact = b"\n" in chunk or size <= _TAIL_PROBE
     tail = chunk.rsplit(b"\n", 1)[-1]
@@ -82,14 +115,14 @@ def read_log_files(spark: SparkSession, paths: Iterable[str | Path],
     reference carries no per-file event time; the record's OWN ``time``
     field is what validation/aggregation read downstream), ``lang`` null.
     """
-    paths = [Path(p) for p in paths]
-    df = spark.read.text([str(p) for p in paths]).select(
-        F.col("value").alias("text"),
-        F.input_file_name().alias("_src"),
-    )
+    paths = canonical_paths(paths)
+    df = (spark.read.option("lineSep", "\n")  # \n ONLY — tailer parity
+          .text([str(p) for p in paths])
+          .select(F.col("value").alias("text"),
+                  F.input_file_name().alias("_src")))
 
     if hold_unterminated:
-        held = [(p.resolve().as_uri(), t[0], t[1])
+        held = [(p.as_uri(), t[0], t[1])
                 for p in paths
                 for t in [_unterminated_tail(p)] if t is not None]
         if held:
@@ -116,10 +149,13 @@ def read_log_files(spark: SparkSession, paths: Iterable[str | Path],
             )
             df = rest.unionByName(extra_copies).drop("_tail", "_exact")
 
+    # Go-whitespace trim (see module docstring) AFTER the hold logic: the
+    # held tail is matched against the raw line bytes, not the trim
+    line = F.btrim(F.col("text"), F.lit(" \t\r\n"))
     return df.select(
         F.concat(F.lit("log://"), F.col("_src")).alias("url"),
         F.lit("1970-01-01 00:00:00").cast("timestamp_ntz").alias("warc_ts"),
-        F.encode(F.col("text"), "UTF-8").alias("html"),
-        F.col("text"),
+        F.encode(line, "UTF-8").alias("html"),
+        line.alias("text"),
         F.lit(None).cast("string").alias("lang"),
     )

@@ -164,17 +164,27 @@ class SnapshotTable:
         return [json.loads(p.read_text())["checkpoint"]
                 for p in sorted(d.glob("*.json"))]
 
-    def stream_drained_snapshots(self, checkpoint_dir: str | Path) -> set[int]:
+    def stream_drained_snapshots(
+            self, checkpoint_dir: str | Path) -> Optional[set[int]]:
         """Snapshot ids whose data files a registered stream checkpoint has
         already ingested, recovered from Spark's FileStreamSource metadata
         log (``<checkpoint>/sources/0/*`` — ``v1`` header then one JSON entry
         per seen file; ``*.compact`` versions re-list full history, which is
         harmless to a set union). ``part-*`` basenames are UUID-unique, so
-        the file→snapshot mapping is by basename; a checkpoint that predates
-        this table (or was deleted) yields the empty set."""
+        the file→snapshot mapping is by basename.
+
+        Returns ``None`` — drain state UNKNOWN — when the checkpoint's
+        file-source metadata dir is missing (checkpoint deleted or moved
+        while still registered). Callers guarding against double-routing
+        must fail CLOSED on None: the stream may well have drained
+        snapshots, the evidence is just gone. A torn/unreadable individual
+        log entry (transient, mid-write) still only skips that entry: an
+        entry Spark never durably recorded is an entry the stream will
+        re-process, so treating it as not-drained is the conservative
+        reading."""
         src = Path(checkpoint_dir) / "sources" / "0"
         if not src.is_dir():
-            return set()
+            return None
         seen: set[str] = set()
         for log in src.iterdir():
             if not log.is_file() or log.name.startswith("."):

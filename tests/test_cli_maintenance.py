@@ -95,6 +95,31 @@ def test_batch_mode_refuses_stream_managed_layout(tmp_path):
     assert _routed_rows(data_dir) == 300  # nothing was duplicated
 
 
+def test_batch_mode_fails_closed_on_unreadable_stream_checkpoint(tmp_path):
+    """A registered stream whose checkpoint dir is GONE (deleted/moved)
+    has an unknowable drain state: assuming 'drained nothing' would
+    re-route every streamed row. The guard must refuse — fail closed, not
+    open — until the checkpoint is restored or the stream retired."""
+    import shutil
+
+    data_dir = str(tmp_path / "data")
+    _run_cli("--generate", "300", "--snapshots", "2",
+             "--data-dir", data_dir, "--stream")
+    ckpt_dir = Path(data_dir) / "checkpoint.stream_ckpt"
+    assert ckpt_dir.is_dir()
+    shutil.rmtree(ckpt_dir)
+
+    out = _run_cli("--data-dir", data_dir, expect_rc=2)
+    assert "drain state cannot be read" in out.stderr
+    assert _routed_rows(data_dir) == 300  # nothing was duplicated
+
+    # --retire-stream acknowledges the stream is done and clears the
+    # refusal (the error message directs the operator to audit the sink's
+    # stream-* markers before batch-processing history)
+    _run_cli("--data-dir", data_dir, "--maintenance-only", "--retire-stream")
+    assert _routed_rows(data_dir) == 300
+
+
 def test_batch_mode_refuses_stale_cursor_behind_stream(tmp_path):
     """ADVICE r3: a STALE batch checkpoint (cursor behind what the stream
     drained) duplicates just like a fresh one — batch would resume at its

@@ -15,6 +15,7 @@ from access_log_aggregator_spark.operators.aggregate import aggregate_by_host
 from access_log_aggregator_spark.plans.pipeline import build_routed
 from access_log_aggregator_spark.sources.logfiles import (
     _unterminated_tail,
+    canonical_paths,
     read_log_files,
 )
 
@@ -69,6 +70,56 @@ def test_unterminated_final_line_is_held(tmp_path, spark, lookup_sdf):
     assert _unterminated_tail(part) == ('{"partial', True)
 
 
+def test_cr_is_not_a_record_delimiter(tmp_path, spark, lookup_sdf):
+    """The reference delimiter is ReadBytes('\\n') — a \\r is line CONTENT,
+    not a delimiter (the scan pins lineSep='\\n'; Spark's default would
+    split on \\r too). Three shapes:
+    - CRLF line endings: the record carries a trailing \\r, which the
+      parse grammar ignores as trailing whitespace exactly like Go's
+      json.Unmarshal — valid records;
+    - 'a\\rb' with no newline at all: ONE unterminated line to the
+      reference, so the whole file is held — zero records;
+    - a file ending in a bare \\r: still unterminated (held)."""
+    crlf = tmp_path / "crlf.log"
+    crlf.write_bytes(_line(0) + b"\r\n" + _line(1) + b"\r\n")
+    got = _routed_counts(spark, lookup_sdf, [crlf])
+    assert got == {"parsed": 2}
+
+    mid_cr = tmp_path / "midcr.log"
+    mid_cr.write_bytes(_line(2) + b"\r" + _line(3))  # no \n anywhere
+    got = _routed_counts(spark, lookup_sdf, [mid_cr])
+    assert got == {}  # the single partial line is held in full
+
+    bare_cr = tmp_path / "barecr.log"
+    bare_cr.write_bytes(_line(4) + b"\r")
+    assert _unterminated_tail(bare_cr) is not None  # \r does not terminate
+    got = _routed_counts(spark, lookup_sdf, [bare_cr])
+    assert got == {}
+
+
+def test_symlinked_path_still_holds_tail(tmp_path, spark, lookup_sdf):
+    """input_file_name() reports the path AS GIVEN (symlinks un-followed);
+    the held-tail rows must be keyed the same way, or the hold silently
+    never matches. canonical_paths uses abspath, not resolve()."""
+    real = tmp_path / "real.log"
+    real.write_bytes(_line(0) + b"\n" + b'{"partial')
+    link = tmp_path / "link.log"
+    link.symlink_to(real)
+    got = _routed_counts(spark, lookup_sdf, [link])
+    assert got == {"parsed": 1}  # partial tail held, complete line kept
+
+
+def test_duplicate_paths_read_once(tmp_path, spark, lookup_sdf):
+    """The same file listed twice (twice literally, or via ./ spelling) is
+    scanned once — a double-listed unterminated file would otherwise get
+    duplicate held rows whose broadcast join MULTIPLIES every line."""
+    p = tmp_path / "a.log"
+    p.write_bytes(_line(0) + b"\n" + _line(1) + b"\n" + b'{"partial')
+    assert len(canonical_paths([p, str(p), f"{tmp_path}/./a.log"])) == 1
+    got = _routed_counts(spark, lookup_sdf, [p, str(p)])
+    assert got == {"parsed": 2}
+
+
 def test_multiple_files_fan_in(tmp_path, spark, lookup_sdf):
     a, b = tmp_path / "a.log", tmp_path / "b.log"
     a.write_bytes(b"\n".join(_line(i, b"a.com") for i in range(5)) + b"\n")
@@ -120,33 +171,70 @@ def test_cli_log_file_mode_sink_idempotence(tmp_path):
 
     repo = Path(__file__).resolve().parent.parent
     p = tmp_path / "a.log"
+    b = tmp_path / "b.log"
     p.write_bytes(b"\n".join(_line(i) for i in range(4)) + b"\n")
+    b.write_bytes(_line(5, b"b.com") + b"\n")
     out = tmp_path / "out"
 
-    def run():
+    def run(*log_files):
+        flags = []
+        for f in log_files or (p, b):
+            flags += ["--log-file", str(f)]
         r = subprocess.run(
             [_sys.executable, "-m", "access_log_aggregator_spark.cli",
-             "--log-file", str(p), "--out", str(out),
-             "--master", "local[2]"],
+             *flags, "--out", str(out), "--master", "local[2]"],
             capture_output=True, text=True, timeout=420, cwd=str(repo),
         )
         assert r.returncode == 0, r.stderr[-3000:]
         return json.loads(r.stdout.strip().splitlines()[0])
 
-    first = run()
-    assert first["rows_in"] == 4 and first["sink_counts"]["parsed"] == 4
+    first = run(p, b)
+    assert first["rows_in"] == 5 and first["sink_counts"]["parsed"] == 5
     routed = SnapshotTable(out / "routed")
-    n1 = routed.row_count()
-    assert n1 == 4
+    agg = SnapshotTable(out / "agg_by_host")
+    assert routed.row_count() == 5
+    assert first["aggregate_tables"]["agg_by_host"] == agg.row_count() == 2
 
-    second = run()  # unchanged files: marker dedupes, no new rows
-    assert routed.row_count() == n1
+    # unchanged files, REVERSED flag order: same canonical signature, so
+    # the marker dedupes and nothing is truncated or recommitted
+    second = run(b, p)
+    assert routed.row_count() == 5
     assert second["rows_in"] == 0  # duplicate commit reports a no-op
 
     with open(p, "ab") as f:
         f.write(_line(9, b"c.com") + b"\n")
-    third = run()
+    third = run(p, b)
     # -from-start rebuild semantics: the NEW full state replaces the old
     # (truncate + commit), so the grown file does not duplicate old lines
-    assert third["rows_in"] == 5
-    assert routed.row_count() == 5
+    assert third["rows_in"] == 6
+    assert routed.row_count() == 6
+    assert agg.row_count() == 3  # a.com, b.com, c.com
+
+    # logrotate-copytruncate shape: files empty out -> the rebuild commits
+    # the EMPTY state and the aggregate tables truncate with it instead of
+    # reporting the previous run
+    p.write_bytes(b"")
+    b.write_bytes(b"")
+    fourth = run(p, b)
+    assert fourth["rows_in"] == 0 and fourth["sink_counts"]["parsed"] == 0
+    assert routed.row_count() == 0
+    assert agg.row_count() == 0
+    assert fourth["aggregate_tables"].get("agg_by_host") == 0
+
+
+def test_cli_log_file_refuses_pipeline_managed_out(tmp_path):
+    """--log-file REBUILDS the routed sink (truncate + recommit): pointing
+    --out at a layout the snapshot pipeline owns would destroy its rows
+    while its checkpoint still claims them routed. The CLI must refuse
+    (before creating a SparkSession, so this test is cheap)."""
+    from access_log_aggregator_spark.cli import main
+    from access_log_aggregator_spark.sources.tableio import SnapshotTable
+
+    out = tmp_path / "out"
+    t = SnapshotTable.create(out / "routed", "routed")
+    t._commit_files([], 0, marker="pages-snap-3")
+    log = tmp_path / "a.log"
+    log.write_bytes(_line(0) + b"\n")
+    with pytest.raises(SystemExit) as ei:
+        main(["--log-file", str(log), "--out", str(out)])
+    assert ei.value.code == 2  # argparse error exit
