@@ -161,10 +161,17 @@ def parse_rfc3339(time_str: str) -> Optional[datetime]:
     """Parse an RFC3339 string to a tz-aware datetime (microsecond truncation).
 
     Returns None when the string does not parse (bad shape or an impossible
-    calendar date — Go ``time.Parse`` rejects e.g. Feb 30). Fractional
-    seconds beyond 6 digits are truncated toward zero, matching Spark's
-    microsecond TimestampType (SURVEY.md §7.3: aggregation never uses
-    sub-second precision, windows are hourly, so truncation is safe).
+    calendar date — Go ``time.Parse`` rejects e.g. Feb 30). The zone offset
+    is bounded like Go's strict RFC3339 decoder (``parseRFC3339``, the path
+    ``time.Time.UnmarshalJSON`` takes since Go 1.20): hours 00-23 and
+    minutes 00-59 — ``+24:00`` or ``+05:99`` are unmarshal ERRORS, not
+    offsets (the bound also keeps ``timezone()`` from raising: Python
+    rejects offsets >= 24h with an uncaught ValueError otherwise).
+    Fractional seconds beyond 6 digits are truncated toward zero, matching
+    Spark's microsecond TimestampType (SURVEY.md §7.3: aggregation never
+    uses sub-second precision, windows are hourly, so truncation is safe;
+    :func:`is_zero_time` re-reads the full digits where the truncation
+    would matter).
     """
     m = TIME_RE.match(time_str)
     if m is None:
@@ -176,8 +183,11 @@ def parse_rfc3339(time_str: str) -> Optional[datetime]:
     if off == "Z":
         tz = timezone.utc
     else:
+        oh, om = int(off[1:3]), int(off[4:6])
+        if oh > 23 or om > 59:  # Go parseRFC3339 offset bounds
+            return None
         sign = 1 if off[0] == "+" else -1
-        tz = timezone(sign * timedelta(hours=int(off[1:3]), minutes=int(off[4:6])))
+        tz = timezone(sign * timedelta(hours=oh, minutes=om))
     try:
         return datetime(year, month, day, hh, mm, ss, micros, tzinfo=tz)
     except ValueError:
@@ -190,10 +200,16 @@ def is_zero_time(time_str: str) -> bool:
     The zero instant is 0001-01-01T00:00:00 UTC (model.go:24). Offset
     variants of the same instant would underflow datetime; the reference
     corpus only emits 'Z', and any string that *parses* to year 1 Jan 1
-    00:00:00.000000000 UTC counts as zero.
+    00:00:00.000000000 UTC counts as zero. Go's IsZero is NANOSECOND
+    precision, so a nonzero fractional digit anywhere — including beyond
+    the microseconds :func:`parse_rfc3339` keeps — means NOT zero
+    (``...T00:00:00.0000001Z`` is a valid instant to the reference).
     """
     if time_str == GO_ZERO_TIME:
         return True
+    m = TIME_RE.match(time_str)
+    if m is not None and (m.group(7) or "").strip("0"):
+        return False  # nonzero fraction at any precision
     dt = parse_rfc3339(time_str)
     if dt is None:
         return False
@@ -206,6 +222,29 @@ def is_zero_time(time_str: str) -> bool:
 def _reject_constant(_name: str):
     # Go's json package rejects NaN/Infinity/-Infinity literals.
     raise ValueError("non-standard JSON constant")
+
+
+class _JsonPairs(list):
+    """Top-level (key, value) pairs in document order — installed as
+    json.loads' object_pairs_hook so duplicate keys stay visible (a plain
+    dict silently keeps only the last, hiding earlier occurrences whose
+    DECODE failures Go reports). Nested objects also become _JsonPairs,
+    which is fine: they only ever appear as VALUES, where a list subclass
+    fails the same isinstance type checks a dict would."""
+
+
+#: Lone UTF-16 surrogates (Python's json keeps unpaired \\uD800-\\uDFFF
+#: escapes as-is; Go's decoder substitutes U+FFFD per RFC 8259 — and a
+#: lone surrogate would crash the Arrow serialization of the UDF output).
+#: Valid surrogate PAIRS are untouched: json.loads already combined them
+#: into a single astral-plane character outside this range.
+_LONE_SURROGATE_RE = re.compile("[\ud800-\udfff]")
+
+
+def _go_string(s: str) -> str:
+    """Decode a JSON string value the way Go does: lone surrogates from
+    unpaired escapes become U+FFFD."""
+    return _LONE_SURROGATE_RE.sub("�", s)
 
 
 def go_unmarshal_fields(line: str) -> Optional[tuple[str, str, int, float]]:
@@ -224,55 +263,63 @@ def go_unmarshal_fields(line: str) -> Optional[tuple[str, str, int, float]]:
     - a time string that is not RFC3339 (``time.Time.UnmarshalJSON`` error);
     - float64 range overflow of duration (Go strconv ERANGE).
 
-    Duplicate keys: last wins (both Go and Python dict building).
+    Duplicate keys decode like Go's streaming object loop, not like a dict:
+    EVERY occurrence of a primary key decodes into the field in document
+    order, so an occurrence that fails (wrong type, bad RFC3339, overflow)
+    errors the whole record even when a later duplicate would have
+    succeeded; the surviving value is the last occurrence. A JSON ``null``
+    is a NO-OP (Go leaves the field's previous value — its zero value when
+    null is the only occurrence), and string values substitute U+FFFD for
+    unpaired surrogate escapes exactly like Go's decoder.
     """
     try:
-        obj = json.loads(line, parse_constant=_reject_constant)
+        obj = json.loads(line, parse_constant=_reject_constant,
+                         object_pairs_hook=_JsonPairs)
     except ValueError:
         return None
-    if not isinstance(obj, dict):
+    if not isinstance(obj, _JsonPairs):
         return None
 
-    tval = obj.get("time")
-    if tval is None:
-        time_str = GO_ZERO_TIME
-    elif isinstance(tval, str):
-        if parse_rfc3339(tval) is None:
-            return None
-        time_str = tval
-    else:
-        return None
-
-    hval = obj.get("host")
-    if hval is None:
-        host = ""
-    elif isinstance(hval, str):
-        host = hval
-    else:
-        return None
-
-    sval = obj.get("status_code")
-    if sval is None:
-        status = 0
-    elif isinstance(sval, bool) or not isinstance(sval, int):
-        return None
-    elif not (-(2**63) <= sval < 2**63):
-        return None
-    else:
-        status = sval
-
-    dval = obj.get("duration")
-    if dval is None:
-        duration = 0.0
-    elif isinstance(dval, bool) or not isinstance(dval, (int, float)):
-        return None
-    else:
-        try:
-            duration = float(dval)
-        except OverflowError:  # huge JSON integer: float() raises, Go ERANGEs
-            return None
-        if math.isinf(duration):
-            return None  # Go: strconv.ParseFloat range error
+    time_str = GO_ZERO_TIME
+    host = ""
+    status = 0
+    duration = 0.0
+    for key, val in obj:
+        if key == "time":
+            if val is None:
+                continue  # Go: null leaves the field unchanged
+            if not isinstance(val, str):
+                return None
+            val = _go_string(val)
+            if parse_rfc3339(val) is None:
+                return None
+            time_str = val
+        elif key == "host":
+            if val is None:
+                continue
+            if not isinstance(val, str):
+                return None
+            host = _go_string(val)
+        elif key == "status_code":
+            if val is None:
+                continue
+            if isinstance(val, bool) or not isinstance(val, int):
+                return None
+            if not (-(2**63) <= val < 2**63):
+                return None
+            status = val
+        elif key == "duration":
+            if val is None:
+                continue
+            if isinstance(val, bool) or not isinstance(val, (int, float)):
+                return None
+            try:
+                d = float(val)
+            except OverflowError:  # huge JSON int: float() raises, Go ERANGEs
+                return None
+            if math.isinf(d):
+                return None  # Go: strconv.ParseFloat range error
+            duration = d
 
     return (time_str, host, status, duration)
 

@@ -43,6 +43,15 @@ from . import xsql as x
 _CHUNK = 4096
 _WS_RE = re.compile(r"[ \t\n\f\r]+")
 
+#: 31^i % P for i < _CHUNK — module-level because _polyhash only ever
+#: indexes the first _CHUNK entries (the fold is chunked); rebuilding a
+#: max_len-sized table per batch was an O(longest text) pure-Python loop
+#: whose tail entries were never read
+_POWERS = np.empty(_CHUNK, dtype=np.int64)
+_POWERS[0] = 1
+for _i in range(1, _CHUNK):
+    _POWERS[_i] = _POWERS[_i - 1] * 31 % x.P
+
 
 def _polyhash(codes: np.ndarray, powers: np.ndarray) -> int:
     """Stepwise (acc*31+c) % P fold, computed chunk-vectorized."""
@@ -61,11 +70,7 @@ def _polyhash(codes: np.ndarray, powers: np.ndarray) -> int:
     StructField("n_tokens", IntegerType()),
 ]))
 def _fp_tok_udf(texts: pd.Series) -> pd.DataFrame:
-    max_len = max((len(t) for t in texts if t is not None), default=1)
-    powers = np.empty(max(max_len, _CHUNK), dtype=np.int64)
-    powers[0] = 1
-    for i in range(1, powers.shape[0]):
-        powers[i] = powers[i - 1] * 31 % x.P
+    powers = _POWERS
     fps: list[int | None] = []
     toks: list[int | None] = []
     for t in texts:

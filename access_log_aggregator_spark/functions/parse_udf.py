@@ -159,9 +159,10 @@ def extract_parse_udf(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
             )
             return pc.fill_null(pc.and_(m, uniq), False).to_pandas()
     except Exception:  # pragma: no cover - pyarrow.compute always present
-        import re
-
-        _fre = re.compile(X.FIELD_PATTERN)
+        # the CANONICAL compiled regex (re.ASCII): recompiling the pattern
+        # without the flag would let Unicode digits pass this gate while
+        # the downstream Java-regex gate rejects them — cross-engine break
+        _fre = X.FIELD_RE
 
         def fast_mask(lines: pd.Series) -> pd.Series:
             return lines.map(

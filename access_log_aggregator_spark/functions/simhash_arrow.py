@@ -82,13 +82,29 @@ def _simhash(t: str | None, powers: np.ndarray) -> int | None:
     return val - (1 << 64) if val >= (1 << 63) else val
 
 
+#: grow-only cache of 31^i % P — unlike fingerprint_arrow's fixed-size
+#: table, simhash indexes up to the longest token, so the table is sized
+#: on demand but the pure-Python build loop only runs on GROWTH, not once
+#: per batch (identical batches reuse the worker-process cache)
+_POW_CACHE = np.array([1], dtype=np.int64)
+
+
+def _powers(n: int) -> np.ndarray:
+    global _POW_CACHE
+    if _POW_CACHE.shape[0] < n:
+        old = _POW_CACHE.shape[0]
+        grown = np.empty(max(n, 2 * old), dtype=np.int64)
+        grown[:old] = _POW_CACHE
+        for i in range(old, grown.shape[0]):
+            grown[i] = grown[i - 1] * 31 % x.P
+        _POW_CACHE = grown
+    return _POW_CACHE
+
+
 @F.pandas_udf(LongType())
 def _simhash_udf(texts: pd.Series) -> pd.Series:
     max_len = max((len(t) for t in texts if t is not None), default=1)
-    powers = np.empty(max(max_len, _MAX_FAST_TOKEN) + 1, dtype=np.int64)
-    powers[0] = 1
-    for i in range(1, powers.shape[0]):
-        powers[i] = powers[i - 1] * 31 % x.P
+    powers = _powers(max(max_len, _MAX_FAST_TOKEN) + 1)
     return pd.Series([_simhash(t, powers) for t in texts], dtype=object)
 
 

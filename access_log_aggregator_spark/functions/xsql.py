@@ -54,7 +54,11 @@ def arr_fold_double(arr: str, d: str) -> str:
     if d == SPARK:
         inner = f"aggregate({arr}, 0D, (acc, x) -> acc + x)"
         return f"(case when size({arr}) > 0 then {inner} else 0D end)"
-    inner = f"list_reduce({arr}, (acc, x) -> acc + x)"
+    # seed the fold with +0.0 like Spark's aggregate(…, 0D, …): list_reduce
+    # seeds with the FIRST ELEMENT, so a fold ending at -0.0 (e.g. [-0.0])
+    # would keep the sign bit DuckDB-side while Spark's 0.0 + -0.0 = +0.0 —
+    # a bitwise hash divergence on an otherwise equal value
+    inner = f"list_reduce(list_prepend(0.0::DOUBLE, {arr}), (acc, x) -> acc + x)"
     return f"(case when length({arr}) > 0 then {inner} else 0.0::DOUBLE end)"
 
 
@@ -281,7 +285,8 @@ def dot_double(vec_a: str, vec_b: str, dim: int, d: str) -> str:
         f"list_transform(generate_series(1, {dim}), "
         f"i -> {vec_a}[i]::DOUBLE * {vec_b}[i]::DOUBLE)"
     )
-    return f"list_reduce({prods}, (acc, v) -> acc + v)"
+    # +0.0 seed: see arr_fold_double (-0.0 sign-bit parity with Spark)
+    return f"list_reduce(list_prepend(0.0::DOUBLE, {prods}), (acc, v) -> acc + v)"
 
 
 def norm_double(vec: str, dim: int, d: str) -> str:

@@ -92,18 +92,35 @@ def _log_ts(time_str: Column) -> Column:
 
     try_to_timestamp also rejects impossible calendar dates (Feb 30), the
     analog of Go time.Parse failing inside json unmarshal.
+
+    The zone offset is applied by explicit arithmetic, not the pattern's
+    ``xxx`` directive: java.time caps ZoneOffset at +/-18:00 while Go's
+    strict RFC3339 decoder (parseRFC3339, the time.Time.UnmarshalJSON path)
+    accepts hours 00-23 / minutes 00-59 — ``+19:30`` is a VALID offset to
+    the reference and ``+24:00`` / ``+05:99`` are unmarshal errors. The
+    base always parses at +00:00 (session-timezone-independent); non-Z
+    offsets subtract their signed minutes from the instant, null when out
+    of Go's bounds.
     """
     base = F.regexp_extract(time_str, _TS_BASE_RE, 1)
     off = F.regexp_extract(time_str, _TS_OFF_RE, 1)
     frac = F.regexp_extract(time_str, _TS_FRAC_RE, 1)
     ts0 = F.try_to_timestamp(
-        F.concat(base, F.when(off == "Z", F.lit("+00:00")).otherwise(off)),
+        F.concat(base, F.lit("+00:00")),
         F.lit("yyyy-MM-dd'T'HH:mm:ssxxx"),
+    )
+    oh = F.substring(off, 2, 2).cast("int")
+    om = F.substring(off, 5, 2).cast("int")
+    signed_min = F.when(F.substring(off, 1, 1) == "-", oh * 60 + om) \
+        .otherwise(-(oh * 60 + om))  # east of UTC -> earlier instant
+    ts_utc = F.when(off == "Z", ts0).otherwise(
+        F.when((oh <= 23) & (om <= 59),
+               F.timestamp_add("MINUTE", signed_min, ts0))
     )
     micros = F.when(
         frac != "", F.rpad(F.substring(frac, 1, 6), 6, "0").cast("long")
     ).otherwise(F.lit(0))
-    return F.timestamp_add("MICROSECOND", micros, ts0)
+    return F.timestamp_add("MICROSECOND", micros, ts_utc)
 
 
 def _jvm_fallback(df: DataFrame) -> DataFrame:
@@ -114,21 +131,75 @@ def _jvm_fallback(df: DataFrame) -> DataFrame:
     overflow error), duration any finite JSON number; null/missing leave
     the Go zero value.
 
-    Duplicate keys are LAST-WINS exactly like Go: the line parses as
-    ``map<string,variant>`` (from_json keeps duplicate entries in order) and
-    each field reads the LAST entry with its key. Trailing content is
-    rejected by an exact any-depth brace fold (:func:`_single_object_spans_line`).
+    Duplicate keys decode like Go's streaming object loop: EVERY entry with
+    a primary key must type-check (``_allok_*`` forall over the map entries
+    — Go saves the decode error of ANY occurrence, even when a later
+    duplicate would succeed), a JSON ``null`` occurrence is a NO-OP (Go
+    leaves the field's previous value), and the surviving value is the last
+    non-null entry (``from_json`` keeps duplicate map entries in order).
+    Trailing content is rejected by an exact any-depth brace fold
+    (:func:`_single_object_spans_line`). Unpaired surrogate ESCAPES are
+    rewritten to the \\uFFFD escape on the raw line before parsing — Go's
+    decoder substitutes U+FFFD there, and the JVM string path would
+    otherwise degrade the lone surrogate to '?' (see the inline comment).
     """
+    # Lone-surrogate escapes -> the � ESCAPE TEXT before Jackson sees
+    # the line: Go's decoder substitutes U+FFFD for an unpaired
+    # \uD800-\uDFFF, while the JVM path loses the surrogate to '?' during
+    # String->UTF8String conversion — unfixable after the fact, so the
+    # substitution happens on the raw ASCII escape sequences. The
+    # (?<!\\)((?:\\\\)*) prefix consumes an EVEN run of backslashes from a
+    # non-backslash boundary, so the literal text \\ud800 (escaped
+    # backslash + 'ud800') is never rewritten; a high escape directly
+    # followed by a low escape is a valid pair and is left alone, exactly
+    # like Go's unquote.
+    _HI = r"\\u[dD][89abAB][0-9a-fA-F]{2}"
+    _LO = r"\\u[dD][c-fC-F][0-9a-fA-F]{2}"
+    line2 = F.regexp_replace(
+        "_fbline", f"(?<!\\\\)((?:\\\\\\\\)*){_HI}(?!{_LO})", r"$1\\uFFFD")
+    line2 = F.regexp_replace(
+        line2, f"(?<!{_HI})(?<!\\\\)((?:\\\\\\\\)*){_LO}", r"$1\\uFFFD")
     df = df.withColumn(
-        "_fbm", F.from_json("_fbline", "map<string,variant>", _STRICT_JSON_OPTS)
+        "_fbm", F.from_json(line2, "map<string,variant>", _STRICT_JSON_OPTS)
     )
-    # last entry per primary key (Go last-wins), as a variant per field
-    # (try_element_at: NULL for a missing key instead of erroring)
+
+    def entries(fld: str):
+        return F.filter(F.map_entries("_fbm"), lambda e: e.key == F.lit(fld))
+
+    def v_ts(v: Column) -> Column:
+        s = F.try_variant_get(v, "$", "string")
+        return s.rlike(X.TIME_PATTERN) & _log_ts(s).isNotNull()
+
+    _OK_PREDS = {
+        # Go time.Time.UnmarshalJSON ERRORS on a non-RFC3339 string (an
+        # unmarshal failure, not a validation failure) — mirror that so
+        # both fallback implementations produce the same json_ok/reason
+        "time": lambda v: (F.schema_of_variant(v) == "VOID")
+        | ((F.schema_of_variant(v) == "STRING") & v_ts(v)),
+        "host": lambda v: F.schema_of_variant(v).isin("VOID", "STRING"),
+        "status_code": lambda v: F.schema_of_variant(v).isin("VOID", "BIGINT"),
+        "duration": lambda v: (
+            F.schema_of_variant(v).isin("VOID", "BIGINT", "DOUBLE")
+            | F.schema_of_variant(v).like("DECIMAL%"))
+        & ((F.schema_of_variant(v) == "VOID")
+           | (F.abs(F.try_variant_get(v, "$", "double"))
+              != F.lit(float("inf")))),
+    }
+    def _entry_pred(pred):
+        # plain closure: a default-arg lambda would read to PySpark's
+        # lambda-signature introspection as a TWO-parameter function
+        return lambda e: pred(e.value)
+
     for fld in ("time", "host", "status_code", "duration"):
         df = df.withColumn(
+            f"_allok_{fld}",
+            F.forall(entries(fld), _entry_pred(_OK_PREDS[fld])),
+        ).withColumn(
+            # surviving value: last NON-NULL entry (Go null no-op)
             f"_v_{fld}",
             F.try_element_at(
-                F.filter(F.map_entries("_fbm"), lambda e: e.key == F.lit(fld)),
+                F.filter(entries(fld),
+                         lambda e: F.schema_of_variant(e.value) != "VOID"),
                 F.lit(-1),
             ).value,
         )
@@ -146,26 +217,12 @@ def _jvm_fallback(df: DataFrame) -> DataFrame:
         d_t.isNull() | (d_t == "VOID"), F.lit(0.0)
     ).otherwise(vget("duration", "double"))
 
-    def str_or_void(t: Column) -> Column:
-        return t.isNull() | t.isin("VOID", "STRING")
-
-    # Go's time.Time.UnmarshalJSON ERRORS on a non-RFC3339 string (it is an
-    # unmarshal failure, not a validation failure) — mirror that here so
-    # both fallback implementations produce the same json_ok/reason
-    t_str = vget("time", "string")
-    t_ok = (
-        t_t.isNull() | (t_t == "VOID")
-        | ((t_t == "STRING") & t_str.rlike(X.TIME_PATTERN)
-           & _log_ts(t_str).isNotNull())
-    )
     json_ok = (
         F.col("_fbline").isNotNull()
         & F.col("_fbm").isNotNull()
         & balanced
-        & t_ok & str_or_void(h_t)
-        & (s_t.isNull() | s_t.isin("VOID", "BIGINT"))
-        & (d_t.isNull() | d_t.isin("VOID", "BIGINT", "DOUBLE") | d_t.like("DECIMAL%"))
-        & (d_val.isNull() | (F.abs(d_val) != F.lit(float("inf"))))
+        & F.col("_allok_time") & F.col("_allok_host")
+        & F.col("_allok_status_code") & F.col("_allok_duration")
     )
     fb = F.struct(
         F.when(t_t == "STRING", vget("time", "string"))
@@ -178,7 +235,8 @@ def _jvm_fallback(df: DataFrame) -> DataFrame:
         json_ok.alias("json_ok"),
     )
     return df.withColumn("_fb", fb).drop(
-        "_fbm", "_v_time", "_v_host", "_v_status_code", "_v_duration"
+        "_fbm", "_v_time", "_v_host", "_v_status_code", "_v_duration",
+        "_allok_time", "_allok_host", "_allok_status_code", "_allok_duration",
     )
 
 
@@ -265,7 +323,17 @@ def parse_stage(pages: DataFrame, use_arrow_udf: bool = True) -> DataFrame:
     time_ok = (
         F.col("log_time_str").rlike(X.TIME_PATTERN)
         & F.col("_log_ts_all").isNotNull()
-        & (F.col("_log_ts_all") != F.to_timestamp(F.lit(_GO_ZERO), "yyyy-MM-dd'T'HH:mm:ssxxx"))
+        & (
+            (F.col("_log_ts_all")
+             != F.to_timestamp(F.lit(_GO_ZERO), "yyyy-MM-dd'T'HH:mm:ssxxx"))
+            # Go IsZero is NANOSECOND precision: an instant that truncates
+            # to the zero micros but carries a nonzero sub-micro fractional
+            # digit (…00.0000001Z) is NOT the zero time to the reference
+            | F.substring(
+                F.regexp_extract(F.col("log_time_str"), _TS_FRAC_RE, 1),
+                7, 3,
+            ).rlike("[1-9]")
+        )
     )
     record_valid = (
         F.col("parse_ok")

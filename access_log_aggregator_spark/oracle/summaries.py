@@ -96,13 +96,11 @@ def format_summaries(ss: Summaries, now: Optional[datetime] = None) -> str:
            "non_2xx_requests", "avg_duration_s"),
         "-" * width,
     ]
-    for h in hosts:
-        s = ss.by_host[h]
+    # rows() owns the derived-column math (non-2xx, avg) — single source
+    for h, total, ok2xx, non2xx, avg in ss.rows():
         lines.append(
             "%-*s %15d %15d %18d %18.3f"
-            % (max_host_len, h, s.request_total, s.request_2xx,
-               s.request_total - s.request_2xx,
-               s.duration_total / float(s.request_total))
+            % (max_host_len, h, total, ok2xx, non2xx, avg)
         )
     lines.append("=" * width)
     return "\n".join(lines) + "\n"
