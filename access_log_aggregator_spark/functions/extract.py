@@ -194,7 +194,7 @@ def parse_rfc3339(time_str: str) -> Optional[datetime]:
         return None
 
 
-def is_zero_time(time_str: str) -> bool:
+def is_zero_time(time_str: str, dt: Optional[datetime] = None) -> bool:
     """Go ``time.Time.IsZero`` analog for RFC3339 strings.
 
     The zero instant is 0001-01-01T00:00:00 UTC (model.go:24). Offset
@@ -204,19 +204,27 @@ def is_zero_time(time_str: str) -> bool:
     precision, so a nonzero fractional digit anywhere — including beyond
     the microseconds :func:`parse_rfc3339` keeps — means NOT zero
     (``...T00:00:00.0000001Z`` is a valid instant to the reference).
+
+    ``dt``, when given, MUST be ``parse_rfc3339(time_str)`` — callers that
+    already parsed the string pass it to skip the re-parse; the instant
+    comparison then settles the common (nonzero) case before the fraction
+    digits are ever re-read.
     """
     if time_str == GO_ZERO_TIME:
         return True
-    m = TIME_RE.match(time_str)
-    if m is not None and (m.group(7) or "").strip("0"):
-        return False  # nonzero fraction at any precision
-    dt = parse_rfc3339(time_str)
     if dt is None:
-        return False
+        dt = parse_rfc3339(time_str)
+        if dt is None:
+            return False
     try:
-        return dt.astimezone(timezone.utc) == datetime(1, 1, 1, tzinfo=timezone.utc)
+        if dt.astimezone(timezone.utc) != datetime(1, 1, 1, tzinfo=timezone.utc):
+            return False
     except (OverflowError, ValueError):
         return False
+    # Instant is zero at microsecond precision; only now do the sub-micro
+    # fraction digits (which parse_rfc3339 truncated) decide.
+    m = TIME_RE.match(time_str)
+    return not (m is not None and (m.group(7) or "").strip("0"))
 
 
 def _reject_constant(_name: str):
@@ -324,8 +332,14 @@ def go_unmarshal_fields(line: str) -> Optional[tuple[str, str, int, float]]:
     return (time_str, host, status, duration)
 
 
-def validate_fields(f: ParsedFields) -> Optional[str]:
-    """Reference validation (model.go:24-26). Returns a reject reason or None.
+def validate_and_parse(
+    f: ParsedFields,
+) -> tuple[Optional[str], Optional[datetime]]:
+    """Reference validation (model.go:24-26) returning (reject_reason, ts).
+
+    ``reason`` is None when the record is valid, in which case ``ts`` is the
+    parsed timestamp — callers build their Record from it instead of
+    re-parsing the RFC3339 string a second (or third) time.
 
     Rules, exactly: zero time, empty host, status_code == 0, duration == 0.0.
     A time string that fails to parse is equivalent to Go's json unmarshal
@@ -334,18 +348,24 @@ def validate_fields(f: ParsedFields) -> Optional[str]:
     malformRecord counter, internal/app/aggregate.go:38-41).
     """
     ts = parse_rfc3339(f.time_str)
-    if ts is None or is_zero_time(f.time_str):
-        return REASON_INVALID_FIELD
+    if ts is None or is_zero_time(f.time_str, ts):
+        return REASON_INVALID_FIELD, None
     if f.host == "":
-        return REASON_INVALID_FIELD
+        return REASON_INVALID_FIELD, None
     try:
         status = int(f.status_str)
     except ValueError:  # pragma: no cover - regex guarantees digits
-        return REASON_INVALID_FIELD
+        return REASON_INVALID_FIELD, None
     if status == 0 or not (-(2**63) <= status < 2**63):
         # Go int is 64-bit; overflow is an unmarshal error => rejected.
-        return REASON_INVALID_FIELD
+        return REASON_INVALID_FIELD, None
     duration = float(f.duration_str)
     if duration == 0.0:
-        return REASON_INVALID_FIELD
-    return None
+        return REASON_INVALID_FIELD, None
+    return None, ts
+
+
+def validate_fields(f: ParsedFields) -> Optional[str]:
+    """Reason-only view of :func:`validate_and_parse` (kept for callers and
+    tests that don't need the parsed timestamp)."""
+    return validate_and_parse(f)[0]

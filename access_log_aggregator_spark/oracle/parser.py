@@ -61,8 +61,9 @@ def go_parse_record(raw: bytes) -> Record:
     time_str, host, status, duration = fields
     ts: Optional[datetime] = X.parse_rfc3339(time_str)
 
-    # model.go:24-26 — the single validation line.
-    if ts is None or X.is_zero_time(time_str) or host == "" or status == 0 or duration == 0.0:
+    # model.go:24-26 — the single validation line. ts is handed to
+    # is_zero_time so the string is parsed exactly once per record.
+    if ts is None or X.is_zero_time(time_str, ts) or host == "" or status == 0 or duration == 0.0:
         raise GoParseError("missing or invalid required field")
 
     return Record(time=ts, time_str=time_str, host=host, status_code=status, duration=duration)
@@ -111,7 +112,7 @@ def classify_page(
     if fields is not None:
         # fast path: the corpus-grammar regex (escape-free captures, so
         # raw capture == unescaped Go value)
-        reason = X.validate_fields(fields)
+        reason, ts = X.validate_and_parse(fields)
         if reason is not None:
             return PageClassification(X.CLASS_UNPARSED, reason, line_b, None)
         time_str, host = fields.time_str, fields.host
@@ -124,14 +125,16 @@ def classify_page(
             return PageClassification(X.CLASS_UNPARSED, X.REASON_BAD_RECORD, line_b, None)
         time_str, host, status, duration = wide
         ts = X.parse_rfc3339(time_str)
-        if (ts is None or X.is_zero_time(time_str) or host == ""
+        if (ts is None or X.is_zero_time(time_str, ts) or host == ""
                 or status == 0 or duration == 0.0):
             return PageClassification(
                 X.CLASS_UNPARSED, X.REASON_INVALID_FIELD, line_b, None
             )
 
+    # Both branches parsed the time string exactly once; ts is reused here
+    # instead of a second (historically up to fourth) parse per record.
     rec = Record(
-        time=X.parse_rfc3339(time_str),  # type: ignore[arg-type]
+        time=ts,  # type: ignore[arg-type]
         time_str=time_str,
         host=host,
         status_code=status,
