@@ -98,9 +98,16 @@ def _log_ts(time_str: Column) -> Column:
     strict RFC3339 decoder (parseRFC3339, the time.Time.UnmarshalJSON path)
     accepts hours 00-23 / minutes 00-59 — ``+19:30`` is a VALID offset to
     the reference and ``+24:00`` / ``+05:99`` are unmarshal errors. The
-    base always parses at +00:00 (session-timezone-independent); non-Z
-    offsets subtract their signed minutes from the instant, null when out
-    of Go's bounds.
+    base always parses at +00:00 (session-timezone-independent); the
+    offset's signed minutes fold into ONE timestamp_add together with the
+    fractional micros (east of UTC subtracts), null when out of Go's
+    bounds.
+
+    Code-size note: this whole expression lands inside ONE generated
+    ``processNext`` method for the parse stage; keep it lean. A branchier
+    formulation (separate Z/offset timestamp_adds) pushed that method past
+    HotSpot's 8000-byte JIT limit and the stage silently ran interpreted
+    at ~2x JVM CPU — tests/test_plans.py pins the compiled method size.
     """
     base = F.regexp_extract(time_str, _TS_BASE_RE, 1)
     off = F.regexp_extract(time_str, _TS_OFF_RE, 1)
@@ -111,16 +118,21 @@ def _log_ts(time_str: Column) -> Column:
     )
     oh = F.substring(off, 2, 2).cast("int")
     om = F.substring(off, 5, 2).cast("int")
-    signed_min = F.when(F.substring(off, 1, 1) == "-", oh * 60 + om) \
-        .otherwise(-(oh * 60 + om))  # east of UTC -> earlier instant
-    ts_utc = F.when(off == "Z", ts0).otherwise(
-        F.when((oh <= 23) & (om <= 59),
-               F.timestamp_add("MINUTE", signed_min, ts0))
+    # signed offset minutes: 0 for Z, null (-> null instant) beyond Go's
+    # hh<=23 / mm<=59 bounds; east of UTC is a POSITIVE offset
+    offmin = (
+        F.when(off == "Z", F.lit(0))
+        .when(
+            (oh <= 23) & (om <= 59),
+            F.when(F.substring(off, 1, 1) == "-", -1).otherwise(1)
+            * (oh * 60 + om),
+        )
     )
-    micros = F.when(
-        frac != "", F.rpad(F.substring(frac, 1, 6), 6, "0").cast("long")
-    ).otherwise(F.lit(0))
-    return F.timestamp_add("MICROSECOND", micros, ts_utc)
+    # "" (no fraction) rpads to "000000" -> 0, so no branch is needed
+    micros = F.rpad(F.substring(frac, 1, 6), 6, "0").cast("long")
+    return F.timestamp_add(
+        "MICROSECOND", micros - offmin.cast("long") * 60_000_000, ts0
+    )
 
 
 def _jvm_fallback(df: DataFrame) -> DataFrame:
@@ -328,11 +340,11 @@ def parse_stage(pages: DataFrame, use_arrow_udf: bool = True) -> DataFrame:
              != F.to_timestamp(F.lit(_GO_ZERO), "yyyy-MM-dd'T'HH:mm:ssxxx"))
             # Go IsZero is NANOSECOND precision: an instant that truncates
             # to the zero micros but carries a nonzero sub-micro fractional
-            # digit (…00.0000001Z) is NOT the zero time to the reference
-            | F.substring(
-                F.regexp_extract(F.col("log_time_str"), _TS_FRAC_RE, 1),
-                7, 3,
-            ).rlike("[1-9]")
+            # digit (…00.0000001Z) is NOT the zero time to the reference.
+            # One rlike == "a nonzero digit at fraction position 7-9"
+            # (equivalent to substring(frac, 7, 3) rlike [1-9], with far
+            # less generated code — see the _log_ts code-size note)
+            | F.col("log_time_str").rlike(r"\.\d{6}\d{0,2}[1-9]")
         )
     )
     record_valid = (

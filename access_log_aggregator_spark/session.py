@@ -58,6 +58,14 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Align Spark's codegen fallback with HotSpot's real JIT ceiling:
+        # -XX:DontCompileHugeMethods refuses methods over 8000 BYTECODE
+        # bytes, so a whole-stage method between 8000 and Spark's 65535
+        # default compiles fine yet runs in the bytecode interpreter
+        # FOREVER — silently, ~2x JVM CPU (measured on the parse stage
+        # when its expressions grew past the line). At 8000 Spark instead
+        # falls back to per-operator codegen, whose small methods all JIT.
+        .config("spark.sql.codegen.hugeMethodLimit", "8000")
         # Keep scans bounded at scale; local runs read small files anyway
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -45,6 +45,40 @@ def test_parse_reads_input_once(routed_plan):
     assert len(re.findall(r"^\(\d+\) Scan parquet", routed_plan, re.M)) == 1
 
 
+def test_parse_stage_codegen_methods_jit_compile(spark, pages_df, lookup_sdf):
+    """Every whole-stage-codegen method of the flagship plan stays under
+    HotSpot's 8000-byte -XX:DontCompileHugeMethods ceiling. A method
+    between 8000 and Spark's 65535 fallback default compiles fine but runs
+    in the BYTECODE INTERPRETER forever — silently, ~2x JVM CPU (measured:
+    the parse stage hit 8542 bytes when _log_ts grew offset branches and
+    pipeline throughput dropped 42% with no warning anywhere). The session
+    factory also caps spark.sql.codegen.hugeMethodLimit at 8000 so any
+    future overgrown stage falls back to per-operator codegen instead of
+    interpreting; this test keeps the flagship plan on the FAST path
+    (true whole-stage codegen, not the fallback)."""
+    import re
+
+    from access_log_aggregator_spark.plans.pipeline import build_routed
+
+    assert spark.conf.get("spark.sql.codegen.hugeMethodLimit") == "8000"
+    # AQE leaves the plan non-final (codegenString sees 0 subtrees); turn
+    # it off for this compile-only check — it's a runtime-settable conf
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        routed = build_routed(pages_df, lookup_sdf)
+        qe = routed._jdf.queryExecution()
+        debug = getattr(
+            getattr(spark._jvm.org.apache.spark.sql.execution.debug, "package$"),
+            "MODULE$",
+        )
+        cg = debug.codegenString(qe.executedPlan())
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    sizes = [int(x) for x in re.findall(r"maxMethodCodeSize:(\d+)", cg)]
+    assert sizes, "expected at least one WholeStageCodegen subtree"
+    assert max(sizes) < 8000, f"codegen method sizes {sizes} (JIT cap 8000)"
+
+
 def test_agg_is_partial_final(spark, pages_df, lookup_sdf):
     """Host aggregate uses two-phase hash aggregation (map-side combine)."""
     from access_log_aggregator_spark.operators.aggregate import aggregate_by_host
