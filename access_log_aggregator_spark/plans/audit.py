@@ -73,6 +73,31 @@ def plan_string(df: DataFrame, mode: str = "formatted") -> str:
     return df._jdf.queryExecution().explainString(jmode)
 
 
+def max_codegen_method_size(df: DataFrame) -> int:
+    """Largest generated-method bytecode size across the plan's
+    whole-stage-codegen subtrees (0 when none, -1 when unreadable).
+
+    Report-only fact, not a capped budget (sizes drift with Spark
+    versions): HotSpot never JIT-compiles a method over 8000 bytecode
+    bytes, so a subtree above that line runs the per-operator codegen
+    fallback (the session factory pins hugeMethodLimit=8000 — see
+    session.py and SCALE.md §1 'Generated-code size'). The flagship
+    plan is additionally pinned UNDER the line by
+    tests/test_plans.py::test_parse_stage_codegen_methods_jit_compile.
+    """
+    try:
+        jvm = df.sparkSession._jvm
+        debug = getattr(
+            getattr(jvm.org.apache.spark.sql.execution.debug, "package$"),
+            "MODULE$",
+        )
+        cg = debug.codegenString(df._jdf.queryExecution().executedPlan())
+        sizes = [int(x) for x in re.findall(r"maxMethodCodeSize:(\d+)", cg)]
+        return max(sizes) if sizes else 0
+    except Exception:  # pragma: no cover - py4j/compile availability
+        return -1
+
+
 def shape_facts(df: DataFrame) -> dict[str, int]:
     """Count the scale-relevant physical nodes in ``df``'s plan.
 
@@ -117,6 +142,7 @@ def shape_facts(df: DataFrame) -> dict[str, int]:
         "py_scalar": nodes("ArrowEvalPython") + nodes("BatchEvalPython"),
         "py_grouped": nodes("FlatMapGroupsInPandas") + nodes("MapInPandas"),
         "wsc": wsc,
+        "max_codegen": max_codegen_method_size(df),
     }
 
 

@@ -51,6 +51,8 @@ def _facts(plan: str, simple_plan: str, f: dict) -> list[str]:
         f"python stages: {f['py_scalar']} arrow-batched scalar, "
         f"{f['py_grouped']} grouped/mapInPandas",
         f"whole-stage-codegen spans: {f['wsc']}",
+        f"max codegen method: {f['max_codegen']} bytecode bytes "
+        f"({'JIT-compiled' if 0 <= f['max_codegen'] < 8000 else 'over the 8000-byte JIT line -> per-operator fallback (hugeMethodLimit)'})",
     ]
     pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
     if pushed and pushed.group(1).strip():
@@ -163,16 +165,29 @@ def _audit_all(spark, sf_dir: str) -> None:
         "the reviewed constant-size-frame allowlist below.",
         "",
         "| query | scans | hash ex | range ex | single ex | BHJ | SMJ | "
-        "NL/cart | py scalar | py grouped | codegen spans |",
-        "|---|---|---|---|---|---|---|---|---|---|---|",
+        "NL/cart | py scalar | py grouped | codegen spans | max method B |",
+        "|---|---|---|---|---|---|---|---|---|---|---|---|",
     ]
     for name, f in rows.items():
         mark = " †" if name in CONSTANT_FRAME_OK else ""
+        jit = " ‡" if f["max_codegen"] >= 8000 else ""
         lines.append(
             f"| {name}{mark} | {f['scans']} | {f['ex_hash']} | {f['ex_range']} "
             f"| {f['ex_single']} | {f['bhj']} | {f['smj']} | {f['nl']} "
-            f"| {f['py_scalar']} | {f['py_grouped']} | {f['wsc']} |")
+            f"| {f['py_scalar']} | {f['py_grouped']} | {f['wsc']} "
+            f"| {f['max_codegen']}{jit} |")
     lines += [
+        "",
+        "‡ max generated-method size is REPORT-ONLY (it drifts with Spark "
+        "versions): a subtree over 8000 bytecode bytes would never be "
+        "JIT-compiled by HotSpot, so the session factory's "
+        "`hugeMethodLimit=8000` sends it to the per-operator codegen "
+        "fallback (small methods, all JIT) instead of the silent bytecode "
+        "interpreter — measured 1.5x faster on `pipeline_agg_by_window`, "
+        "whose match-class filter is pushed below the projections with the "
+        "parse tree inlined (SCALE.md §1, BENCH/BASELINE.md 'The silent "
+        "JIT cliff'). The flagship parse stage itself is pinned UNDER the "
+        "line by tests/test_plans.py.",
         "",
         "† allowlisted for nested-loop / single-partition against a "
         "constant-size frame:",
