@@ -107,6 +107,9 @@ TIME_RE = re.compile(TIME_PATTERN, re.ASCII)  # \d = ASCII, like Java/RE2
 #: internal/accesslog/model.go:24 rejects it).
 GO_ZERO_TIME = "0001-01-01T00:00:00Z"
 
+#: the parsed zero instant (what parse_rfc3339(GO_ZERO_TIME) returns)
+_GO_ZERO_DT = datetime(1, 1, 1, tzinfo=timezone.utc)
+
 #: Router classes (north_star match classes).
 CLASS_PARSED = "parsed"
 CLASS_UNPARSED = "unparsed"
@@ -255,13 +258,18 @@ def _go_string(s: str) -> str:
     return _LONE_SURROGATE_RE.sub("�", s)
 
 
-def go_unmarshal_fields(line: str) -> Optional[tuple[str, str, int, float]]:
+def go_unmarshal_fields(
+    line: str,
+) -> Optional[tuple[str, str, int, float, datetime]]:
     """Emulate Go ``json.Unmarshal`` of one line into the Record struct
     (internal/accesslog/model.go:9-18) — the WIDE-grammar fallback behind
     :data:`FIELD_PATTERN`'s fast path.
 
-    Returns ``(time_str, host, status_code, duration)`` with Go zero values
-    for missing/null fields, or ``None`` exactly where Unmarshal errors:
+    Returns ``(time_str, host, status_code, duration, ts)`` with Go zero
+    values for missing/null fields — ``ts`` is the already-parsed datetime
+    of the surviving ``time_str`` (the decode loop must parse it to
+    validate anyway, so callers never re-parse) — or ``None`` exactly
+    where Unmarshal errors:
 
     - JSON syntax error, non-object top level, or trailing content
       (model_test.go:30) — ``json.loads`` matches Go on all three;
@@ -289,6 +297,7 @@ def go_unmarshal_fields(line: str) -> Optional[tuple[str, str, int, float]]:
         return None
 
     time_str = GO_ZERO_TIME
+    ts = _GO_ZERO_DT
     host = ""
     status = 0
     duration = 0.0
@@ -299,9 +308,10 @@ def go_unmarshal_fields(line: str) -> Optional[tuple[str, str, int, float]]:
             if not isinstance(val, str):
                 return None
             val = _go_string(val)
-            if parse_rfc3339(val) is None:
+            parsed = parse_rfc3339(val)
+            if parsed is None:
                 return None
-            time_str = val
+            time_str, ts = val, parsed
         elif key == "host":
             if val is None:
                 continue
@@ -329,7 +339,7 @@ def go_unmarshal_fields(line: str) -> Optional[tuple[str, str, int, float]]:
                 return None  # Go: strconv.ParseFloat range error
             duration = d
 
-    return (time_str, host, status, duration)
+    return (time_str, host, status, duration, ts)
 
 
 def validate_and_parse(

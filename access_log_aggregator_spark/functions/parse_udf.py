@@ -120,8 +120,10 @@ def _fallback_columns(lines: pd.Series, need_fb) -> dict:
         if f is None:
             cols["json_ok"][i] = False
         else:
+            # f[4] (the pre-parsed ts) is oracle-side sugar; the Spark
+            # plan re-derives the timestamp in Catalyst (_log_ts)
             (cols["time_str"][i], cols["host"][i],
-             cols["status_code"][i], cols["duration"][i]) = f
+             cols["status_code"][i], cols["duration"][i]) = f[:4]
             cols["json_ok"][i] = True
     # object dtype everywhere: pandas would otherwise infer float64 for a
     # None+int status column and silently mangle int64-edge values

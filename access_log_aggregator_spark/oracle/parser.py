@@ -58,12 +58,12 @@ def go_parse_record(raw: bytes) -> Record:
     fields = X.go_unmarshal_fields(s)
     if fields is None:
         raise GoParseError("invalid JSON")
-    time_str, host, status, duration = fields
-    ts: Optional[datetime] = X.parse_rfc3339(time_str)
+    time_str, host, status, duration, ts = fields
 
-    # model.go:24-26 — the single validation line. ts is handed to
-    # is_zero_time so the string is parsed exactly once per record.
-    if ts is None or X.is_zero_time(time_str, ts) or host == "" or status == 0 or duration == 0.0:
+    # model.go:24-26 — the single validation line. The unmarshal already
+    # parsed the time string (it validates every occurrence); ts is reused
+    # here and by is_zero_time, so each record parses it exactly once.
+    if X.is_zero_time(time_str, ts) or host == "" or status == 0 or duration == 0.0:
         raise GoParseError("missing or invalid required field")
 
     return Record(time=ts, time_str=time_str, host=host, status_code=status, duration=duration)
@@ -123,16 +123,16 @@ def classify_page(
         wide = X.go_unmarshal_fields(line)
         if wide is None:
             return PageClassification(X.CLASS_UNPARSED, X.REASON_BAD_RECORD, line_b, None)
-        time_str, host, status, duration = wide
-        ts = X.parse_rfc3339(time_str)
-        if (ts is None or X.is_zero_time(time_str, ts) or host == ""
+        time_str, host, status, duration, ts = wide
+        if (X.is_zero_time(time_str, ts) or host == ""
                 or status == 0 or duration == 0.0):
             return PageClassification(
                 X.CLASS_UNPARSED, X.REASON_INVALID_FIELD, line_b, None
             )
 
-    # Both branches parsed the time string exactly once; ts is reused here
-    # instead of a second (historically up to fourth) parse per record.
+    # Both branches parsed the time string exactly once (the fast path in
+    # validate_and_parse, the wide path inside the unmarshal loop); ts is
+    # reused here instead of a second (historically up to fourth) parse.
     rec = Record(
         time=ts,  # type: ignore[arg-type]
         time_str=time_str,

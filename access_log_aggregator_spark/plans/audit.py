@@ -84,6 +84,11 @@ def max_codegen_method_size(df: DataFrame) -> int:
     session.py and SCALE.md §1 'Generated-code size'). The flagship
     plan is additionally pinned UNDER the line by
     tests/test_plans.py::test_parse_stage_codegen_methods_jit_compile.
+
+    Deliberately NOT part of :func:`shape_facts`: codegenString
+    Janino-compiles every whole-stage subtree, and shape_facts runs per
+    registry query in CI where the size is never asserted — only
+    ``scripts/plan_audit.py`` (which records it) should pay the compile.
     """
     try:
         jvm = df.sparkSession._jvm
@@ -142,7 +147,6 @@ def shape_facts(df: DataFrame) -> dict[str, int]:
         "py_scalar": nodes("ArrowEvalPython") + nodes("BatchEvalPython"),
         "py_grouped": nodes("FlatMapGroupsInPandas") + nodes("MapInPandas"),
         "wsc": wsc,
-        "max_codegen": max_codegen_method_size(df),
     }
 
 

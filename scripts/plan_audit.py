@@ -33,6 +33,7 @@ from access_log_aggregator_spark.plans.audit import (  # noqa: E402
     BUDGET_PATH,
     CONSTANT_FRAME_OK,
     DRIVER_MATERIALIZED,
+    max_codegen_method_size,
     plan_string as _plan,
     shape_facts,
     violations,
@@ -51,9 +52,15 @@ def _facts(plan: str, simple_plan: str, f: dict) -> list[str]:
         f"python stages: {f['py_scalar']} arrow-batched scalar, "
         f"{f['py_grouped']} grouped/mapInPandas",
         f"whole-stage-codegen spans: {f['wsc']}",
-        f"max codegen method: {f['max_codegen']} bytecode bytes "
-        f"({'JIT-compiled' if 0 <= f['max_codegen'] < 8000 else 'over the 8000-byte JIT line -> per-operator fallback (hugeMethodLimit)'})",
     ]
+    mc = f["max_codegen"]
+    if mc < 0:
+        facts.append("max codegen method: unavailable (codegenString failed)")
+    else:
+        verdict = ("JIT-compiled" if mc < 8000 else
+                   "over the 8000-byte JIT line -> per-operator fallback "
+                   "(hugeMethodLimit)")
+        facts.append(f"max codegen method: {mc} bytecode bytes ({verdict})")
     pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
     if pushed and pushed.group(1).strip():
         facts.append(f"pushed filters: [{pushed.group(1)[:120]}]")
@@ -143,7 +150,11 @@ def _audit_all(spark, sf_dir: str) -> None:
             print(f"all:{name}: skipped ({DRIVER_MATERIALIZED[name]})",
                   file=sys.stderr)
             continue
-        f = shape_facts(spec.spark_fn(spark, sf_dir))
+        df = spec.spark_fn(spark, sf_dir)
+        f = shape_facts(df)
+        # report-only compile-size fact (kept out of shape_facts so CI's
+        # budget replay does not pay ~50 Janino compiles per run)
+        f["max_codegen"] = max_codegen_method_size(df)
         rows[name] = f
         budget[name] = f
         bad = violations(name, f, f)
@@ -170,7 +181,8 @@ def _audit_all(spark, sf_dir: str) -> None:
     ]
     for name, f in rows.items():
         mark = " †" if name in CONSTANT_FRAME_OK else ""
-        jit = " ‡" if f["max_codegen"] >= 8000 else ""
+        jit = (" ‡" if f["max_codegen"] >= 8000
+               else " (unavailable)" if f["max_codegen"] < 0 else "")
         lines.append(
             f"| {name}{mark} | {f['scans']} | {f['ex_hash']} | {f['ex_range']} "
             f"| {f['ex_single']} | {f['bhj']} | {f['smj']} | {f['nl']} "
@@ -279,6 +291,7 @@ def main() -> int:
                 df_aqe = QUERIES[name].spark_fn(aqe, sf_dir)
             plan = _plan(df)
             static = shape_facts(df)
+            static["max_codegen"] = max_codegen_method_size(df)
             out.append(f"## {name}")
             out.append("")
             out.append(why)

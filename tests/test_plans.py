@@ -45,7 +45,9 @@ def test_parse_reads_input_once(routed_plan):
     assert len(re.findall(r"^\(\d+\) Scan parquet", routed_plan, re.M)) == 1
 
 
-def test_parse_stage_codegen_methods_jit_compile(spark, pages_df, lookup_sdf):
+def test_parse_stage_codegen_methods_jit_compile(
+    spark, corpus, lookup_sdf, tmp_path_factory
+):
     """Every whole-stage-codegen method of the flagship plan stays under
     HotSpot's 8000-byte -XX:DontCompileHugeMethods ceiling. A method
     between 8000 and Spark's 65535 fallback default compiles fine but runs
@@ -55,28 +57,29 @@ def test_parse_stage_codegen_methods_jit_compile(spark, pages_df, lookup_sdf):
     factory also caps spark.sql.codegen.hugeMethodLimit at 8000 so any
     future overgrown stage falls back to per-operator codegen instead of
     interpreting; this test keeps the flagship plan on the FAST path
-    (true whole-stage codegen, not the fallback)."""
-    import re
+    (true whole-stage codegen, not the fallback).
 
+    The input is a PARQUET scan, not createDataFrame: the columnar-batch
+    scan harness generates different (larger) consume code than a local
+    row scan, and the production input — the shape this guard exists
+    for — is parquet."""
+    from access_log_aggregator_spark.plans.audit import max_codegen_method_size
     from access_log_aggregator_spark.plans.pipeline import build_routed
 
     assert spark.conf.get("spark.sql.codegen.hugeMethodLimit") == "8000"
+    p = str(tmp_path_factory.mktemp("jitpages") / "pages.parquet")
+    spark.createDataFrame(corpus.pages).write.parquet(p)
     # AQE leaves the plan non-final (codegenString sees 0 subtrees); turn
     # it off for this compile-only check — it's a runtime-settable conf
+    saved = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
-        routed = build_routed(pages_df, lookup_sdf)
-        qe = routed._jdf.queryExecution()
-        debug = getattr(
-            getattr(spark._jvm.org.apache.spark.sql.execution.debug, "package$"),
-            "MODULE$",
-        )
-        cg = debug.codegenString(qe.executedPlan())
+        routed = build_routed(spark.read.parquet(p), lookup_sdf)
+        size = max_codegen_method_size(routed)
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
-    sizes = [int(x) for x in re.findall(r"maxMethodCodeSize:(\d+)", cg)]
-    assert sizes, "expected at least one WholeStageCodegen subtree"
-    assert max(sizes) < 8000, f"codegen method sizes {sizes} (JIT cap 8000)"
+        spark.conf.set("spark.sql.adaptive.enabled", saved)
+    assert size > 0, "expected at least one WholeStageCodegen subtree"
+    assert size < 8000, f"max codegen method {size} bytes (JIT cap 8000)"
 
 
 def test_agg_is_partial_final(spark, pages_df, lookup_sdf):
