@@ -142,16 +142,71 @@ def aggregate_by_status_bucket(valid: DataFrame) -> DataFrame:
     )
 
 
+#: day-time duration units ``F.window`` itself accepts (CalendarInterval;
+#: month/year intervals are rejected by window() and here alike), in
+#: microseconds.
+_DURATION_US = {
+    "week": 7 * 86_400 * 1_000_000,
+    "day": 86_400 * 1_000_000,
+    "hour": 3_600 * 1_000_000,
+    "minute": 60 * 1_000_000,
+    "second": 1_000_000,
+    "millisecond": 1_000,
+    "microsecond": 1,
+}
+
+
+def window_micros(duration: str) -> int:
+    """Parse a tumbling-window width string ("1 hour", "90 seconds",
+    "1 hour 30 minutes") to microseconds, with ``F.window``'s own
+    constraints: day-time units only, total strictly positive."""
+    total = 0
+    toks = duration.strip().lower().split()
+    if not toks or len(toks) % 2:
+        raise ValueError(f"cannot parse window duration {duration!r}")
+    for n, unit in zip(toks[::2], toks[1::2]):
+        unit = unit.rstrip("s") if unit != "s" else unit
+        if unit not in _DURATION_US:
+            raise ValueError(
+                f"unsupported window duration unit {unit!r} in {duration!r}"
+            )
+        total += int(n) * _DURATION_US[unit]
+    if total <= 0:
+        raise ValueError(f"window duration must be > 0, got {duration!r}")
+    return total
+
+
 def aggregate_by_window(valid: DataFrame, duration: str = "1 hour") -> DataFrame:
     """hits per (tumbling event-time window, host) on the record's log time.
 
-    Batch-mode window(): a pure grouping key — no watermark needed, and late
-    data is counted regardless of age, which IS the reference's semantics
-    (it never reads the time field after validation — SURVEY.md §2.6).
+    Batch mode — the window is a pure grouping key: no watermark needed, and
+    late data is counted regardless of age, which IS the reference's
+    semantics (it never reads the time field after validation — SURVEY.md
+    §2.6). The streaming twin (streaming/stream.py) keeps ``F.window``: its
+    watermark state eviction requires the real window expression.
+
+    The window start is computed as epoch-aligned floor division
+    (``ts - pmod(ts, width)`` in microseconds) rather than via ``F.window``
+    — the exact arithmetic Catalyst's TimeWindowing rule emits for a
+    tumbling window with startTime=0, so results are identical on every
+    non-null timestamp (pmod keeps pre-epoch timestamps flooring
+    correctly). One deliberate delta: a null log_ts groups under a null
+    window — SQL GROUP BY semantics, what the DuckDB oracle computes —
+    where F.window SILENTLY DROPS the row (TimeWindowing plans an
+    isnotnull filter); the operator's domain (valid records) has no null
+    ts either way. The practical difference is generated-code size:
+    F.window's struct expansion references the time column several times, and with the
+    parse tree inlined below the pushed match-class filter the whole-stage
+    method hit 60,276 bytecode bytes (over HotSpot's 8,000-byte JIT cap —
+    SCALE.md §1) and planned a duplicated ArrowEvalPython stage. This form
+    measures 5,362 bytes (JIT-compiled) and one Arrow stage.
     """
+    width = F.lit(window_micros(duration))
+    us = F.unix_micros(F.col("log_ts"))
+    window_start = F.timestamp_micros(us - F.pmod(us, width))
     return (
-        valid.groupBy(F.window("log_ts", duration).alias("w"), F.col("host"))
+        valid.groupBy(window_start.alias("window_start"), F.col("host"))
         .agg(F.count(F.lit(1)).alias("hits"))
-        .select(F.col("w.start").alias("window_start"), "host", "hits")
+        .select("window_start", "host", "hits")
         .orderBy("window_start", "host")
     )

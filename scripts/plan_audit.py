@@ -195,11 +195,13 @@ def _audit_all(spark, sf_dir: str) -> None:
         "JIT-compiled by HotSpot, so the session factory's "
         "`hugeMethodLimit=8000` sends it to the per-operator codegen "
         "fallback (small methods, all JIT) instead of the silent bytecode "
-        "interpreter — measured 1.5x faster on `pipeline_agg_by_window`, "
-        "whose match-class filter is pushed below the projections with the "
-        "parse tree inlined (SCALE.md §1, BENCH/BASELINE.md 'The silent "
-        "JIT cliff'). The flagship parse stage itself is pinned UNDER the "
-        "line by tests/test_plans.py.",
+        "interpreter (SCALE.md §1, BENCH/BASELINE.md 'The silent JIT "
+        "cliff'). Every query is currently UNDER the line — the last one "
+        "over it (`pipeline_agg_by_window`, 60,276 B: F.window's struct "
+        "expansion re-inlined the parse tree below the pushed match-class "
+        "filter) was rewritten to a floor-division window start "
+        "(operators/aggregate.py). The flagship parse stage and the window "
+        "aggregate are pinned UNDER the line by tests/test_plans.py.",
         "",
         "† allowlisted for nested-loop / single-partition against a "
         "constant-size frame:",

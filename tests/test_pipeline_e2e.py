@@ -117,6 +117,66 @@ def test_agg_by_window(pipe, corpus):
     assert got == want
 
 
+def test_agg_by_window_matches_spark_window(spark):
+    """The floor-division window start (chosen to stay under the JIT
+    method-size cap — operators/aggregate.py) is bit-identical to
+    ``F.window(...).start`` for every duration grammar the operator
+    accepts, including pre-epoch timestamps (pmod vs %) and sub-second
+    widths."""
+    from access_log_aggregator_spark.operators.aggregate import aggregate_by_window
+
+    rows = [
+        ("h1", datetime(2026, 3, 1, 14, 59, 59, 999999)),
+        ("h1", datetime(2026, 3, 1, 15, 0, 0)),
+        ("h2", datetime(1969, 12, 31, 23, 59, 59)),   # pre-epoch: floor, not trunc
+        ("h2", datetime(1969, 12, 31, 22, 30, 1)),
+        ("h3", datetime(1970, 1, 1, 0, 0, 0)),
+        ("h3", datetime(2026, 3, 1, 0, 0, 0, 1)),
+    ]
+    df = spark.createDataFrame(rows, "host string, log_ts timestamp")
+    for duration in ("1 hour", "90 seconds", "1 hour 30 minutes",
+                     "2 days", "250 milliseconds"):
+        got = sorted(
+            tuple(r) for r in aggregate_by_window(df, duration).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in df.groupBy(
+                F.window("log_ts", duration).alias("w"), "host"
+            )
+            .agg(F.count(F.lit(1)).alias("hits"))
+            .select(F.col("w.start").alias("window_start"), "host", "hits")
+            .collect()
+        )
+        assert got == want, duration
+
+    # Documented delta on the (out-of-domain) null timestamp: F.window
+    # silently drops the row; the operator groups it under a null window —
+    # SQL GROUP BY semantics, what the DuckDB oracle computes.
+    with_null = df.union(
+        spark.createDataFrame([("h3", None)], "host string, log_ts timestamp")
+    )
+    agg = {(r["window_start"], r["host"]): r["hits"]
+           for r in aggregate_by_window(with_null).collect()}
+    assert agg[(None, "h3")] == 1
+
+
+def test_window_micros_grammar():
+    """The duration parser accepts F.window's day-time grammar and rejects
+    what F.window rejects (unknown units, non-positive, malformed)."""
+    from access_log_aggregator_spark.operators.aggregate import window_micros
+
+    assert window_micros("1 hour") == 3_600_000_000
+    assert window_micros("90 seconds") == 90_000_000
+    assert window_micros("1 hour 30 minutes") == 5_400_000_000
+    assert window_micros("1 week") == 7 * 86_400 * 1_000_000
+    assert window_micros("250 milliseconds") == 250_000
+    assert window_micros("7 microseconds") == 7
+    for bad in ("0 seconds", "1 month", "hour", "1", "", "1.5 hours"):
+        with pytest.raises(ValueError):
+            window_micros(bad)
+
+
 def test_summary_format_matches_oracle(pipe, corpus):
     p, _, _, _ = pipe
     now = datetime(2026, 1, 2, 3, 4, 5)

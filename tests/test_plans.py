@@ -82,6 +82,41 @@ def test_parse_stage_codegen_methods_jit_compile(
     assert size < 8000, f"max codegen method {size} bytes (JIT cap 8000)"
 
 
+def test_window_agg_codegen_methods_jit_compile(
+    spark, corpus, lookup_sdf, tmp_path_factory
+):
+    """The per-window aggregate over the routed parquet frame also stays
+    under the 8000-byte JIT cap. This was the ONE registry plan over the
+    line (60,276 bytes): F.window's struct expansion re-inlined the parse
+    tree once per time-column reference below the pushed match-class
+    filter, and ALSO planned a duplicated ArrowEvalPython stage. The
+    floor-division window start in aggregate_by_window keeps one copy of
+    the parse tree, one Arrow stage, and every method JIT-compiled."""
+    from access_log_aggregator_spark.operators.aggregate import aggregate_by_window
+    from access_log_aggregator_spark.plans.audit import max_codegen_method_size
+    from access_log_aggregator_spark.plans.pipeline import build_routed
+
+    p = str(tmp_path_factory.mktemp("jitwin") / "pages.parquet")
+    spark.createDataFrame(corpus.pages).write.parquet(p)
+    saved = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        valid = build_routed(spark.read.parquet(p), lookup_sdf).filter(
+            F.col("match_class").isin("parsed", "bot")
+        )
+        agg = aggregate_by_window(valid)
+        size = max_codegen_method_size(agg)
+        plan = _plan(agg)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", saved)
+    assert size > 0, "expected at least one WholeStageCodegen subtree"
+    assert size < 8000, f"max codegen method {size} bytes (JIT cap 8000)"
+    import re
+
+    arrow_stages = len(re.findall(r"^\(\d+\) ArrowEvalPython", plan, re.M))
+    assert arrow_stages == 1, plan
+
+
 def test_agg_is_partial_final(spark, pages_df, lookup_sdf):
     """Host aggregate uses two-phase hash aggregation (map-side combine)."""
     from access_log_aggregator_spark.operators.aggregate import aggregate_by_host
