@@ -305,9 +305,7 @@ def main(argv: list[str] | None = None) -> int:
                     print("Gracefully shutting down...", file=sys.stderr)
                     q.stop()  # waits for the running batch: full drain
             else:
-                processed = run_streaming(
-                    spark, pages_table, pipe, ckpt_dir, available_now=True
-                )
+                processed = run_streaming(spark, pages_table, pipe, ckpt_dir)
             # per-run counts from each batch's own observe() metrics — same
             # contract as batch mode (a second idle --stream run reports 0,
             # not the routed table's all-time totals)

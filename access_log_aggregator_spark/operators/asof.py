@@ -44,7 +44,14 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
             f"columns {taken} collide with asof_join internals — rename them"
         )
 
-    r = right.select(
+    # A NULL right timestamp can never be the most-recent-at-or-before
+    # match (SQL comparison with NULL is unknown — DuckDB's ASOF emits no
+    # match), but Spark's asc ordering is NULLS FIRST: an unfiltered null
+    # _asof_ts row would sit at the partition head and its payload would be
+    # carried onto EVERY left row. Drop such rows up front. (A null LEFT
+    # timestamp needs no special case: with right nulls gone it sorts at
+    # the head, sees no preceding payload, and correctly emits null.)
+    r = right.where(F.col(right_ts).isNotNull()).select(
         *on,
         F.col(right_ts).alias("_asof_ts"),
         F.lit(0).alias("_side"),

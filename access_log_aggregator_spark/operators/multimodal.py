@@ -34,6 +34,13 @@ FEATURE_SCHEMA = StructType(
 )
 
 
+def _id(doc_id) -> int | None:
+    """Null-safe id pass-through: a nullable long column reaches pandas as
+    float64 with NaN for nulls, and ``int(nan)`` would kill the whole task
+    — a null id must flow through as null, like any other per-row defect."""
+    return None if pd.isna(doc_id) else int(doc_id)
+
+
 def _decode_stub(payload: bytes) -> tuple[int, int, float]:
     """Deterministic fake decode. REPLACE with a real codec in production.
 
@@ -62,7 +69,7 @@ def extract_stub_features(df: DataFrame, payload_col: str = "payload",
                     w, h, fn = _decode_stub(b)
                 except ValueError:
                     w, h, fn = -1, -1, 0.0  # decode failure -> sentinel row
-                rows.append((int(doc_id), len(b), w, h, fn))
+                rows.append((_id(doc_id), len(b), w, h, fn))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "payload_bytes", "width", "height", "feature_norm"]
             )
@@ -112,7 +119,7 @@ def resize_stub(df: DataFrame, out_width: int = 8, out_height: int = 8,
                     out = _resize_stub(b, out_width, out_height)
                 except ValueError:
                     w, h, out = -1, -1, None
-                rows.append((int(doc_id), w, h, out_width, out_height, out))
+                rows.append((_id(doc_id), w, h, out_width, out_height, out))
             yield pd.DataFrame(
                 rows,
                 columns=["doc_id", "width", "height", "out_width", "out_height", "resized"],
@@ -151,7 +158,7 @@ def frame_sample_stub(df: DataFrame, every_n: int = 4, frame_bytes: int = 256,
                 n_frames = len(b) // frame_bytes
                 for k, f in enumerate(range(0, n_frames, every_n)):
                     off = f * frame_bytes
-                    rows.append((int(doc_id), k, off, b[off:off + frame_bytes]))
+                    rows.append((_id(doc_id), k, off, b[off:off + frame_bytes]))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "frame_no", "frame_offset", "frame"]
             )

@@ -70,9 +70,9 @@ def ivf_assign(df: DataFrame, n_cells: int = 8, dim: int = 64,
     row_number over cosine desc, cell asc).
     """
     cents = (
-        df.where(F.col(id_col) < n_cells)
-        .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cv"))
+        df.select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cv"))
         .orderBy("cell")
+        .limit(n_cells)
         .collect()
     )
     cent_structs = ", ".join(
@@ -112,8 +112,10 @@ def ivf_topk_cosine(df: DataFrame, query_df: DataFrame, k: int = 10,
     written partitioned by cell, so probing is partition pruning, not a
     scan)."""
     assigned = ivf_assign(df, n_cells, dim, vec_col, id_col)
-    cents = df.where(F.col(id_col) < n_cells).select(
-        F.col(id_col).alias("cell"), F.col(vec_col).alias("_cvec")
+    cents = (
+        df.select(F.col(id_col).alias("cell"), F.col(vec_col).alias("_cvec"))
+        .orderBy("cell")
+        .limit(n_cells)
     )
     qcos = x.cosine_double(vec_col, "_cvec", dim, x.SPARK)
     probe = (

@@ -976,7 +976,8 @@ def _ann_ivf_topk_build(d: str) -> str:
     final_cos = x.cosine_double("a.embedding", "q.qvec", 64, d)
     return f"""
 with cents as (
-  select vec_id as cell, embedding as cvec from embeddings where vec_id < 8
+  select vec_id as cell, embedding as cvec from embeddings
+  order by vec_id limit 8
 ),
 scored as (
   select e.vec_id, e.embedding, c.cell,

@@ -37,12 +37,13 @@ Semantics matched to the reference tailer:
 - an UNTERMINATED final line is held back, not processed:
   ``tailer.go:13-25`` returns EOF without delivering a partial line (the
   newline is the record delimiter — the line may still be mid-write), so
-  :func:`read_log_files` checks each file's final byte driver-side (one
-  O(tail) read per FILE, not per row) and drops exactly one occurrence
-  of the partial tail from that file. The drop uses a row_number window
-  over rows identical in (file, text) — any one of them is the same row,
-  so the nondeterministic pick does not affect results — and the window
-  only ever runs when an unterminated file exists at all.
+  :func:`read_log_files` recovers each file's complete unterminated tail
+  driver-side (one backward chunk scan per FILE, not per row; usually a
+  single 1 MB read) and drops exactly one occurrence of that exact line
+  from that file. The drop uses a row_number window over rows identical
+  in (file, text) — any one of them is the same row, so the
+  nondeterministic pick does not affect results — and the window only
+  ever runs when an unterminated file exists at all.
 
 Paths are canonicalized with ``os.path.abspath`` — NOT ``resolve()`` —
 and deduplicated before the scan: the held-tail join matches on
@@ -54,9 +55,12 @@ double-listed file twice and double-count it — a degenerate shape; the
 dedupe is the deliberate divergence).
 
 At 100 TB: text-file splitting is per-block, so one huge log file still
-scans wide; the hold-back check reads at most ``_TAIL_PROBE`` bytes per
-file on the driver (file COUNT-proportional, like any listing); all
-downstream processing is the audited pipeline (PLANS.md).
+scans wide; the hold-back check normally reads ONE ``_TAIL_PROBE`` chunk
+per file on the driver (file COUNT-proportional, like any listing) and
+only scans further back for the pathological no-newline-in-the-last-MB
+tail, where it reads exactly the partial line the reference tailer would
+buffer in RAM anyway; all downstream processing is the audited pipeline
+(PLANS.md).
 """
 
 from __future__ import annotations
@@ -68,11 +72,10 @@ from typing import Iterable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-#: bytes read from each file's end to recover the unterminated tail; a
-#: partial line longer than this still holds correctly — the probe then
-#: yields a strict SUFFIX of the tail and the drop matches on endswith
-#: (only the one partial line in that file can end with its own suffix
-#: at full probe length)
+#: chunk size for the backward scan that recovers an unterminated tail;
+#: most files resolve in ONE tail read of this size (the common case: the
+#: last chunk either ends in \n — nothing held — or contains the \n that
+#: starts the partial line)
 _TAIL_PROBE = 1 << 20
 
 
@@ -83,25 +86,44 @@ def canonical_paths(paths: Iterable[str | Path]) -> list[Path]:
     return [Path(p) for p in dict.fromkeys(os.path.abspath(p) for p in paths)]
 
 
-def _unterminated_tail(path: Path) -> tuple[str, bool] | None:
-    """The file's trailing bytes after the last newline, decoded as the
-    text source will decode them — or None when the file is empty or
-    newline-terminated (nothing held). A trailing ``\\r`` does NOT
-    terminate: the reference's delimiter is ``\\n`` alone. The bool is
-    True when the probe captured the WHOLE tail (match on equality) and
-    False when the tail is longer than the probe (match on endswith)."""
+def _unterminated_tail(path: Path) -> str | None:
+    """The file's COMPLETE trailing bytes after the last newline, decoded
+    as the text source will decode them — or None when the file is empty
+    or newline-terminated (nothing held). A trailing ``\\r`` does NOT
+    terminate: the reference's delimiter is ``\\n`` alone.
+
+    Scans backward in ``_TAIL_PROBE`` chunks until a newline (or BOF), so
+    the held tail is always EXACT and the drop matches on equality. A
+    fixed-size probe matched on ``endswith`` — the previous design — is
+    unsound in both directions for a partial line longer than the probe:
+    the probe window can open mid-UTF-8-sequence (its decode then starts
+    with U+FFFDs the full line's decode does not contain, so the partial
+    line LEAKS), and an earlier complete line sharing the probe-length
+    suffix also matches (a terminated record is wrongly DROPPED). Reading
+    back to the real newline removes both: the decode starts at a char
+    boundary, and only the partial line itself can equal the full tail.
+    Memory is O(tail length) on the driver — the reference tailer holds
+    the same partial line in one buffer (tailer.go ReadBytes), and the
+    text source materializes any line as one row value anyway."""
     size = path.stat().st_size
     if size == 0:
         return None
+    buf = b""
+    end = size
     with open(path, "rb") as f:
-        f.seek(max(0, size - _TAIL_PROBE))
-        chunk = f.read()
-    if chunk.endswith(b"\n"):
-        return None
-    exact = b"\n" in chunk or size <= _TAIL_PROBE
-    tail = chunk.rsplit(b"\n", 1)[-1]
+        while True:
+            start = max(0, end - _TAIL_PROBE)
+            f.seek(start)
+            chunk = f.read(end - start)
+            if not buf and chunk.endswith(b"\n"):
+                return None  # final byte is the delimiter: nothing held
+            buf = chunk + buf
+            if b"\n" in chunk or start == 0:
+                break
+            end = start
+    tail = buf.rsplit(b"\n", 1)[-1]
     # same decode the JVM text source applies: invalid UTF-8 -> U+FFFD
-    return tail.decode("utf-8", errors="replace"), exact
+    return tail.decode("utf-8", errors="replace")
 
 
 def read_log_files(spark: SparkSession, paths: Iterable[str | Path],
@@ -122,16 +144,15 @@ def read_log_files(spark: SparkSession, paths: Iterable[str | Path],
                   F.input_file_name().alias("_src")))
 
     if hold_unterminated:
-        held = [(p.as_uri(), t[0], t[1])
+        held = [(p.as_uri(), t)
                 for p in paths
                 for t in [_unterminated_tail(p)] if t is not None]
         if held:
-            held_df = spark.createDataFrame(
-                held, "_src string, _tail string, _exact boolean")
+            held_df = spark.createDataFrame(held, "_src string, _tail string")
             df = df.join(F.broadcast(held_df), on="_src", how="left")
-            affected = F.col("_tail").isNotNull() & F.when(
-                F.col("_exact"), F.col("text") == F.col("_tail")
-            ).otherwise(F.col("text").endswith(F.col("_tail")))
+            affected = F.col("_tail").isNotNull() & (
+                F.col("text") == F.col("_tail")
+            )
             # Split so the row_number shuffle carries ONLY the rows whose
             # text equals an unterminated file's tail (normally exactly
             # one row per held file) — a single conditional window over
@@ -147,7 +168,7 @@ def read_log_files(spark: SparkSession, paths: Iterable[str | Path],
                 .where(F.col("_rn") > 1)
                 .drop("_rn")
             )
-            df = rest.unionByName(extra_copies).drop("_tail", "_exact")
+            df = rest.unionByName(extra_copies).drop("_tail")
 
     # Go-whitespace trim (see module docstring) AFTER the hold logic: the
     # held tail is matched against the raw line bytes, not the trim

@@ -122,6 +122,8 @@ def generate_pages(n_rows: int, seed: int = 42,
         generate_pages_chunk(lo, min(CHUNK_ROWS, n_rows - lo), seed, lines)
         for lo in range(0, n_rows, CHUNK_ROWS)
     ]
+    if not parts:  # n_rows == 0: empty frame, same schema (--generate 0)
+        return generate_pages_chunk(0, 0, seed, lines)
     return pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
 
 
@@ -201,7 +203,9 @@ def generate_pages_chunk(start: int, n_rows: int, seed: int = 42,
                 "lang": rng.choice(LANGS),
             }
         )
-    pdf = pd.DataFrame(rows)
+    pdf = pd.DataFrame(
+        rows, columns=["url", "warc_ts", "html", "text", "lang"]
+    )  # explicit columns: n_rows == 0 must still carry the schema
     pdf["warc_ts"] = pdf["warc_ts"].astype("datetime64[us]")
     return pdf
 

@@ -100,24 +100,29 @@ def cumulative_host_summaries(valid_records: DataFrame) -> DataFrame:
 
 def run_stateful_summary(
     spark: Any,
-    pages_data_dir: str,
+    pages_table: Any,
     checkpoint_dir: str,
     query_name: str = "host_summaries",
     max_files_per_trigger: int = 1,
 ) -> Any:
-    """Wire pages files -> parse -> valid filter -> stateful fold -> memory
-    sink (the periodic summary "print"). Drains with AvailableNow and
-    returns the finished StreamingQuery; read results from table
-    ``query_name`` (latest row per host = the final summary)."""
+    """Wire the pages table -> parse -> valid filter -> stateful fold ->
+    memory sink (the periodic summary "print"). Drains with AvailableNow
+    and returns the finished StreamingQuery; read results from table
+    ``query_name`` (latest row per host = the final summary).
+
+    ``pages_table`` is a :class:`~..sources.tableio.SnapshotTable`: the
+    source goes through the same guarded ``_page_stream`` as the routed
+    stream — the ``part-*.parquet`` glob keeps a post-compaction start
+    from ingesting merged rows twice (compact-* files land in the same
+    data/ dir), and registering the checkpoint makes expire_snapshots
+    refuse to unlink part-* files this stream has not listed yet."""
     from pyspark.sql import functions as F
 
     from ..operators.parse import parse_stage
-    from .stream import PAGES_SCHEMA
+    from .stream import _page_stream
 
-    stream = (
-        spark.readStream.schema(PAGES_SCHEMA)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(pages_data_dir)
+    stream = _page_stream(
+        spark, pages_table, checkpoint_dir, max_files_per_trigger
     )
     parsed = parse_stage(stream)
     # the aggregation domain = parsed ∪ bot, i.e. valid records on decodable

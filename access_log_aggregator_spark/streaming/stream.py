@@ -20,7 +20,6 @@ this module proves the same operators run unchanged under streaming.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Optional
 
 from pyspark.sql import SparkSession
 from pyspark.sql.types import (
@@ -86,17 +85,18 @@ def run_streaming(
     pages_table: SnapshotTable,
     pipeline: Pipeline,
     checkpoint_dir: str | Path,
-    available_now: bool = True,
-    processing_time: Optional[str] = None,
     max_files_per_trigger: int = 16,
 ) -> list[str]:
-    """Stream the pages table through the batch pipeline via foreachBatch.
+    """Drain the pages table through the batch pipeline via foreachBatch
+    (AvailableNow: process every unseen file, then stop — the
+    graceful-shutdown drain).
 
     Returns the :class:`~..plans.pipeline.BatchResult` per batch processed
     IN THIS INVOCATION (so callers report per-run counts, not the routed
-    table's all-time totals). With ``available_now`` the call drains all
-    unseen files and stops (the graceful-shutdown drain); with
-    ``processing_time`` it runs until interrupted (the live ticker).
+    table's all-time totals). For the live ticker use
+    :func:`start_live_stream`, which hands back the StreamingQuery the
+    caller needs to stop/await — a fire-and-forget live start with no
+    handle would be unmanageable.
     """
     processed: list = []
 
@@ -104,18 +104,13 @@ def run_streaming(
         processed.append(pipeline.process_batch(batch_df, batch_id=f"stream-{batch_id}"))
 
     stream = _page_stream(spark, pages_table, checkpoint_dir, max_files_per_trigger)
-    writer = stream.writeStream.foreachBatch(handle).option(
-        "checkpointLocation", str(checkpoint_dir)
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(checkpoint_dir))
+        .trigger(availableNow=True)
+        .start()
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    elif processing_time:
-        writer = writer.trigger(processingTime=processing_time)
-    q = writer.start()
-    if available_now:
-        q.awaitTermination()
-    else:  # caller manages lifetime
-        return processed
+    q.awaitTermination()
     return processed
 
 

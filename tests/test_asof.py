@@ -47,6 +47,33 @@ def test_asof_semantics(frames):
     assert out.count() == left.count()                     # left-join row count
 
 
+def test_asof_null_timestamps_match_sql_semantics(spark, frames):
+    """NULL timestamps compare as unknown (DuckDB ASOF emits no match) —
+    but Spark's asc window order is NULLS FIRST, so an unfiltered null
+    right row would sit at the partition head and leak its payload onto
+    every left row. Pin both directions: a null right ts never matches,
+    and a null left ts emits the row with a null payload."""
+    left, right = frames
+    null_right = right.union(
+        spark.createDataFrame([("a", None, 999)],
+                              "k string, r_ts timestamp, r_val long")
+    )
+    out = asof_join(left, null_right, on=["k"], left_ts="ts", right_ts="r_ts")
+    rows = {r["event_id"]: (r["r_ts"], r["r_val"]) for r in out.collect()}
+    assert rows[1] == (None, None)      # null right row must NOT match here
+    assert rows[2] == (_t("2024-01-01T12:00:00"), 100)  # unchanged elsewhere
+    assert rows[5] == (None, None)
+
+    null_left = left.union(
+        spark.createDataFrame([(6, "a", None)],
+                              "event_id long, k string, ts timestamp")
+    )
+    out2 = asof_join(null_left, right, on=["k"], left_ts="ts", right_ts="r_ts")
+    rows2 = {r["event_id"]: (r["r_ts"], r["r_val"]) for r in out2.collect()}
+    assert rows2[6] == (None, None)     # row kept, payload null
+    assert out2.count() == null_left.count()
+
+
 def test_asof_rejects_column_collision(frames):
     left, right = frames
     with pytest.raises(ValueError, match="collide"):

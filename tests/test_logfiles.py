@@ -67,7 +67,35 @@ def test_unterminated_final_line_is_held(tmp_path, spark, lookup_sdf):
     assert _unterminated_tail(empty) is None
     part = tmp_path / "part.log"
     part.write_bytes(b'{"partial')
-    assert _unterminated_tail(part) == ('{"partial', True)
+    assert _unterminated_tail(part) == '{"partial'
+
+
+def test_huge_unterminated_tail_is_exact(tmp_path, spark, lookup_sdf):
+    """A partial line longer than the backward-scan chunk is recovered in
+    FULL, so the hold still matches on equality. Two shapes the old
+    fixed-probe endswith fallback got wrong:
+
+    - a complete earlier line sharing the final probe-length suffix was
+      ALSO dropped (data loss of a terminated record);
+    - a multi-byte UTF-8 char spanning the probe boundary made the probe
+      decode start with U+FFFD, the endswith missed, and the partial
+      line LEAKED through as a record attempt."""
+    from access_log_aggregator_spark.sources.logfiles import _TAIL_PROBE
+
+    # filler: >1 chunk of newline-free bytes, with a multi-byte char
+    # placed to span every possible chunk boundary alignment
+    filler = ("é" * ((_TAIL_PROBE // 2) + 3)).encode("utf-8")
+    partial = b'{"p":"' + filler  # unterminated, no closing quote/brace
+    complete = b'X' + partial     # terminated line sharing the full suffix
+    p = tmp_path / "huge.log"
+    p.write_bytes(complete + b"\n" + partial)  # no trailing \n
+
+    tail = _unterminated_tail(p)
+    assert tail == partial.decode("utf-8")  # exact, not a suffix
+
+    rows = [r["text"] for r in read_log_files(spark, [p]).collect()]
+    assert len(rows) == 1                   # partial held, complete kept
+    assert rows[0] == complete.decode("utf-8")
 
 
 def test_cr_is_not_a_record_delimiter(tmp_path, spark, lookup_sdf):

@@ -35,6 +35,26 @@ def media(spark):
     )
 
 
+def test_null_doc_id_flows_through(spark):
+    """A NULL id must not kill the task: a nullable long column reaches
+    pandas as float64 NaN, and the stubs previously did int(nan). The row
+    flows through with a null doc_id, like any other per-row defect."""
+    df = spark.createDataFrame(
+        [(None, b"\x01" * 300), (7, b"\x02" * 300)],
+        "doc_id long, payload binary",
+    )
+    feats = extract_stub_features(df).collect()
+    assert sorted(r["doc_id"] for r in feats if r["doc_id"] is not None) == [7]
+    assert sum(1 for r in feats if r["doc_id"] is None) == 1
+    assert all(r["width"] > 0 for r in feats)  # payloads still decoded
+
+    rs = resize_stub(df, 4, 4).collect()
+    assert sum(1 for r in rs if r["doc_id"] is None) == 1
+
+    frames = frame_sample_stub(df, every_n=1, frame_bytes=100).collect()
+    assert sum(1 for r in frames if r["doc_id"] is None) == 3  # 300/100 frames
+
+
 def test_features_match_local_stub(media):
     rows = {r["doc_id"]: r for r in extract_stub_features(media).collect()}
     assert len(rows) == len(PAYLOADS)

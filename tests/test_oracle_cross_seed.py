@@ -45,6 +45,16 @@ def alt_routed(spark, alt_root):
     return build_routed(pages, lookup)
 
 
+def test_generate_pages_zero_rows_keeps_schema():
+    """--generate 0 is a valid degenerate corpus: empty frame, same
+    columns and dtypes (previously an IndexError on parts[0])."""
+    empty = generate_pages(0)
+    ref = generate_pages(3)
+    assert len(empty) == 0
+    assert list(empty.columns) == list(ref.columns)
+    assert empty.dtypes.equals(ref.dtypes)
+
+
 def test_route_counts_cross_seed(alt_routed, alt_root):
     sdf = (
         alt_routed.groupBy("match_class").agg(F.count(F.lit(1)).alias("hits"))

@@ -201,7 +201,7 @@ def test_stateful_cumulative_summaries(spark, corpus, tmp_path_factory):
         pages_table.append_pandas(corpus.pages.iloc[lo: lo + step])
 
     run_stateful_summary(
-        spark, str(pages_table.root / "data"), str(root / "ckpt"),
+        spark, pages_table, str(root / "ckpt"),
         query_name="t_host_summaries",
     )
     emitted = spark.sql("select * from t_host_summaries").collect()
@@ -220,6 +220,39 @@ def test_stateful_cumulative_summaries(spark, corpus, tmp_path_factory):
         assert (tot, n2xx) == (s.request_total, s.request_2xx)
         assert non2xx == s.request_total - s.request_2xx
         assert dur == pytest.approx(s.duration_total, abs=1e-9)
+
+
+def test_stateful_stream_after_compaction_not_double_fed(
+    spark, corpus, tmp_path_factory
+):
+    """A stateful stream started AFTER a compaction sees every row exactly
+    once: compact-* files land in the same data/ directory as the part-*
+    appends, and a source without the STREAM_GLOB filter would ingest every
+    merged row twice (once per file family). Also pins that the stateful
+    runner registers its checkpoint so expiry cannot unlink its inputs."""
+    from access_log_aggregator_spark.streaming.stateful import run_stateful_summary
+
+    root = tmp_path_factory.mktemp("statefulcompact")
+    pages_table = SnapshotTable.create(root / "pages", "pages")
+    half = len(corpus.pages) // 2
+    pages_table.append_pandas(corpus.pages.iloc[:half])
+    pages_table.append_pandas(corpus.pages.iloc[half:])
+    assert pages_table.compact() is not None  # compact-* now beside part-*
+
+    run_stateful_summary(
+        spark, pages_table, str(root / "ckpt"),
+        query_name="t_host_summaries_compact", max_files_per_trigger=4,
+    )
+    emitted = spark.sql("select * from t_host_summaries_compact").collect()
+    final: dict[str, int] = {}
+    for r in emitted:  # cumulative -> max total per host is the final state
+        final[r["host"]] = max(final.get(r["host"], 0), r["total_requests"])
+    assert final == {
+        h: s.request_total for h, s in corpus.golden.by_host.items()
+    }
+    # the checkpoint is registered: expiry must refuse to drop part-* files
+    with pytest.raises(RuntimeError, match="refusing to expire"):
+        pages_table.expire_snapshots()
 
 
 def test_stream_picks_up_new_snapshot(stream_run, spark, corpus):

@@ -301,6 +301,18 @@ def test_ivf_assign_covers_all_vectors(spark, emb):
     assert own.count() == 0
 
 
+def test_ivf_assign_ids_need_not_start_at_zero(spark, emb):
+    """The codebook is the n_cells LOWEST-id vectors (order by id, limit),
+    not `id < n_cells`: an id space starting at 100 must still yield a full
+    codebook and identical cell structure, just with shifted labels."""
+    shifted = emb.withColumn("vec_id", F.col("vec_id") + 100)
+    base = {r["vec_id"]: r["cell"]
+            for r in similarity.ivf_assign(emb).select("vec_id", "cell").collect()}
+    got = {r["vec_id"]: r["cell"]
+           for r in similarity.ivf_assign(shifted).select("vec_id", "cell").collect()}
+    assert got == {i + 100: c + 100 for i, c in base.items()}
+
+
 def test_lsh_topk_is_bucket_subset(spark, emb):
     """LSH top-k results all share the query's bucket and are a subset of
     the brute-force ranking's candidate pool."""
