@@ -42,12 +42,16 @@ def _run_log_files(args, ap) -> int:
     import hashlib
 
     from .operators.aggregate import aggregate_by_host
-    from .plans.pipeline import Pipeline, build_routed, summary_text_from_agg
+    from .plans.pipeline import (
+        Pipeline,
+        build_routed,
+        observe_routed_classes,
+        summary_text_from_agg,
+    )
     from .session import get_spark
     from .sources.logfiles import canonical_paths, read_log_files
     from .sources.pages import generate_host_lookup
     from .sources.tableio import SnapshotTable
-    from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
     from .functions import extract as X
@@ -80,8 +84,7 @@ def _run_log_files(args, ap) -> int:
     try:
         pages = read_log_files(spark, files)
         lookup = spark.createDataFrame(generate_host_lookup(seed=args.seed))
-        classes = (X.CLASS_PARSED, X.CLASS_UNPARSED, X.CLASS_BOT,
-                   X.CLASS_ERROR)
+        classes = X.ALL_CLASSES
         if out:
             # Sink semantics mirror the reference's -from-start rebuild:
             # each run represents the files' CURRENT full state, so a
@@ -102,7 +105,13 @@ def _run_log_files(args, ap) -> int:
             if marker in pipe.routed_table.committed_markers():
                 counts = {c: 0 for c in classes}
                 rows_in = 0
-                agg_rows = {}
+                # marker no-op — but a previous run may have crashed AFTER
+                # the routed commit and BEFORE (or during) write_aggregates:
+                # the marker alone would skip the heal forever, so re-derive
+                # the aggregates whenever their stamped source state does
+                # not match the routed sink's current fingerprint
+                agg_rows = (pipe.write_aggregates()
+                            if pipe.aggregates_stale() else {})
             else:
                 pipe.routed_table.truncate()
                 r = pipe.process_batch(pages, batch_id=marker)
@@ -120,14 +129,11 @@ def _run_log_files(args, ap) -> int:
         else:
             # summary-only (the reference's exact behavior: no sinks) —
             # class counts ride the aggregation job via observe(), so the
-            # files scan once
+            # files scan once; the metric set is process_batch's own
+            # (observe_routed_classes), so the two modes count identically
             routed = build_routed(pages, lookup,
                                   use_arrow_udf=not args.no_arrow_udf)
-            obs = Observation("logfile_counts")
-            routed = routed.observe(
-                obs, F.count(F.lit(1)).alias("rows_in"),
-                *[F.count_if(F.col("match_class") == c).alias(c)
-                  for c in classes])
+            routed, obs = observe_routed_classes(routed, "logfile_counts")
             valid = routed.filter(
                 F.col("match_class").isin(X.CLASS_PARSED, X.CLASS_BOT))
             summary = summary_text_from_agg(
@@ -232,6 +238,16 @@ def main(argv: list[str] | None = None) -> int:
             ap.error("--log-file is its own input mode: it cannot combine "
                      "with --generate/--pages-table/--stream/"
                      "--maintenance-only")
+        if (args.compact or args.expire_snapshots or args.retire_stream
+                or args.compact_pages or args.expire_pages_snapshots):
+            # fail loud, not silent: these run in the snapshot-pipeline path
+            # only, and --log-file returning before them would drop the
+            # user's requested maintenance with no indication
+            ap.error("--log-file does not run maintenance flags (--compact/"
+                     "--expire-snapshots/--retire-stream/--compact-pages/"
+                     "--expire-pages-snapshots): its routed sink is rebuilt "
+                     "per run, so there is nothing to compact or expire — "
+                     "run them with --pages-table/--data-dir")
         return _run_log_files(args, ap)
 
     if args.generate and not args.data_dir:
@@ -274,6 +290,43 @@ def main(argv: list[str] | None = None) -> int:
                         use_arrow_udf=not args.no_arrow_udf,
                         salt_buckets=args.salt_buckets,
                         write_partitions=args.write_partitions)
+        # mode-ownership guard, BOTH directions: --log-file already refuses
+        # a snapshot-pipeline sink (see _run_log_files); the snapshot modes
+        # must equally refuse a --log-file-managed sink — appending
+        # pages-snap-*/stream-* rows into it would mix two corpora in one
+        # routed table, and the NEXT --log-file run would then error on the
+        # foreign markers after the corruption already happened. And
+        # --stream must refuse a batch-managed sink (the mirror of the
+        # batch-side stream-cursor guard below): a fresh stream checkpoint
+        # lists EVERY part-* file of the pages table and would re-route all
+        # batch-processed rows under stream-* markers.
+        if not args.maintenance_only:
+            sink_markers = (pipe.routed_table.committed_markers()
+                            if pipe.routed_table.exists() else set())
+            logfile_owned = sorted(
+                m for m in sink_markers if m.startswith("logfiles-"))
+            if logfile_owned:
+                ap.error(
+                    f"{args.out}/routed is managed by --log-file (markers "
+                    f"{logfile_owned[:3]}"
+                    f"{'...' if len(logfile_owned) > 3 else ''}): appending "
+                    "snapshot-pipeline rows would mix the two corpora in "
+                    "one sink. Point --out at a separate directory."
+                )
+            if args.stream:
+                batch_owned = sorted(
+                    m for m in sink_markers if m.startswith("pages-snap-"))
+                if batch_owned:
+                    ap.error(
+                        f"{args.out}/routed already holds batch-committed "
+                        f"rows (markers {batch_owned[:3]}"
+                        f"{'...' if len(batch_owned) > 3 else ''}): a stream "
+                        "checkpoint keeps its own cursor and idempotence "
+                        "markers (stream-*), so streaming this layout would "
+                        "re-route every batch-processed row as a duplicate. "
+                        "Continue in batch mode, use --maintenance-only for "
+                        "maintenance, or start the stream on a fresh layout."
+                    )
         if args.maintenance_only:
             results = []
         elif args.stream:
@@ -303,7 +356,14 @@ def main(argv: list[str] | None = None) -> int:
                     q.awaitTermination(1)
                 if stop_flag["stop"]:
                     print("Gracefully shutting down...", file=sys.stderr)
-                    q.stop()  # waits for the running batch: full drain
+                    # stop() alone would CANCEL the in-flight micro-batch
+                    # (its rows would miss the final summary, though the
+                    # idempotence markers keep the resume safe);
+                    # processAllAvailable first = the reference's
+                    # drain-before-final-summary (aggregate.go:28-41):
+                    # finish everything already ingestible, then stop idle
+                    q.processAllAvailable()
+                    q.stop()
             else:
                 processed = run_streaming(spark, pages_table, pipe, ckpt_dir)
             # per-run counts from each batch's own observe() metrics — same
@@ -413,13 +473,24 @@ def main(argv: list[str] | None = None) -> int:
                       file=sys.stderr)
             except RuntimeError as e:
                 print(f"expire-pages-snapshots refused: {e}", file=sys.stderr)
-        agg_rows = pipe.write_aggregates() if rows_in else {}
+        # rows_in > 0 is the normal trigger; aggregates_stale() covers the
+        # crash window of a PREVIOUS run (routed sink committed, aggregates
+        # not yet written/stamped) that a no-new-rows re-run must heal
+        agg_rows = (pipe.write_aggregates()
+                    if rows_in or pipe.aggregates_stale() else {})
         print(json.dumps({"batches": n_batches, "rows_in": rows_in,
                           "sink_counts": totals,
                           "malformed": totals["unparsed"] + totals["error"],
                           "aggregate_tables": agg_rows}))
-        # the reference's final summary table (print.go:26-49)
-        print(pipe.summary_text())
+        # the reference's final summary table (print.go:26-49), rendered
+        # from the just-materialized (or verified-current) agg_by_host
+        # table — a tiny scan — instead of re-aggregating the whole
+        # all-time routed sink a second time
+        from .plans.pipeline import summary_text_from_agg
+
+        agg_t = SnapshotTable(Path(args.out) / "agg_by_host")
+        print(summary_text_from_agg(
+            agg_t.read(spark) if agg_t.exists() else None))
         return 0
     finally:
         spark.stop()

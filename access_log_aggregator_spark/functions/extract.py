@@ -116,6 +116,10 @@ CLASS_UNPARSED = "unparsed"
 CLASS_BOT = "bot"
 CLASS_ERROR = "error"
 
+#: every router class, in sink order — THE list for per-class metric/count
+#: loops (defined once so modes cannot drift if a class is ever added)
+ALL_CLASSES = (CLASS_PARSED, CLASS_UNPARSED, CLASS_BOT, CLASS_ERROR)
+
 #: reject_reason values for the unparsed/error sinks.
 REASON_INVALID_UTF8 = "invalid_utf8"   # html bytes are not valid UTF-8
 REASON_NO_PAYLOAD = "no_payload"       # no line matches LINE_RE

@@ -30,6 +30,15 @@ from ..sources.tableio import SnapshotTable
 from .pipeline import BatchResult, Pipeline
 
 
+#: per-batch metric records kept in the checkpoint file. The CURSOR is
+#: last_snapshot_id alone; batches[] is diagnostic history nothing reads
+#: back programmatically, and the whole state is rewritten after every
+#: batch — unbounded history would make each commit pay
+#: O(total-batches-ever) serialization (quadratic cumulative I/O over a
+#: table's lifetime) for entries only humans ever look at.
+BATCH_HISTORY_LIMIT = 1000
+
+
 @dataclass
 class CheckpointState:
     last_snapshot_id: int = 0
@@ -48,6 +57,7 @@ class Checkpoint:
         return CheckpointState(**d)
 
     def save(self, state: CheckpointState) -> None:
+        state.batches = state.batches[-BATCH_HISTORY_LIMIT:]
         self.path.parent.mkdir(parents=True, exist_ok=True)
         tmp = self.path.with_suffix(f".{uuid.uuid4().hex}.tmp")
         with open(tmp, "w") as f:

@@ -46,6 +46,27 @@ ROUTED_COLUMNS = [
     "reject_reason", "source_partition", "match_class",
 ]
 
+#: the three materialized aggregate sinks written by write_aggregates
+AGG_TABLES = ("agg_by_host", "agg_by_status_bucket", "agg_by_window")
+
+
+def observe_routed_classes(routed: DataFrame, name: str):
+    """Attach the per-class routing counters to ``routed`` as observe()
+    metrics (rows_in + one count per match class) — THE metric set for
+    both the sink-committing batch path (process_batch) and the
+    summary-only --log-file path, defined once so the two modes can never
+    silently diverge on what they count. Returns (df, observation)."""
+    obs = Observation(name)
+    counted = routed.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_in"),
+        *[
+            F.count_if(F.col("match_class") == c).alias(c)
+            for c in X.ALL_CLASSES
+        ],
+    )
+    return counted, obs
+
 
 def build_routed(pages: DataFrame, lookup: DataFrame, use_arrow_udf: bool = True) -> DataFrame:
     """The lazy logical plan for one batch (no action taken)."""
@@ -91,19 +112,12 @@ class Pipeline:
         the write action itself — no second scan of the input."""
         routed = build_routed(pages, self.lookup, self.use_arrow_udf)
 
-        obs = Observation(f"route_metrics_{batch_id}")
-        counted = routed.observe(
-            obs,
-            F.count(F.lit(1)).alias("rows_in"),
-            *[
-                F.count_if(F.col("match_class") == c).alias(c)
-                for c in (X.CLASS_PARSED, X.CLASS_UNPARSED, X.CLASS_BOT, X.CLASS_ERROR)
-            ],
+        counted, obs = observe_routed_classes(
+            routed, f"route_metrics_{batch_id}"
         )
         snap = self._append_partitioned(counted, marker=batch_id)
         got = obs.get if snap is not None else {}
-        counts = {c: int(got.get(c, 0)) for c in
-                  (X.CLASS_PARSED, X.CLASS_UNPARSED, X.CLASS_BOT, X.CLASS_ERROR)}
+        counts = {c: int(got.get(c, 0)) for c in X.ALL_CLASSES}
         return BatchResult(
             batch_id=batch_id,
             snapshot_id=snap,
@@ -189,6 +203,38 @@ class Pipeline:
         v = self.valid_records()
         return None if v is None else aggregate_by_window(v, duration)
 
+    def routed_state_fingerprint(self) -> Optional[str]:
+        """Cheap manifest-only fingerprint of the routed sink's live state
+        (last snapshot id + live row count + committed markers). Snapshot
+        ids alone are NOT enough: a truncate+recommit rebuild (--log-file)
+        restarts ids at 1 and could coincide with the stamped value — the
+        marker set always differs across rebuilds."""
+        t = self.routed_table
+        if not t.exists():
+            return None
+        import hashlib
+
+        basis = [t.current_snapshot_id(), t.row_count(),
+                 sorted(t.committed_markers())]
+        return hashlib.md5(repr(basis).encode()).hexdigest()
+
+    def aggregates_stale(self) -> bool:
+        """True when any aggregate table is missing or was written against
+        a DIFFERENT routed-sink state than the current one — the crash
+        window between a routed-sink commit and write_aggregates() (or a
+        kill mid-write_aggregates) leaves exactly this mismatch, and the
+        idempotence-marker no-op re-run would otherwise never heal it."""
+        fp = self.routed_state_fingerprint()
+        for name in AGG_TABLES:
+            t = SnapshotTable(self.out_root / name)
+            if not t.exists():
+                if fp is not None:
+                    return True  # routed rows exist but this sink never wrote
+                continue
+            if t.properties().get("source_state") != repr(fp):
+                return True
+        return False
+
     def write_aggregates(self) -> dict[str, int]:
         """Materialize the three aggregate views as sink tables
         (overwrite-by-job semantics — SURVEY.md §2.5 K1: the authoritative
@@ -197,7 +243,13 @@ class Pipeline:
         A None view (routed sink empty or absent) still TRUNCATES an
         existing aggregate table: the sinks mirror the routed state, and a
         state that became empty (--log-file rebuild over a truncated file)
-        must not leave the aggregates reporting the previous run."""
+        must not leave the aggregates reporting the previous run.
+
+        Each table is stamped with the routed sink's state fingerprint
+        AFTER its rows land, so :meth:`aggregates_stale` detects a crash
+        at any point in this method (the not-yet-stamped table still
+        carries the previous fingerprint, or none)."""
+        fp = self.routed_state_fingerprint()
         out: dict[str, int] = {}
         for name, df in (
             ("agg_by_host", self.agg_by_host()),
@@ -208,11 +260,13 @@ class Pipeline:
             if df is None:
                 if t.exists():
                     t.truncate()
+                    t.set_properties(source_state=repr(fp))
                     out[name] = 0
                 continue
             t = SnapshotTable.create(self.out_root / name, name)
             t.truncate()
             t.append_spark(df)
+            t.set_properties(source_state=repr(fp))
             out[name] = t.row_count()
         return out
 

@@ -798,15 +798,25 @@ order by doc_id
 """
 
 
+def _quality_score(n: str) -> str:
+    """THE quality-score formula (token density × in-band factor), written
+    once for every SQL site (docs_quality_filter's threshold and
+    text_langid_quality's per-doc report share it — retuning one without
+    the other would make the two registry entries contradict). ``n`` is
+    the dialect-appropriate token-count expression; the rest is
+    dialect-neutral SQL."""
+    return (f"(cast({n} as double) / (length(text) + 1)) * "
+            f"(case when {n} >= 10 and {n} <= 1000 "
+            f"then cast(1.0 as double) else cast(0.5 as double) end)")
+
+
 def _quality_filter_build(d: str) -> str:
     """A realistic training-data FILTER CHAIN: language whitelist + token
     band + quality threshold, then per-language kept-doc/token budgets —
     the composition a curation pipeline runs before tokenization."""
     toks = x.tokens("text", d)
     n = x.arr_size(toks, d)
-    q = (f"(cast({n} as double) / (length(text) + 1)) * "
-         f"(case when {n} >= 10 and {n} <= 1000 "
-         f"then cast(1.0 as double) else cast(0.5 as double) end)")
+    q = _quality_score(n)
     return f"""
 with scored as (
   select doc_id, lang, {n} as n_tokens, {q} as quality_score from documents
@@ -1057,9 +1067,7 @@ select doc_id, lang,
        {guess} as guessed_lang,
        {n} as n_tokens,
        length(text) as n_chars,
-       (cast({n} as double) / (length(text) + 1)) *
-         (case when {n} >= 10 and {n} <= 1000
-               then cast(1.0 as double) else cast(0.5 as double) end) as quality_score
+       {_quality_score(n)} as quality_score
 from t order by doc_id
 """
 

@@ -115,6 +115,18 @@ class SnapshotTable:
     def committed_markers(self) -> set[str]:
         return {s["marker"] for s in self._manifest()["snapshots"] if s.get("marker")}
 
+    # -- table properties (Iceberg table-properties analog) -------------------
+    def properties(self) -> dict:
+        return dict(self._manifest().get("properties", {}))
+
+    def set_properties(self, **kv: str) -> None:
+        """Merge key/value properties into the manifest (read-modify-write
+        under the manifest lock, so concurrent commits are not lost)."""
+        with self._manifest_lock():
+            m = self._manifest()
+            m.setdefault("properties", {}).update(kv)
+            self._write_manifest(m)
+
     # -- concurrency ---------------------------------------------------------
     @contextmanager
     def _manifest_lock(self):
@@ -426,10 +438,22 @@ class SnapshotTable:
         return self._commit_files(moved, n, marker)
 
     def truncate(self) -> None:
-        """Drop all snapshots (used by tests / full-recompute mode)."""
-        m = self._manifest()
-        m["snapshots"] = []
-        self._write_manifest(m)
+        """Drop all snapshots and DELETE their data files (full-recompute
+        mode: the aggregate-table rewrite and --log-file's routed-sink
+        rebuild call this every run — keeping the dropped generation's
+        parquet on disk would grow the layout by one dead generation per
+        run, with no code path ever able to reclaim it, since
+        :meth:`expire_snapshots` only frees files superseded by a replace
+        snapshot still in the manifest). Files are unlinked after the
+        manifest commit, mirroring expire_snapshots: a crash in between
+        orphans at most one generation, never corrupts the live view."""
+        with self._manifest_lock():
+            m = self._manifest()
+            doomed = sorted({f for s in m["snapshots"] for f in s["files"]})
+            m["snapshots"] = []
+            self._write_manifest(m)
+        for f in doomed:
+            (self.root / f).unlink(missing_ok=True)
 
     # -- reads ---------------------------------------------------------------
     def _live_snapshots(self, end: Optional[int] = None) -> list[Snapshot]:

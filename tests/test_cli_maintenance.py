@@ -120,6 +120,79 @@ def test_batch_mode_fails_closed_on_unreadable_stream_checkpoint(tmp_path):
     assert _routed_rows(data_dir) == 300
 
 
+def test_stream_mode_refuses_batch_managed_layout(tmp_path):
+    """The mirror of the batch-side guard: a fresh stream checkpoint lists
+    EVERY part-* file of the pages table, so streaming a layout whose sink
+    already holds batch-committed rows (pages-snap-* markers) would
+    re-route all of them as duplicates under stream-* markers."""
+    data_dir = str(tmp_path / "data")
+    _run_cli("--generate", "300", "--snapshots", "2", "--data-dir", data_dir)
+    assert _routed_rows(data_dir) == 300
+    out = _run_cli("--data-dir", data_dir, "--stream", expect_rc=2)
+    assert "already holds batch-committed rows" in out.stderr
+    assert _routed_rows(data_dir) == 300  # nothing was duplicated
+
+
+def test_snapshot_modes_refuse_logfile_managed_sink(tmp_path):
+    """--log-file refuses a snapshot-pipeline sink (tested in
+    test_logfiles); the guard must hold in the OTHER direction too:
+    batch/stream runs must not append pages rows into a sink --log-file
+    owns — the mix would corrupt before the next --log-file run errors."""
+    log = tmp_path / "a.log"
+    log.write_text('{"time":"2026-01-02T03:04:05Z","host":"h.example",'
+                   '"status_code":200,"duration":0.5}\n')
+    out_dir = str(tmp_path / "shared_out")
+    _run_cli("--log-file", str(log), "--out", out_dir)
+
+    data_dir = str(tmp_path / "data")
+    out = _run_cli("--generate", "100", "--data-dir", data_dir,
+                   "--out", out_dir, expect_rc=2)
+    assert "managed by --log-file" in out.stderr
+    # the log-file sink is untouched
+    m = json.loads((Path(out_dir) / "routed" / "manifest.json").read_text())
+    assert all(s["marker"].startswith("logfiles-") for s in m["snapshots"])
+
+
+def test_log_file_rejects_maintenance_flags(tmp_path):
+    """--log-file must fail loud on maintenance flags it cannot run, not
+    silently drop the user's requested compaction/expiry."""
+    log = tmp_path / "a.log"
+    log.write_text("{}\n")
+    out = _run_cli("--log-file", str(log), "--compact", expect_rc=2)
+    assert "does not run maintenance flags" in out.stderr
+
+
+def test_crashed_aggregate_write_heals_on_rerun(tmp_path):
+    """Finding: the aggregate tables live OUTSIDE the sink's idempotence-
+    marker domain — a crash after the routed commit but before (or during)
+    write_aggregates left them stale forever, because the marker no-op
+    re-run skipped the write. The staleness stamp (routed-state
+    fingerprint on each aggregate table) makes an idle re-run heal them."""
+    import shutil
+
+    data_dir = str(tmp_path / "data")
+    _run_cli("--generate", "300", "--snapshots", "2", "--data-dir", data_dir)
+    # simulate the crash window: the routed sink is committed but the
+    # aggregate tables never landed
+    shutil.rmtree(Path(data_dir) / "out" / "agg_by_host")
+    shutil.rmtree(Path(data_dir) / "out" / "agg_by_window")
+
+    out = _run_cli("--data-dir", data_dir)  # idle: no new snapshots
+    d = json.loads([l for l in out.stdout.splitlines()
+                    if l.startswith('{"batches')][-1])
+    assert d["rows_in"] == 0 and d["batches"] == 0
+    assert d["aggregate_tables"].get("agg_by_host", 0) > 0  # healed
+    assert (Path(data_dir) / "out" / "agg_by_window").is_dir()
+    # and the final summary rendered from the healed table is non-empty
+    assert "Host" in out.stdout and "h" in out.stdout
+
+    # a further idle re-run is a true no-op: stamps match, nothing rewritten
+    out2 = _run_cli("--data-dir", data_dir)
+    d2 = json.loads([l for l in out2.stdout.splitlines()
+                     if l.startswith('{"batches')][-1])
+    assert d2["aggregate_tables"] == {}
+
+
 def test_batch_mode_refuses_stale_cursor_behind_stream(tmp_path):
     """ADVICE r3: a STALE batch checkpoint (cursor behind what the stream
     drained) duplicates just like a fresh one — batch would resume at its

@@ -177,6 +177,50 @@ def test_window_micros_grammar():
             window_micros(bad)
 
 
+def test_aggregates_staleness_stamp(spark, corpus, lookup_sdf, tmp_path_factory):
+    """write_aggregates stamps each table with the routed sink's state
+    fingerprint; aggregates_stale() flags the crash window between a
+    routed commit and the aggregate write, and goes quiet once healed."""
+    root = tmp_path_factory.mktemp("aggstale")
+    p = Pipeline(spark, root / "out", lookup_sdf)
+    pages = spark.createDataFrame(corpus.pages.iloc[:200])
+    p.process_batch(pages, batch_id="b1")
+    assert p.aggregates_stale()          # routed committed, aggs never written
+    p.write_aggregates()
+    assert not p.aggregates_stale()      # stamped against current state
+    p.process_batch(spark.createDataFrame(corpus.pages.iloc[200:300]),
+                    batch_id="b2")
+    assert p.aggregates_stale()          # new routed rows, stale stamp
+    p.write_aggregates()
+    assert not p.aggregates_stale()
+    # losing one aggregate table (crash mid-write_aggregates) is stale too
+    import shutil
+
+    shutil.rmtree(root / "out" / "agg_by_window")
+    assert p.aggregates_stale()
+    p.write_aggregates()
+    assert not p.aggregates_stale()
+
+
+def test_checkpoint_batch_history_is_bounded(tmp_path):
+    """The checkpoint cursor is last_snapshot_id; batches[] is diagnostic
+    history, capped so the per-batch full-state rewrite never grows
+    O(total-batches-ever)."""
+    from access_log_aggregator_spark.plans.checkpoint import (
+        BATCH_HISTORY_LIMIT,
+        CheckpointState,
+    )
+
+    cp = Checkpoint(tmp_path / "cp.json")
+    state = CheckpointState(last_snapshot_id=7)
+    state.batches = [{"batch_id": f"b{i}"} for i in range(BATCH_HISTORY_LIMIT + 50)]
+    cp.save(state)
+    loaded = cp.load()
+    assert loaded.last_snapshot_id == 7
+    assert len(loaded.batches) == BATCH_HISTORY_LIMIT
+    assert loaded.batches[-1]["batch_id"] == f"b{BATCH_HISTORY_LIMIT + 49}"
+
+
 def test_summary_format_matches_oracle(pipe, corpus):
     p, _, _, _ = pipe
     now = datetime(2026, 1, 2, 3, 4, 5)

@@ -150,6 +150,34 @@ def test_truncate(tmp_path):
     assert t.row_count() == 0 and t.data_files() == []
 
 
+def test_truncate_reclaims_data_files(tmp_path):
+    """truncate() deletes the dropped snapshots' parquet: the aggregate
+    tables and --log-file's routed sink truncate+recommit EVERY run, and
+    nothing else (expire_snapshots needs a replace snapshot still in the
+    manifest) could ever reclaim the orphaned generation — N runs would
+    leave N dead generations on disk."""
+    t = SnapshotTable.create(tmp_path / "t")
+    t.append_pandas(_pdf(5))
+    t.append_pandas(_pdf(3))
+    assert len(list((tmp_path / "t" / "data").glob("*.parquet"))) == 2
+    t.truncate()
+    assert list((tmp_path / "t" / "data").glob("*.parquet")) == []
+    # the table stays fully usable after a reclaiming truncate
+    t.append_pandas(_pdf(4))
+    assert t.row_count() == 4
+    assert len(list((tmp_path / "t" / "data").glob("*.parquet"))) == 1
+
+
+def test_properties_roundtrip(tmp_path):
+    t = SnapshotTable.create(tmp_path / "t")
+    assert t.properties() == {}
+    t.set_properties(source_state="abc")
+    t.set_properties(other="x")
+    assert t.properties() == {"source_state": "abc", "other": "x"}
+    t.truncate()  # properties survive truncation (they describe the table)
+    assert t.properties()["source_state"] == "abc"
+
+
 def test_create_is_reentrant(tmp_path):
     t = SnapshotTable.create(tmp_path / "t")
     t.append_pandas(_pdf(2))
