@@ -21,6 +21,10 @@ import time
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent
+
+#: jiffies-per-second for every /proc stat conversion (one definition so a
+#: future fallback fix cannot silently miss a copy)
+HZ = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
 sys.path.insert(0, str(REPO))
 
 #: 4M pages ≈ 4 GB parquet — sized so one pipeline trial runs ~10 s at 32
@@ -80,11 +84,17 @@ def _tree_jiffies() -> dict[str, int]:
         try:
             with open(f"/proc/{d}/stat") as f:
                 s = f.read()
-        except OSError:
+            # field 2 (comm) may contain spaces/parens: split after the
+            # last ')'. Parsing stays INSIDE the try: a process dying
+            # between open() and read() yields '' (ValueError on index)
+            # or a truncated line (IndexError on rest[19]) — skip the pid,
+            # never abort a timed trial over a reaped worker.
+            comm = s[s.index("(") + 1:s.rindex(")")]
+            rest = s[s.rindex(")") + 2:].split()
+            parsed = (int(rest[1]), int(rest[11]) + int(rest[12]), comm,
+                      int(rest[19]))  # field 22: starttime, pid-reuse key
+        except (OSError, ValueError, IndexError):
             continue
-        # field 2 (comm) may contain spaces/parens: split after the last ')'
-        comm = s[s.index("(") + 1:s.rindex(")")]
-        rest = s[s.rindex(")") + 2:].split()
         # utime+stime only — deliberately NOT cutime/cstime: a live child is
         # counted via its own stat, and adding the parent's c-fields would
         # double-count it after a wait(). Vanished processes are handled by
@@ -93,8 +103,7 @@ def _tree_jiffies() -> dict[str, int]:
         # fold auto-reaped children into cutime — without the map a
         # worker's whole CPU history disappears from the tree at reap time
         # (observed as a -600 s per-run "delta").
-        procs[int(d)] = (int(rest[1]), int(rest[11]) + int(rest[12]), comm,
-                         int(rest[19]))  # field 22: starttime, pid-reuse key
+        procs[int(d)] = parsed
     out = {"total": 0, "java": 0, "python": 0}
     for pid, (ppid, jif, comm, started) in procs.items():
         p = pid
@@ -156,17 +165,35 @@ def _cached_pages(n: int) -> Path:
 
     cache = REPO / ".bench_cache" / f"pages_{n}_l{BENCH_LINES[0]}-{BENCH_LINES[1]}"
     if not (cache / "_DONE").exists():
+        # generate into a private tmp dir, then atomically rename: bench.py
+        # and scripts/scaling_bench.py share this cache key BY DESIGN, and
+        # two cold-start processes writing the same part files in place
+        # could interleave into corrupt parquet that the first _DONE touch
+        # then poisons permanently (same pattern as ensure_pipeline_fixtures)
+        import shutil
+        import uuid
+
         log(f"generating {n}-page corpus ...")
         t0 = time.time()
-        cache.mkdir(parents=True, exist_ok=True)
+        tmp = cache.parent / f".tmp-{cache.name}-{uuid.uuid4().hex}"
+        tmp.mkdir(parents=True, exist_ok=True)
         jobs = [
-            (lo, min(CHUNK_ROWS, n - lo), str(cache / f"part-{lo // CHUNK_ROWS:05d}.parquet"))
+            (lo, min(CHUNK_ROWS, n - lo), str(tmp / f"part-{lo // CHUNK_ROWS:05d}.parquet"))
             for lo in range(0, n, CHUNK_ROWS)
         ]
         with Pool(min(32, len(jobs))) as pool:
             pool.map(_write_chunk, jobs)
-        (cache / "_DONE").touch()
-        log(f"generated in {time.time() - t0:.1f}s -> {cache}")
+        (tmp / "_DONE").touch()
+        if cache.exists() and not (cache / "_DONE").exists():
+            shutil.rmtree(cache)  # stale partial from an old-style crash
+        try:
+            os.rename(tmp, cache)
+            log(f"generated in {time.time() - t0:.1f}s -> {cache}")
+        except OSError:
+            # a concurrent generator won the rename: its complete cache is
+            # in place — discard ours
+            shutil.rmtree(tmp, ignore_errors=True)
+            log(f"concurrent generation won the rename; using {cache}")
     return cache
 
 
@@ -198,7 +225,13 @@ def _noop_run(df) -> None:
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    sf = sf_dir.rstrip("/").split("sf")[-1]
+    # parse the sf suffix to a float NOW, not at JSON-emission time: a dir
+    # not ending in sf<number> must fall back (-1.0 = unknown), never raise
+    # after an hour of completed measurements
+    try:
+        sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    except ValueError:
+        sf = -1.0
 
     # pin the whole process tree (JVM task threads + Python UDF workers) to
     # the stated CPU budget — scripts/scaling_bench.py methodology; local[N]
@@ -237,7 +270,6 @@ def main() -> int:
         # steal = host; more job CPU = the plan) instead of a bare wall
         # delta — the r03 route_fanout/agg_by_host/q1 regressions had no
         # such attribution and turned out to be ambient.
-        hz0 = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
         query_evidence: dict[str, dict] = {}
         for name, spec in QUERIES.items():
             if not spec.headline:
@@ -252,7 +284,7 @@ def main() -> int:
                 _noop_run(spec.spark_fn(spark, sf_dir))
                 walls.append(time.time() - t0)
                 s1, j1 = _cpu_times()
-                cpus_s.append((_tree_jiffies()["total"] - c0) / hz0)
+                cpus_s.append((_tree_jiffies()["total"] - c0) / HZ)
                 steal_pct.append(100.0 * (s1 - s0) / max(1, j1 - j0))
             timings[name] = round(min(walls), 3)
             query_evidence[name] = {
@@ -284,7 +316,6 @@ def main() -> int:
         # that projects to a long-running 100 TB job.
         from access_log_aggregator_spark.plans.pipeline import build_routed
 
-        hz = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
         lookup = spark.createDataFrame(generate_host_lookup())
         pages = spark.read.parquet(str(pages_path))  # scan-parallel, no shuffle
         warm_wall, warm_runs = 0.0, 0
@@ -295,7 +326,7 @@ def main() -> int:
             _noop_run(build_routed(pages, lookup))
             warm_wall += time.time() - w0
             warm_runs += 1
-            warm_cpus.append(round((_tree_jiffies()["total"] - c0) / hz, 1))
+            warm_cpus.append(round((_tree_jiffies()["total"] - c0) / HZ, 1))
             window = warm_cpus[-3:]
             if (warm_runs >= 3 and warm_wall >= 100.0
                     and max(window) <= 1.10 * min(window)):
@@ -329,10 +360,10 @@ def main() -> int:
             g1 = _tree_jiffies()
             gc_sec.append((_gc_ms() - gc0) / 1000.0)
             steals.append(100.0 * (s1 - s0) / max(1, j1 - j0))
-            coverage.append((j1 - j0) / max(1e-9, n_host * el * hz))
-            job_cpu.append((g1["total"] - g0["total"]) / hz)
-            jvm_cpu.append((g1["java"] - g0["java"]) / hz)
-            py_cpu.append((g1["python"] - g0["python"]) / hz)
+            coverage.append((j1 - j0) / max(1e-9, n_host * el * HZ))
+            job_cpu.append((g1["total"] - g0["total"]) / HZ)
+            jvm_cpu.append((g1["java"] - g0["java"]) / HZ)
+            py_cpu.append((g1["python"] - g0["python"]) / HZ)
             log(f"pipeline trial {i + 1}: {el:.3f}s "
                 f"(host steal {steals[-1]:.1f}%, jiffy coverage "
                 f"{coverage[-1]:.2f}, job cpu {job_cpu[-1]:.0f}s = "
@@ -355,7 +386,7 @@ def main() -> int:
         while len(jvm_warm) < 15:
             c0 = _tree_jiffies()["total"]
             _noop_run(build_routed(pages, lookup, use_arrow_udf=False))
-            jvm_warm.append(round((_tree_jiffies()["total"] - c0) / hz, 1))
+            jvm_warm.append(round((_tree_jiffies()["total"] - c0) / HZ, 1))
             w = jvm_warm[-3:]
             if len(jvm_warm) >= 3 and max(w) <= 1.10 * min(w):
                 break
@@ -411,7 +442,7 @@ def main() -> int:
             # compare wall deltas against job_cpu — equal CPU + higher
             # steal/wall is the host, more CPU is the plan
             "query_evidence": query_evidence,
-            "sf": float(sf),
+            "sf": sf,
             "pipeline_pages": PIPELINE_PAGES,
             "pipeline_pages_per_sec": pages_per_sec,
             # same job through the pure-JVM parse twin (no python stage);

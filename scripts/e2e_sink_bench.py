@@ -71,7 +71,10 @@ def main() -> int:
             "aggregate_tables": agg_rows,
         }
         print(json.dumps(result))
-        return 0
+        # gate the exit code on the counts invariant like the streaming
+        # twin (streaming_bench.py): a metrics regression must fail CI
+        # callers, not just record false in a field nobody asserts
+        return 0 if result["sink_counts_sum_ok"] else 1
     finally:
         spark.stop()
         shutil.rmtree(out_root, ignore_errors=True)

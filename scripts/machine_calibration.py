@@ -43,7 +43,10 @@ def _stream(_):
 def rate(fn, n_procs: int, pin: bool = True) -> float:
     """Tasks/sec with n_procs workers pinned to n_procs CPUs."""
     if pin:
-        os.sched_setaffinity(0, set(range(n_procs)))
+        try:
+            os.sched_setaffinity(0, set(range(n_procs)))
+        except OSError:  # 4N exceeds host cores: run unpinned (bench.py's
+            pass         # own guard on the identical call)
     try:
         with Pool(n_procs) as p:
             t0 = time.time()
@@ -51,7 +54,10 @@ def rate(fn, n_procs: int, pin: bool = True) -> float:
             wall = time.time() - t0
         return (n_procs * 2) / wall
     finally:
-        os.sched_setaffinity(0, set(range(os.cpu_count() or 32)))
+        try:
+            os.sched_setaffinity(0, set(range(os.cpu_count() or 32)))
+        except OSError:
+            pass
 
 
 def main() -> int:

@@ -40,7 +40,7 @@ from access_log_aggregator_spark.plans.audit import (  # noqa: E402
 )
 
 
-def _facts(plan: str, simple_plan: str, f: dict) -> list[str]:
+def _facts(plan: str, f: dict) -> list[str]:
     in_mem = len(re.findall(r"^\(\d+\) (?:Scan In-memory|InMemoryTableScan)",
                             plan, re.M))
     facts = [
@@ -271,6 +271,7 @@ def main() -> int:
     aqe = spark.newSession()
     aqe.conf.set("spark.sql.adaptive.enabled", "true")
     try:
+        import shutil
         import tempfile
 
         tmp = tempfile.mkdtemp(prefix="planaudit_")
@@ -299,7 +300,7 @@ def main() -> int:
             out.append(why)
             out.append("")
             out.extend(
-                f"- {f}" for f in _facts(plan, _plan(df, "codegen"), static))
+                f"- {f}" for f in _facts(plan, static))
             out.append(f"- {_aqe_final_fact(df_aqe, static)}")
             out.append("")
             out.append("<details><summary>explain(\"formatted\")</summary>")
@@ -316,6 +317,7 @@ def main() -> int:
             # test suite replays (counts are structural, not data-sized)
             _audit_all(spark, "/root/testdata/sf0.001")
     finally:
+        shutil.rmtree(tmp, ignore_errors=True)
         spark.stop()
 
     (REPO / "PLANS.md").write_text("\n".join(out))

@@ -146,11 +146,21 @@ def main() -> int:
         return 0
 
     print("machine calibration ...", file=sys.stderr)
-    cal = json.loads(subprocess.run(
+    # never let a calibration failure discard the Spark measurements that
+    # already ran for tens of minutes: fall back to a sentinel the report
+    # renders honestly
+    cal_proc = subprocess.run(
         [sys.executable, str(REPO / "scripts" / "machine_calibration.py")],
         capture_output=True, text=True, timeout=900,
         env={**os.environ, "SPARK_GRAFT_SCALE_N": str(n_level)},
-    ).stdout.strip().splitlines()[-1])
+    )
+    try:
+        cal = json.loads(cal_proc.stdout.strip().splitlines()[-1])
+    except (IndexError, json.JSONDecodeError):
+        print(f"calibration failed (rc={cal_proc.returncode}): "
+              f"{cal_proc.stderr[-500:]}", file=sys.stderr)
+        cal = {"pure_alu": {"efficiency": "unavailable"},
+               "memory_stream": {"efficiency": "unavailable"}}
 
     result = {
         "n_pages": n_pages,

@@ -51,8 +51,9 @@ def main() -> int:
     root = Path(tempfile.mkdtemp(prefix="stream_bench_"))
     try:
         table = SnapshotTable.create(root / "pages")
-        n_files = len(sorted(pages_path.glob("*.parquet")))
-        table.add_files(sorted(pages_path.glob("*.parquet")), marker="bench")
+        files = sorted(pages_path.glob("*.parquet"))
+        n_files = len(files)
+        table.add_files(files, marker="bench")
 
         lookup = spark.createDataFrame(generate_host_lookup())
         # warm-up: python workers + codegen JIT on a bounded slice
