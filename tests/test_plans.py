@@ -45,6 +45,30 @@ def test_parse_reads_input_once(routed_plan):
     assert len(re.findall(r"^\(\d+\) Scan parquet", routed_plan, re.M)) == 1
 
 
+def _jit_audit_over_parquet(spark, corpus, tmp_path_factory, make_df):
+    """Shared harness for the JIT-cap guards: write the corpus to parquet
+    (the production input shape — columnar-batch scans generate larger
+    consume code than a local row scan), build the frame with AQE off
+    (the adaptive wrapper hides codegen spans from codegenString), and
+    return (max generated-method size, formatted plan). Asserts the
+    under-8000-byte invariant common to every guard."""
+    from access_log_aggregator_spark.plans.audit import max_codegen_method_size
+
+    p = str(tmp_path_factory.mktemp("jit") / "pages.parquet")
+    spark.createDataFrame(corpus.pages).write.parquet(p)
+    saved = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = make_df(spark.read.parquet(p))
+        size = max_codegen_method_size(df)
+        plan = _plan(df)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", saved)
+    assert size > 0, "expected at least one WholeStageCodegen subtree"
+    assert size < 8000, f"max codegen method {size} bytes (JIT cap 8000)"
+    return size, plan
+
+
 def test_parse_stage_codegen_methods_jit_compile(
     spark, corpus, lookup_sdf, tmp_path_factory
 ):
@@ -59,27 +83,15 @@ def test_parse_stage_codegen_methods_jit_compile(
     interpreting; this test keeps the flagship plan on the FAST path
     (true whole-stage codegen, not the fallback).
 
-    The input is a PARQUET scan, not createDataFrame: the columnar-batch
-    scan harness generates different (larger) consume code than a local
-    row scan, and the production input — the shape this guard exists
-    for — is parquet."""
-    from access_log_aggregator_spark.plans.audit import max_codegen_method_size
+    The input is a PARQUET scan, not createDataFrame (see
+    _jit_audit_over_parquet)."""
     from access_log_aggregator_spark.plans.pipeline import build_routed
 
     assert spark.conf.get("spark.sql.codegen.hugeMethodLimit") == "8000"
-    p = str(tmp_path_factory.mktemp("jitpages") / "pages.parquet")
-    spark.createDataFrame(corpus.pages).write.parquet(p)
-    # AQE leaves the plan non-final (codegenString sees 0 subtrees); turn
-    # it off for this compile-only check — it's a runtime-settable conf
-    saved = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try:
-        routed = build_routed(spark.read.parquet(p), lookup_sdf)
-        size = max_codegen_method_size(routed)
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", saved)
-    assert size > 0, "expected at least one WholeStageCodegen subtree"
-    assert size < 8000, f"max codegen method {size} bytes (JIT cap 8000)"
+    _jit_audit_over_parquet(
+        spark, corpus, tmp_path_factory,
+        lambda pages: build_routed(pages, lookup_sdf),
+    )
 
 
 def test_window_agg_codegen_methods_jit_compile(
@@ -92,27 +104,19 @@ def test_window_agg_codegen_methods_jit_compile(
     filter, and ALSO planned a duplicated ArrowEvalPython stage. The
     floor-division window start in aggregate_by_window keeps one copy of
     the parse tree, one Arrow stage, and every method JIT-compiled."""
-    from access_log_aggregator_spark.operators.aggregate import aggregate_by_window
-    from access_log_aggregator_spark.plans.audit import max_codegen_method_size
-    from access_log_aggregator_spark.plans.pipeline import build_routed
-
-    p = str(tmp_path_factory.mktemp("jitwin") / "pages.parquet")
-    spark.createDataFrame(corpus.pages).write.parquet(p)
-    saved = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try:
-        valid = build_routed(spark.read.parquet(p), lookup_sdf).filter(
-            F.col("match_class").isin("parsed", "bot")
-        )
-        agg = aggregate_by_window(valid)
-        size = max_codegen_method_size(agg)
-        plan = _plan(agg)
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", saved)
-    assert size > 0, "expected at least one WholeStageCodegen subtree"
-    assert size < 8000, f"max codegen method {size} bytes (JIT cap 8000)"
     import re
 
+    from access_log_aggregator_spark.operators.aggregate import aggregate_by_window
+    from access_log_aggregator_spark.plans.pipeline import build_routed
+
+    _, plan = _jit_audit_over_parquet(
+        spark, corpus, tmp_path_factory,
+        lambda pages: aggregate_by_window(
+            build_routed(pages, lookup_sdf).filter(
+                F.col("match_class").isin("parsed", "bot")
+            )
+        ),
+    )
     arrow_stages = len(re.findall(r"^\(\d+\) ArrowEvalPython", plan, re.M))
     assert arrow_stages == 1, plan
 
