@@ -127,7 +127,16 @@ class Pipeline:
         )
 
     def _append_partitioned(self, routed: DataFrame, marker: str) -> Optional[int]:
-        """Write once, hive-partitioned by match_class (the single-pass fan-out)."""
+        """Write once, hive-partitioned by match_class (the single-pass fan-out).
+
+        The committed row count rides the write job itself as an
+        Observation (executor-side collect-metrics), like
+        ``SnapshotTable.append_spark``: the commit does ZERO driver-side
+        parquet footer reads — at 10^5 files/commit a footer sweep (one
+        ~KB metadata read per file) would be the last serial stage of an
+        otherwise parallel pipeline, even thread-pooled. The renames that
+        remain are metadata-only ops that map onto a manifest rewrite (no
+        move at all) on a real object-store catalog — see SCALE.md."""
         t = self.routed_table
         if marker in t.committed_markers():
             return None  # idempotent re-run: batch already committed
@@ -137,16 +146,12 @@ class Pipeline:
         staging = t.root / f"_staging-{uuid.uuid4().hex}"
         if self.write_partitions:
             routed = routed.repartition(self.write_partitions, F.col("url"))
+        obs = Observation()  # auto-named: marker replays create new instances
+        routed = routed.observe(obs, F.count(F.lit(1)).alias("rows"))
         routed.write.mode("overwrite").partitionBy("match_class").parquet(str(staging))
+        rows = int(obs.get["rows"])
 
-        # driver-side ingest of the staged files: renames are metadata-only
-        # but the parquet footer reads are real IO — a thread pool keeps the
-        # commit O(files/threads) instead of O(files) at large batch sizes
-        # (the real fix at 100k+ files is an Iceberg catalog commit; this
-        # seam mirrors its shape — see SCALE.md)
         from concurrent.futures import ThreadPoolExecutor
-
-        import pyarrow.parquet as pq
 
         files = sorted(staging.glob("match_class=*/*.parquet"))
         for rel_dir in {p.parent.name for p in files}:
@@ -155,15 +160,13 @@ class Pipeline:
         def ingest(p):
             dest = t.root / "data" / p.parent.name / f"part-{uuid.uuid4().hex}.parquet"
             shutil.move(str(p), dest)
-            return dest, pq.read_metadata(dest).num_rows
+            return dest
 
         if files:
             with ThreadPoolExecutor(min(16, len(files))) as ex:
-                results = list(ex.map(ingest, files))
+                moved = list(ex.map(ingest, files))
         else:
-            results = []
-        moved = [d for d, _ in results]
-        rows = sum(n for _, n in results)
+            moved = []
         shutil.rmtree(staging, ignore_errors=True)
         return t._commit_files(moved, rows, marker)
 

@@ -177,6 +177,33 @@ def test_window_micros_grammar():
             window_micros(bad)
 
 
+def test_routed_commit_reads_zero_parquet_footers(
+    spark, corpus, lookup_sdf, tmp_path_factory, monkeypatch
+):
+    """The routed-sink commit (the HOT path — every batch) takes its row
+    count from the write job's own Observation, never from driver-side
+    parquet footer reads: poisoning pyarrow.parquet.read_metadata proves
+    process_batch commits without touching it (tableio's append_spark has
+    the same guarantee, pinned in test_tableio.py)."""
+    import pyarrow.parquet as pq
+
+    def boom(*a, **k):
+        raise AssertionError("driver-side footer read on the routed commit")
+
+    root = tmp_path_factory.mktemp("nofooter")
+    p = Pipeline(spark, root / "out", lookup_sdf)
+    pages = spark.createDataFrame(corpus.pages.iloc[:150])
+    monkeypatch.setattr(pq, "read_metadata", boom)
+    try:
+        res = p.process_batch(pages, batch_id="nf-1")
+    finally:
+        monkeypatch.undo()
+    assert res.rows_in == 150
+    assert res.snapshot_id == 1
+    assert p.routed().count() == 150
+    assert p.routed_table.row_count() == 150
+
+
 def test_aggregates_staleness_stamp(spark, corpus, lookup_sdf, tmp_path_factory):
     """write_aggregates stamps each table with the routed sink's state
     fingerprint; aggregates_stale() flags the crash window between a

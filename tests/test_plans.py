@@ -121,6 +121,30 @@ def test_window_agg_codegen_methods_jit_compile(
     assert arrow_stages == 1, plan
 
 
+def test_host_and_status_agg_codegen_methods_jit_compile(
+    spark, corpus, lookup_sdf, tmp_path_factory
+):
+    """The other two pipeline aggregates sit ~5.3 kB under AQE-off static
+    plans — close enough to the 8000-byte JIT line that a future grammar
+    change inflating the inlined parse tree could push them over the way
+    the window aggregate went. Pin them like the flagship."""
+    from access_log_aggregator_spark.operators.aggregate import (
+        aggregate_by_host,
+        aggregate_by_status_bucket,
+    )
+    from access_log_aggregator_spark.plans.pipeline import build_routed
+
+    for agg in (aggregate_by_host, aggregate_by_status_bucket):
+        _jit_audit_over_parquet(
+            spark, corpus, tmp_path_factory,
+            lambda pages, agg=agg: agg(
+                build_routed(pages, lookup_sdf).filter(
+                    F.col("match_class").isin("parsed", "bot")
+                )
+            ),
+        )
+
+
 def test_agg_is_partial_final(spark, pages_df, lookup_sdf):
     """Host aggregate uses two-phase hash aggregation (map-side combine)."""
     from access_log_aggregator_spark.operators.aggregate import aggregate_by_host
