@@ -173,6 +173,18 @@ def _cached_pages(n: int) -> Path:
         import shutil
         import uuid
 
+        # sweep leftovers of crashed/killed generators (each is a multi-GB
+        # dir nothing else ever reclaims) — but only dirs untouched for an
+        # hour: generation takes minutes and updates the dir continuously,
+        # so an old mtime means dead, while deleting a LIVE concurrent
+        # generator's files mid-write would crash it, not just cost a race
+        for junk in cache.parent.glob(f".tmp-{cache.name}-*"):
+            try:
+                if time.time() - junk.stat().st_mtime > 3600:
+                    shutil.rmtree(junk, ignore_errors=True)
+            except OSError:
+                pass  # vanished while we looked: already cleaned up
+
         log(f"generating {n}-page corpus ...")
         t0 = time.time()
         tmp = cache.parent / f".tmp-{cache.name}-{uuid.uuid4().hex}"
@@ -185,13 +197,27 @@ def _cached_pages(n: int) -> Path:
             pool.map(_write_chunk, jobs)
         (tmp / "_DONE").touch()
         if cache.exists() and not (cache / "_DONE").exists():
-            shutil.rmtree(cache)  # stale partial from an old-style crash
+            # stale partial from an old-style crash: CLAIM it atomically
+            # (rename aside) before deleting, so a concurrent process
+            # cannot yank it mid-rmtree and cannot have it deleted out
+            # from under a completing rename
+            stale = cache.parent / f".stale-{cache.name}-{uuid.uuid4().hex}"
+            try:
+                os.rename(cache, stale)
+            except OSError:
+                pass  # another process claimed (or completed) it first
+            else:
+                shutil.rmtree(stale, ignore_errors=True)
         try:
             os.rename(tmp, cache)
             log(f"generated in {time.time() - t0:.1f}s -> {cache}")
         except OSError:
-            # a concurrent generator won the rename: its complete cache is
-            # in place — discard ours
+            # only treat the failure as "a concurrent generator won" when
+            # a COMPLETE cache is actually in place; anything else
+            # (EACCES, EXDEV, half-deleted target) must propagate, not
+            # silently discard the corpus we just generated
+            if not (cache / "_DONE").exists():
+                raise
             shutil.rmtree(tmp, ignore_errors=True)
             log(f"concurrent generation won the rename; using {cache}")
     return cache

@@ -270,11 +270,13 @@ def main() -> int:
     # or introduce a nested loop
     aqe = spark.newSession()
     aqe.conf.set("spark.sql.adaptive.enabled", "true")
-    try:
-        import shutil
-        import tempfile
+    import shutil
+    import tempfile
 
-        tmp = tempfile.mkdtemp(prefix="planaudit_")
+    # bound BEFORE the try: the finally's rmtree must never NameError over
+    # a failure that happened before the temp dir existed
+    tmp = tempfile.mkdtemp(prefix="planaudit_")
+    try:
         spark.createDataFrame(generate_pages_chunk(0, 200)).write.mode(
             "overwrite").parquet(f"{tmp}/pages.parquet")
         lookup = generate_host_lookup()

@@ -148,17 +148,21 @@ def main() -> int:
     print("machine calibration ...", file=sys.stderr)
     # never let a calibration failure discard the Spark measurements that
     # already ran for tens of minutes: fall back to a sentinel the report
-    # renders honestly
-    cal_proc = subprocess.run(
-        [sys.executable, str(REPO / "scripts" / "machine_calibration.py")],
-        capture_output=True, text=True, timeout=900,
-        env={**os.environ, "SPARK_GRAFT_SCALE_N": str(n_level)},
-    )
+    # renders honestly. The run itself sits INSIDE the try — a hung
+    # calibration raises TimeoutExpired, which is exactly this failure
+    # class, not a reason to crash out
     try:
+        cal_proc = subprocess.run(
+            [sys.executable, str(REPO / "scripts" / "machine_calibration.py")],
+            capture_output=True, text=True, timeout=900,
+            env={**os.environ, "SPARK_GRAFT_SCALE_N": str(n_level)},
+        )
         cal = json.loads(cal_proc.stdout.strip().splitlines()[-1])
-    except (IndexError, json.JSONDecodeError):
-        print(f"calibration failed (rc={cal_proc.returncode}): "
-              f"{cal_proc.stderr[-500:]}", file=sys.stderr)
+    except (IndexError, json.JSONDecodeError,
+            subprocess.TimeoutExpired, OSError) as e:
+        detail = (f"rc={cal_proc.returncode}: {cal_proc.stderr[-500:]}"
+                  if "cal_proc" in locals() else repr(e))
+        print(f"calibration failed ({detail})", file=sys.stderr)
         cal = {"pure_alu": {"efficiency": "unavailable"},
                "memory_stream": {"efficiency": "unavailable"}}
 

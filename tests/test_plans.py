@@ -45,17 +45,25 @@ def test_parse_reads_input_once(routed_plan):
     assert len(re.findall(r"^\(\d+\) Scan parquet", routed_plan, re.M)) == 1
 
 
+#: corpus-parquet path shared by every JIT guard in this session (the
+#: harness would otherwise rewrite the identical frame once per guard)
+_JIT_PARQUET: dict[int, str] = {}
+
+
 def _jit_audit_over_parquet(spark, corpus, tmp_path_factory, make_df):
     """Shared harness for the JIT-cap guards: write the corpus to parquet
-    (the production input shape — columnar-batch scans generate larger
-    consume code than a local row scan), build the frame with AQE off
-    (the adaptive wrapper hides codegen spans from codegenString), and
-    return (max generated-method size, formatted plan). Asserts the
-    under-8000-byte invariant common to every guard."""
+    once per session (the production input shape — columnar-batch scans
+    generate larger consume code than a local row scan), build the frame
+    with AQE off (the adaptive wrapper hides codegen spans from
+    codegenString), and return (max generated-method size, formatted
+    plan). Asserts the under-8000-byte invariant common to every guard."""
     from access_log_aggregator_spark.plans.audit import max_codegen_method_size
 
-    p = str(tmp_path_factory.mktemp("jit") / "pages.parquet")
-    spark.createDataFrame(corpus.pages).write.parquet(p)
+    p = _JIT_PARQUET.get(id(corpus))
+    if p is None:
+        p = str(tmp_path_factory.mktemp("jit") / "pages.parquet")
+        spark.createDataFrame(corpus.pages).write.parquet(p)
+        _JIT_PARQUET[id(corpus)] = p
     saved = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
