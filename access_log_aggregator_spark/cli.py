@@ -356,13 +356,26 @@ def main(argv: list[str] | None = None) -> int:
                     q.awaitTermination(1)
                 if stop_flag["stop"]:
                     print("Gracefully shutting down...", file=sys.stderr)
+                    # a second Ctrl-C/TERM now force-interrupts: the drain
+                    # below must never leave the process unkillable
+                    signal.signal(signal.SIGINT, signal.SIG_DFL)
+                    signal.signal(signal.SIGTERM, signal.SIG_DFL)
                     # stop() alone would CANCEL the in-flight micro-batch
                     # (its rows would miss the final summary, though the
-                    # idempotence markers keep the resume safe);
-                    # processAllAvailable first = the reference's
-                    # drain-before-final-summary (aggregate.go:28-41):
-                    # finish everything already ingestible, then stop idle
-                    q.processAllAvailable()
+                    # idempotence markers keep the resume safe). The
+                    # reference's drain (aggregate.go:28-41) stops READING
+                    # new input and finishes what is buffered — the Spark
+                    # analog is: wait for the current trigger to go idle,
+                    # then stop between micro-batches. NOT
+                    # processAllAvailable(): under continuous appends that
+                    # never returns (it waits for the source to be fully
+                    # drained, not for the in-flight batch).
+                    import time as _time
+
+                    deadline = _time.time() + 300  # bounded: ~1 micro-batch
+                    while (q.isActive and _time.time() < deadline
+                           and q.status.get("isTriggerActive")):
+                        _time.sleep(0.2)
                     q.stop()
             else:
                 processed = run_streaming(spark, pages_table, pipe, ckpt_dir)
@@ -431,6 +444,15 @@ def main(argv: list[str] | None = None) -> int:
             for k, v in r.sink_counts.items():
                 totals[k] += v
         n_batches = len(results)
+        # routed-sink maintenance below (compact/expire) preserves CONTENT
+        # but changes the state fingerprint; capture whether the
+        # aggregates were current BEFORE it runs, so they can be restamped
+        # (not recomputed) afterwards — a --maintenance-only run must not
+        # trigger a full aggregate rewrite over an unchanged sink
+        routed_maintenance = args.compact or args.expire_snapshots
+        aggs_current_pre_maint = (
+            routed_maintenance and not rows_in and not pipe.aggregates_stale()
+        )
         if args.compact:
             # no marker: compaction is safe to redo — a directory is only
             # rewritten when it holds >= 2 files below the target size, so
@@ -473,6 +495,8 @@ def main(argv: list[str] | None = None) -> int:
                       file=sys.stderr)
             except RuntimeError as e:
                 print(f"expire-pages-snapshots refused: {e}", file=sys.stderr)
+        if aggs_current_pre_maint:
+            pipe.restamp_aggregates()
         # rows_in > 0 is the normal trigger; aggregates_stale() covers the
         # crash window of a PREVIOUS run (routed sink committed, aggregates
         # not yet written/stamped) that a no-new-rows re-run must heal

@@ -207,18 +207,32 @@ class Pipeline:
         return None if v is None else aggregate_by_window(v, duration)
 
     def routed_state_fingerprint(self) -> Optional[str]:
-        """Cheap manifest-only fingerprint of the routed sink's live state
-        (last snapshot id + live row count + committed markers). Snapshot
+        """Cheap fingerprint of the routed sink's state from ONE manifest
+        read (atomic against a concurrent commit landing mid-derivation):
+        last snapshot id + live row count + committed markers. Snapshot
         ids alone are NOT enough: a truncate+recommit rebuild (--log-file)
         restarts ids at 1 and could coincide with the stamped value — the
-        marker set always differs across rebuilds."""
+        marker set always differs across rebuilds. Content-preserving
+        maintenance (compact/expire) changes this fingerprint by design;
+        the CLI restamps current aggregates afterwards
+        (:meth:`restamp_aggregates`) instead of recomputing them."""
         t = self.routed_table
         if not t.exists():
             return None
         import hashlib
 
-        basis = [t.current_snapshot_id(), t.row_count(),
-                 sorted(t.committed_markers())]
+        snaps = t._manifest()["snapshots"]
+        base = -1
+        for s in snaps:
+            if s.get("operation", "append") == "replace":
+                base = s["id"]
+        live_rows = sum(
+            s["row_count"] for s in snaps
+            if s["id"] >= base
+            and (s.get("operation", "append") == "append" or s["id"] == base)
+        )
+        basis = [snaps[-1]["id"] if snaps else None, live_rows,
+                 sorted(s["marker"] for s in snaps if s.get("marker"))]
         return hashlib.md5(repr(basis).encode()).hexdigest()
 
     def aggregates_stale(self) -> bool:
@@ -232,11 +246,28 @@ class Pipeline:
             t = SnapshotTable(self.out_root / name)
             if not t.exists():
                 if fp is not None:
-                    return True  # routed rows exist but this sink never wrote
-                continue
-            if t.properties().get("source_state") != repr(fp):
+                    # the routed sink exists (possibly empty) but this
+                    # sink never wrote — write_aggregates creates+stamps
+                    # it (an empty table for an empty state), so this
+                    # branch converges after one heal
+                    return True
+            elif t.properties().get("source_state") != (fp or ""):
                 return True
         return False
+
+    def restamp_aggregates(self) -> None:
+        """Re-stamp the CURRENT routed-state fingerprint onto the existing
+        aggregate tables without recomputing them — for content-preserving
+        maintenance (compaction's replace snapshot, snapshot expiry) that
+        changes the fingerprint but not the data the aggregates derive
+        from. Callers must only invoke this when the aggregates were
+        CURRENT before the maintenance ran; restamping stale aggregates
+        would mask a real mismatch."""
+        fp = self.routed_state_fingerprint()
+        for name in AGG_TABLES:
+            t = SnapshotTable(self.out_root / name)
+            if t.exists():
+                t.set_properties(source_state=fp or "")
 
     def write_aggregates(self) -> dict[str, int]:
         """Materialize the three aggregate views as sink tables
@@ -259,17 +290,16 @@ class Pipeline:
             ("agg_by_status_bucket", self.agg_by_status_bucket()),
             ("agg_by_window", self.agg_by_window()),
         ):
-            t = SnapshotTable(self.out_root / name)
-            if df is None:
-                if t.exists():
-                    t.truncate()
-                    t.set_properties(source_state=repr(fp))
-                    out[name] = 0
-                continue
+            # ALWAYS create + stamp, even for a None view (routed sink
+            # empty or absent): the empty aggregate table mirrors the
+            # empty state, and without the stamp aggregates_stale() would
+            # report the missing table stale forever (the heal loop must
+            # converge after one write)
             t = SnapshotTable.create(self.out_root / name, name)
             t.truncate()
-            t.append_spark(df)
-            t.set_properties(source_state=repr(fp))
+            if df is not None:
+                t.append_spark(df)
+            t.set_properties(source_state=fp or "")
             out[name] = t.row_count()
         return out
 

@@ -228,6 +228,34 @@ def test_aggregates_staleness_stamp(spark, corpus, lookup_sdf, tmp_path_factory)
     p.write_aggregates()
     assert not p.aggregates_stale()
 
+    # content-preserving maintenance changes the fingerprint by design;
+    # restamp_aggregates records the new state WITHOUT recomputing
+    assert p.routed_table.compact(rows_per_file=10) is not None
+    assert p.aggregates_stale()          # fingerprint moved, content did not
+    p.restamp_aggregates()
+    assert not p.aggregates_stale()
+
+
+def test_aggregates_stale_converges_on_empty_state(
+    spark, lookup_sdf, tmp_path_factory
+):
+    """An empty routed state (0-row commit, no data files) must still
+    converge: write_aggregates creates + stamps EMPTY aggregate tables, so
+    the heal loop goes quiet instead of reporting the missing tables stale
+    forever."""
+    from access_log_aggregator_spark.streaming.stream import PAGES_SCHEMA
+
+    root = tmp_path_factory.mktemp("aggempty")
+    p = Pipeline(spark, root / "out", lookup_sdf)
+    empty = spark.createDataFrame([], PAGES_SCHEMA)
+    res = p.process_batch(empty, batch_id="e1")
+    assert res.rows_in == 0
+    assert p.aggregates_stale()          # tables missing, routed exists
+    out = p.write_aggregates()
+    assert out == {"agg_by_host": 0, "agg_by_status_bucket": 0,
+                   "agg_by_window": 0}
+    assert not p.aggregates_stale()      # converged after ONE heal
+
 
 def test_checkpoint_batch_history_is_bounded(tmp_path):
     """The checkpoint cursor is last_snapshot_id; batches[] is diagnostic
