@@ -445,14 +445,15 @@ def main(argv: list[str] | None = None) -> int:
                 totals[k] += v
         n_batches = len(results)
         # routed-sink maintenance below (compact/expire) preserves CONTENT
-        # but changes the state fingerprint; capture whether the
-        # aggregates were current BEFORE it runs, so they can be restamped
-        # (not recomputed) afterwards — a --maintenance-only run must not
-        # trigger a full aggregate rewrite over an unchanged sink
+        # but changes the state fingerprint; capture the pre-maintenance
+        # state (only armed while the aggregates are current), so they can
+        # be restamped (not recomputed) afterwards — a --maintenance-only
+        # run must not trigger a full aggregate rewrite over an unchanged
+        # sink. The token makes the later restamp refuse if a concurrent
+        # ingest from another process commits mid-window.
         routed_maintenance = args.compact or args.expire_snapshots
-        aggs_current_pre_maint = (
-            routed_maintenance and not rows_in and not pipe.aggregates_stale()
-        )
+        restamp_token = (pipe.capture_restamp_state()
+                         if routed_maintenance and not rows_in else None)
         if args.compact:
             # no marker: compaction is safe to redo — a directory is only
             # rewritten when it holds >= 2 files below the target size, so
@@ -495,8 +496,10 @@ def main(argv: list[str] | None = None) -> int:
                       file=sys.stderr)
             except RuntimeError as e:
                 print(f"expire-pages-snapshots refused: {e}", file=sys.stderr)
-        if aggs_current_pre_maint:
-            pipe.restamp_aggregates()
+        if restamp_token is not None:
+            # a refused restamp (concurrent ingest raced the maintenance
+            # window) leaves the aggregates stale; the heal below recomputes
+            pipe.restamp_aggregates(expected_state=restamp_token)
         # rows_in > 0 is the normal trigger; aggregates_stale() covers the
         # crash window of a PREVIOUS run (routed sink committed, aggregates
         # not yet written/stamped) that a no-new-rows re-run must heal

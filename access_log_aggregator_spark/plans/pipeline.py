@@ -50,6 +50,18 @@ ROUTED_COLUMNS = [
 AGG_TABLES = ("agg_by_host", "agg_by_status_bucket", "agg_by_window")
 
 
+@dataclass(frozen=True)
+class RestampState:
+    """Token returned by :meth:`Pipeline.capture_restamp_state`: the routed
+    sink's fingerprint plus the content portion (live rows + committed
+    markers) that content-preserving maintenance keeps. Opaque to callers —
+    they pass it back to :meth:`Pipeline.restamp_aggregates`."""
+
+    fp: str
+    live_rows: int
+    markers: frozenset
+
+
 def observe_routed_classes(routed: DataFrame, name: str):
     """Attach the per-class routing counters to ``routed`` as observe()
     metrics (rows_in + one count per match class) — THE metric set for
@@ -206,16 +218,12 @@ class Pipeline:
         v = self.valid_records()
         return None if v is None else aggregate_by_window(v, duration)
 
-    def routed_state_fingerprint(self) -> Optional[str]:
-        """Cheap fingerprint of the routed sink's state from ONE manifest
-        read (atomic against a concurrent commit landing mid-derivation):
-        last snapshot id + live row count + committed markers. Snapshot
-        ids alone are NOT enough: a truncate+recommit rebuild (--log-file)
-        restarts ids at 1 and could coincide with the stamped value — the
-        marker set always differs across rebuilds. Content-preserving
-        maintenance (compact/expire) changes this fingerprint by design;
-        the CLI restamps current aggregates afterwards
-        (:meth:`restamp_aggregates`) instead of recomputing them."""
+    def _routed_state(self) -> Optional["RestampState"]:
+        """The routed sink's state from ONE manifest read (atomic against
+        a concurrent commit landing mid-derivation): the fingerprint plus
+        the content portion (live rows, committed markers) that
+        content-preserving maintenance keeps. Returns None when the sink
+        does not exist."""
         t = self.routed_table
         if not t.exists():
             return None
@@ -231,9 +239,31 @@ class Pipeline:
             if s["id"] >= base
             and (s.get("operation", "append") == "append" or s["id"] == base)
         )
+        markers = frozenset(s["marker"] for s in snaps if s.get("marker"))
         basis = [snaps[-1]["id"] if snaps else None, live_rows,
-                 sorted(s["marker"] for s in snaps if s.get("marker"))]
-        return hashlib.md5(repr(basis).encode()).hexdigest()
+                 sorted(markers)]
+        fp = hashlib.md5(repr(basis).encode()).hexdigest()
+        return RestampState(fp=fp, live_rows=live_rows, markers=markers)
+
+    def routed_state_fingerprint(self) -> Optional[str]:
+        """Cheap fingerprint of the routed sink's state from ONE manifest
+        read: last snapshot id + live row count + committed markers.
+        Snapshot ids alone are NOT enough: a truncate+recommit rebuild
+        (--log-file) restarts ids at 1 and could coincide with the stamped
+        value — the marker set always differs across rebuilds.
+        Content-preserving maintenance (compact/expire) changes this
+        fingerprint by design; the CLI restamps current aggregates
+        afterwards (:meth:`restamp_aggregates`) instead of recomputing."""
+        st = self._routed_state()
+        return None if st is None else st.fp
+
+    @staticmethod
+    def _stamp_matches(stamp: Optional[str], fp: Optional[str]) -> bool:
+        """Whether a stamped ``source_state`` denotes fingerprint ``fp``.
+        The previous release stamped ``repr(fp)`` (a quoted hash, or the
+        four characters ``None``); accepting that form keeps an upgraded
+        binary from recomputing every aggregate over an unchanged sink."""
+        return stamp == (fp or "") or stamp == repr(fp)
 
     def aggregates_stale(self) -> bool:
         """True when any aggregate table is missing or was written against
@@ -251,23 +281,67 @@ class Pipeline:
                     # it (an empty table for an empty state), so this
                     # branch converges after one heal
                     return True
-            elif t.properties().get("source_state") != (fp or ""):
+            elif not self._stamp_matches(
+                    t.properties().get("source_state"), fp):
                 return True
         return False
 
-    def restamp_aggregates(self) -> None:
+    def capture_restamp_state(self) -> Optional["RestampState"]:
+        """Arm a post-maintenance restamp: capture the routed state IF the
+        aggregates are stamped with exactly this state (i.e. current).
+        Returns None when the sink is absent or any aggregate is missing
+        or stale — a restamp may only ever bridge content-preserving
+        maintenance, never mask a real mismatch."""
+        st = self._routed_state()
+        if st is None:
+            return None
+        for name in AGG_TABLES:
+            t = SnapshotTable(self.out_root / name)
+            if not t.exists() or not self._stamp_matches(
+                    t.properties().get("source_state"), st.fp):
+                return None
+        return st
+
+    def restamp_aggregates(
+            self, expected_state: Optional["RestampState"] = None) -> bool:
         """Re-stamp the CURRENT routed-state fingerprint onto the existing
         aggregate tables without recomputing them — for content-preserving
         maintenance (compaction's replace snapshot, snapshot expiry) that
         changes the fingerprint but not the data the aggregates derive
-        from. Callers must only invoke this when the aggregates were
-        CURRENT before the maintenance ran; restamping stale aggregates
-        would mask a real mismatch."""
-        fp = self.routed_state_fingerprint()
+        from.
+
+        Pass the :meth:`capture_restamp_state` token taken BEFORE the
+        maintenance as ``expected_state``: the restamp then refuses
+        (returns False) when anything but content-preserving maintenance
+        moved the state in between — a concurrent ingest changes the live
+        row count and commits a marker the captured set never saw, while
+        compaction preserves both and expiry only SHRINKS the marker set.
+        Refusing leaves the aggregates stale so the heal path recomputes
+        them; stamping would mark rows they never aggregated as current
+        forever. Without ``expected_state`` the caller asserts the
+        aggregates were current and no writer raced (single-process use).
+        """
+        st = self._routed_state()
+        if st is None:
+            return False
+        if expected_state is not None:
+            if (st.live_rows != expected_state.live_rows
+                    or not st.markers <= expected_state.markers):
+                return False
+            for name in AGG_TABLES:
+                t = SnapshotTable(self.out_root / name)
+                # the stamps must still be the captured baseline — another
+                # writer re-stamping or recomputing them in the window
+                # means this token no longer describes what they cover
+                if not t.exists() or not self._stamp_matches(
+                        t.properties().get("source_state"),
+                        expected_state.fp):
+                    return False
         for name in AGG_TABLES:
             t = SnapshotTable(self.out_root / name)
             if t.exists():
-                t.set_properties(source_state=fp or "")
+                t.set_properties(source_state=st.fp)
+        return True
 
     def write_aggregates(self) -> dict[str, int]:
         """Materialize the three aggregate views as sink tables

@@ -230,9 +230,63 @@ def test_aggregates_staleness_stamp(spark, corpus, lookup_sdf, tmp_path_factory)
 
     # content-preserving maintenance changes the fingerprint by design;
     # restamp_aggregates records the new state WITHOUT recomputing
+    pre = p.capture_restamp_state()
+    assert pre is not None               # aggregates current at capture
     assert p.routed_table.compact(rows_per_file=10) is not None
     assert p.aggregates_stale()          # fingerprint moved, content did not
-    p.restamp_aggregates()
+    assert p.restamp_aggregates(expected_state=pre)
+    assert not p.aggregates_stale()
+    # expiry shrinks the marker set (still content-preserving): restampable
+    pre = p.capture_restamp_state()
+    assert pre is not None
+    assert p.routed_table.expire_snapshots()
+    assert p.restamp_aggregates(expected_state=pre)
+    assert not p.aggregates_stale()
+
+
+def test_restamp_refuses_concurrent_ingest(
+    spark, corpus, lookup_sdf, tmp_path_factory
+):
+    """A commit landing between the pre-maintenance capture and the
+    restamp means the aggregates no longer cover the sink: the restamp
+    must REFUSE (rows it never aggregated would otherwise be stamped
+    'current' forever) and leave the staleness heal to recompute."""
+    root = tmp_path_factory.mktemp("aggrace")
+    p = Pipeline(spark, root / "out", lookup_sdf)
+    p.process_batch(spark.createDataFrame(corpus.pages.iloc[:200]),
+                    batch_id="b1")
+    p.write_aggregates()
+    pre = p.capture_restamp_state()
+    assert pre is not None
+    # maintenance runs ... and a concurrent ingest commits mid-window
+    p.process_batch(spark.createDataFrame(corpus.pages.iloc[200:260]),
+                    batch_id="race-1")
+    assert p.routed_table.compact(rows_per_file=10) is not None
+    assert p.restamp_aggregates(expected_state=pre) is False
+    assert p.aggregates_stale()          # heal path recomputes, not masks
+    # capture itself returns None while the aggregates are stale: the
+    # caller cannot even arm a restamp over a mismatched sink
+    assert p.capture_restamp_state() is None
+
+
+def test_aggregates_stale_accepts_legacy_stamp(
+    spark, corpus, lookup_sdf, tmp_path_factory
+):
+    """Stamps written by the previous release used repr(fp) (quoted hash /
+    'None'); they must still read as current, or the first post-upgrade
+    maintenance run triggers a full aggregate recompute over an unchanged
+    sink."""
+    from access_log_aggregator_spark.sources.tableio import SnapshotTable
+
+    root = tmp_path_factory.mktemp("agglegacy")
+    p = Pipeline(spark, root / "out", lookup_sdf)
+    p.process_batch(spark.createDataFrame(corpus.pages.iloc[:100]),
+                    batch_id="b1")
+    p.write_aggregates()
+    fp = p.routed_state_fingerprint()
+    for name in ("agg_by_host", "agg_by_status_bucket", "agg_by_window"):
+        SnapshotTable(root / "out" / name).set_properties(
+            source_state=repr(fp))
     assert not p.aggregates_stale()
 
 

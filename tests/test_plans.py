@@ -46,8 +46,13 @@ def test_parse_reads_input_once(routed_plan):
 
 
 #: corpus-parquet path shared by every JIT guard in this session (the
-#: harness would otherwise rewrite the identical frame once per guard)
-_JIT_PARQUET: dict[int, str] = {}
+#: harness would otherwise rewrite the identical frame once per guard).
+#: The entry keeps a strong reference to the corpus object: id() keys are
+#: only unique among LIVE objects, so a bare id->path map would serve a
+#: stale parquet to a new corpus that recycled a collected fixture's id
+#: (harmless today with a session-scoped fixture, wrong the day the
+#: fixture's scope narrows).
+_JIT_PARQUET: dict[int, tuple[object, str]] = {}
 
 
 def _jit_audit_over_parquet(spark, corpus, tmp_path_factory, make_df):
@@ -59,11 +64,13 @@ def _jit_audit_over_parquet(spark, corpus, tmp_path_factory, make_df):
     plan). Asserts the under-8000-byte invariant common to every guard."""
     from access_log_aggregator_spark.plans.audit import max_codegen_method_size
 
-    p = _JIT_PARQUET.get(id(corpus))
-    if p is None:
+    cached = _JIT_PARQUET.get(id(corpus))
+    if cached is not None and cached[0] is corpus:
+        p = cached[1]
+    else:
         p = str(tmp_path_factory.mktemp("jit") / "pages.parquet")
         spark.createDataFrame(corpus.pages).write.parquet(p)
-        _JIT_PARQUET[id(corpus)] = p
+        _JIT_PARQUET[id(corpus)] = (corpus, p)
     saved = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
