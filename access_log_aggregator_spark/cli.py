@@ -29,6 +29,30 @@ import sys
 from pathlib import Path
 
 
+def _compact_reporting(table, label: str, rows_per_file: int,
+                       retries: int = 5) -> None:
+    """Run ``table.compact`` with the retry the CommitConflict contract
+    prescribes: a concurrent ingest committing between compaction's base
+    capture and its CAS commit aborts the rewrite cleanly, and the next
+    attempt rewrites against the advanced base. Bounded so a hot writer
+    cannot livelock a maintenance run — exhaustion is reported as a clean
+    outcome (the data is intact, only the rewrite was skipped), never a
+    traceback that would also skip the aggregate heal and summary below."""
+    from .sources.tableio import CommitConflict
+
+    for _ in range(retries):
+        try:
+            sid = table.compact(rows_per_file=rows_per_file)
+            print(f"compacted {label} -> snapshot {sid}" if sid
+                  else f"{label} already compact", file=sys.stderr)
+            return
+        except CommitConflict:
+            continue
+    print(f"compaction of {label} skipped: concurrent commits kept "
+          f"advancing the table ({retries} attempts); rerun when the "
+          "writer is idle", file=sys.stderr)
+
+
 def _run_log_files(args, ap) -> int:
     """The reference's literal input mode: ``accessAgg -file a.log`` ->
     ``--log-file a.log``. Lines parse through the SAME dual-engine
@@ -459,11 +483,8 @@ def main(argv: list[str] | None = None) -> int:
             # rewritten when it holds >= 2 files below the target size, so
             # a compacted table is a true no-op (no growth); a constant
             # marker would silently turn every later run into a no-op
-            sid = pipe.routed_table.compact(
-                rows_per_file=args.compact_rows_per_file
-            )
-            print(f"compacted routed sink -> snapshot {sid}" if sid
-                  else "routed sink already compact", file=sys.stderr)
+            _compact_reporting(pipe.routed_table, "routed sink",
+                               args.compact_rows_per_file)
         if args.retire_stream:
             # works in maintenance-only runs too (no --stream): the marker
             # belongs to the PAGES table and the checkpoint path is derived
@@ -484,11 +505,8 @@ def main(argv: list[str] | None = None) -> int:
             except RuntimeError as e:
                 print(f"expire-snapshots refused: {e}", file=sys.stderr)
         if args.compact_pages:
-            sid = pages_table.compact(
-                rows_per_file=args.compact_rows_per_file
-            )
-            print(f"compacted pages table -> snapshot {sid}" if sid
-                  else "pages table already compact", file=sys.stderr)
+            _compact_reporting(pages_table, "pages table",
+                               args.compact_rows_per_file)
         if args.expire_pages_snapshots:
             try:
                 gone = pages_table.expire_snapshots()

@@ -220,28 +220,17 @@ class Pipeline:
 
     def _routed_state(self) -> Optional["RestampState"]:
         """The routed sink's state from ONE manifest read (atomic against
-        a concurrent commit landing mid-derivation): the fingerprint plus
-        the content portion (live rows, committed markers) that
-        content-preserving maintenance keeps. Returns None when the sink
-        does not exist."""
+        a concurrent commit landing mid-derivation — SnapshotTable.state
+        guarantees that): the fingerprint plus the content portion (live
+        rows, committed markers) that content-preserving maintenance
+        keeps. Returns None when the sink does not exist."""
         t = self.routed_table
         if not t.exists():
             return None
         import hashlib
 
-        snaps = t._manifest()["snapshots"]
-        base = -1
-        for s in snaps:
-            if s.get("operation", "append") == "replace":
-                base = s["id"]
-        live_rows = sum(
-            s["row_count"] for s in snaps
-            if s["id"] >= base
-            and (s.get("operation", "append") == "append" or s["id"] == base)
-        )
-        markers = frozenset(s["marker"] for s in snaps if s.get("marker"))
-        basis = [snaps[-1]["id"] if snaps else None, live_rows,
-                 sorted(markers)]
+        last_id, live_rows, markers = t.state()
+        basis = [last_id, live_rows, sorted(markers)]
         fp = hashlib.md5(repr(basis).encode()).hexdigest()
         return RestampState(fp=fp, live_rows=live_rows, markers=markers)
 
@@ -264,6 +253,18 @@ class Pipeline:
         four characters ``None``); accepting that form keeps an upgraded
         binary from recomputing every aggregate over an unchanged sink."""
         return stamp == (fp or "") or stamp == repr(fp)
+
+    def _aggs_all_stamped(self, fp: str) -> bool:
+        """True when every aggregate table exists and is stamped with
+        ``fp`` — the predicate both capture (is the current state what
+        the aggregates cover?) and the guarded restamp (are the stamps
+        still the captured baseline?) decide on."""
+        for name in AGG_TABLES:
+            t = SnapshotTable(self.out_root / name)
+            if not t.exists() or not self._stamp_matches(
+                    t.properties().get("source_state"), fp):
+                return False
+        return True
 
     def aggregates_stale(self) -> bool:
         """True when any aggregate table is missing or was written against
@@ -293,13 +294,8 @@ class Pipeline:
         or stale — a restamp may only ever bridge content-preserving
         maintenance, never mask a real mismatch."""
         st = self._routed_state()
-        if st is None:
+        if st is None or not self._aggs_all_stamped(st.fp):
             return None
-        for name in AGG_TABLES:
-            t = SnapshotTable(self.out_root / name)
-            if not t.exists() or not self._stamp_matches(
-                    t.properties().get("source_state"), st.fp):
-                return None
         return st
 
     def restamp_aggregates(
@@ -328,15 +324,11 @@ class Pipeline:
             if (st.live_rows != expected_state.live_rows
                     or not st.markers <= expected_state.markers):
                 return False
-            for name in AGG_TABLES:
-                t = SnapshotTable(self.out_root / name)
-                # the stamps must still be the captured baseline — another
-                # writer re-stamping or recomputing them in the window
-                # means this token no longer describes what they cover
-                if not t.exists() or not self._stamp_matches(
-                        t.properties().get("source_state"),
-                        expected_state.fp):
-                    return False
+            # the stamps must still be the captured baseline — another
+            # writer re-stamping or recomputing them in the window means
+            # this token no longer describes what they cover
+            if not self._aggs_all_stamped(expected_state.fp):
+                return False
         for name in AGG_TABLES:
             t = SnapshotTable(self.out_root / name)
             if t.exists():

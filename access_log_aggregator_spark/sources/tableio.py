@@ -115,6 +115,25 @@ class SnapshotTable:
     def committed_markers(self) -> set[str]:
         return {s["marker"] for s in self._manifest()["snapshots"] if s.get("marker")}
 
+    def state(self) -> tuple[Optional[int], int, frozenset]:
+        """(last snapshot id, live row count, committed markers) from ONE
+        manifest read — atomic against a concurrent commit landing between
+        the three derivations. This is the basis consumers fingerprint the
+        table by (plans/pipeline.py), kept here so the live-set rule (the
+        latest replace base plus appends above it) lives in one module."""
+        snaps = self._manifest()["snapshots"]
+        base = -1
+        for s in snaps:
+            if s.get("operation", "append") == "replace":
+                base = s["id"]
+        live_rows = sum(
+            s["row_count"] for s in snaps
+            if s["id"] >= base
+            and (s.get("operation", "append") == "append" or s["id"] == base)
+        )
+        markers = frozenset(s["marker"] for s in snaps if s.get("marker"))
+        return (snaps[-1]["id"] if snaps else None), live_rows, markers
+
     # -- table properties (Iceberg table-properties analog) -------------------
     def properties(self) -> dict:
         return dict(self._manifest().get("properties", {}))

@@ -226,3 +226,33 @@ def test_batch_mode_refuses_stale_cursor_behind_stream(tmp_path):
                     if l.startswith('{"batches')][-1])
     assert d["rows_in"] == 0 and d["batches"] == 0
     assert _routed_rows(data_dir) == 300
+
+
+def test_compact_reporting_retries_conflicts(capsys):
+    """The CLI's compact wrapper follows the CommitConflict contract:
+    retry (a concurrent ingest advanced the base), and report exhaustion
+    as a clean outcome — a traceback would also skip the aggregate heal
+    and the JSON summary that follow it in main()."""
+    from access_log_aggregator_spark.cli import _compact_reporting
+    from access_log_aggregator_spark.sources.tableio import CommitConflict
+
+    class Flaky:
+        def __init__(self, failures):
+            self.failures, self.calls = failures, 0
+
+        def compact(self, rows_per_file):
+            self.calls += 1
+            if self.calls <= self.failures:
+                raise CommitConflict("table advanced")
+            return 7
+
+    t = Flaky(failures=2)
+    _compact_reporting(t, "routed sink", 1000)
+    assert t.calls == 3
+    assert "compacted routed sink -> snapshot 7" in capsys.readouterr().err
+
+    t = Flaky(failures=99)
+    _compact_reporting(t, "routed sink", 1000, retries=4)
+    assert t.calls == 4
+    err = capsys.readouterr().err
+    assert "skipped: concurrent commits" in err and "4 attempts" in err
