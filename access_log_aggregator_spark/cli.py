@@ -34,23 +34,71 @@ def _compact_reporting(table, label: str, rows_per_file: int,
     """Run ``table.compact`` with the retry the CommitConflict contract
     prescribes: a concurrent ingest committing between compaction's base
     capture and its CAS commit aborts the rewrite cleanly, and the next
-    attempt rewrites against the advanced base. Bounded so a hot writer
-    cannot livelock a maintenance run — exhaustion is reported as a clean
-    outcome (the data is intact, only the rewrite was skipped), never a
-    traceback that would also skip the aggregate heal and summary below."""
+    attempt rewrites against the advanced base. FileNotFoundError is the
+    same race seen one stage earlier — a concurrent truncate/expire
+    unlinked a file between compaction's listing and its footer/content
+    reads — so it retries identically (the re-listing heals it) instead
+    of propagating a traceback that would also skip the aggregate heal
+    and summary below. Bounded so a hot writer cannot livelock a
+    maintenance run — exhaustion is reported as a clean outcome (the
+    data is intact, only the rewrite was skipped). A short jittered
+    sleep between attempts keeps a retry from re-doing the full
+    footer-read + rewrite I/O on the exact timing that just lost."""
+    import random
+    import time
+
     from .sources.tableio import CommitConflict
 
-    for _ in range(retries):
+    for attempt in range(retries):
         try:
             sid = table.compact(rows_per_file=rows_per_file)
             print(f"compacted {label} -> snapshot {sid}" if sid
                   else f"{label} already compact", file=sys.stderr)
             return
-        except CommitConflict:
+        except (CommitConflict, FileNotFoundError):
+            if attempt < retries - 1:
+                time.sleep(0.05 * (attempt + 1) + random.random() * 0.1)
             continue
     print(f"compaction of {label} skipped: concurrent commits kept "
           f"advancing the table ({retries} attempts); rerun when the "
           "writer is idle", file=sys.stderr)
+
+
+def _drain_live_query(q, timeout_s: float = 300.0) -> None:
+    """Stop a live streaming query at the next micro-batch boundary — the
+    Spark analog of the reference's drain (aggregate.go:28-41): stop
+    READING new input, finish what is in flight, then stop.
+
+    Not ``processAllAvailable()`` (under continuous appends that never
+    returns) and not a bare ``isTriggerActive`` poll (under back-to-back
+    triggers the inter-batch False gap is milliseconds, so 0.2 s polls
+    land inside active triggers and the loop keeps ingesting NEW batches
+    until the deadline). Instead the bound is the batch itself: capture
+    ``lastProgress.batchId`` at the signal and stop as soon as a NEWER
+    batch commits — the batch in flight at the signal is then done, and
+    anything the next trigger started after the operator asked to stop is
+    cancelled safely (sink idempotence markers make a replay a no-op).
+    The deadline is a backstop for a stuck batch, not the expected path.
+
+    A query that FAILED (rather than drained) must not look like a clean
+    shutdown: re-raise its exception so the run exits nonzero instead of
+    printing a healthy summary over a crashed stream."""
+    import time
+
+    p0 = q.lastProgress
+    sig_batch = p0["batchId"] if p0 else -1
+    deadline = time.time() + timeout_s
+    while q.isActive and time.time() < deadline:
+        if not q.status.get("isTriggerActive"):
+            break  # between micro-batches: stop starts no new work
+        p = q.lastProgress
+        if p is not None and p["batchId"] > sig_batch:
+            break  # the batch in flight at the signal has committed
+        time.sleep(0.2)
+    q.stop()
+    exc = q.exception()
+    if exc is not None:
+        raise exc
 
 
 def _run_log_files(args, ap) -> int:
@@ -378,6 +426,14 @@ def main(argv: list[str] | None = None) -> int:
                 )
                 while q.isActive and not stop_flag["stop"]:
                     q.awaitTermination(1)
+                if not stop_flag["stop"]:
+                    # the query terminated on its own: a failure landing
+                    # between awaitTermination's timeout return and the
+                    # isActive check exits the loop without raising —
+                    # surface it instead of printing a healthy summary
+                    exc = q.exception()
+                    if exc is not None:
+                        raise exc
                 if stop_flag["stop"]:
                     print("Gracefully shutting down...", file=sys.stderr)
                     # a second Ctrl-C/TERM now force-interrupts: the drain
@@ -386,21 +442,10 @@ def main(argv: list[str] | None = None) -> int:
                     signal.signal(signal.SIGTERM, signal.SIG_DFL)
                     # stop() alone would CANCEL the in-flight micro-batch
                     # (its rows would miss the final summary, though the
-                    # idempotence markers keep the resume safe). The
-                    # reference's drain (aggregate.go:28-41) stops READING
-                    # new input and finishes what is buffered — the Spark
-                    # analog is: wait for the current trigger to go idle,
-                    # then stop between micro-batches. NOT
-                    # processAllAvailable(): under continuous appends that
-                    # never returns (it waits for the source to be fully
-                    # drained, not for the in-flight batch).
-                    import time as _time
-
-                    deadline = _time.time() + 300  # bounded: ~1 micro-batch
-                    while (q.isActive and _time.time() < deadline
-                           and q.status.get("isTriggerActive")):
-                        _time.sleep(0.2)
-                    q.stop()
+                    # idempotence markers keep the resume safe); the drain
+                    # helper stops at the micro-batch boundary instead and
+                    # re-raises a stream failure as a failure.
+                    _drain_live_query(q)
             else:
                 processed = run_streaming(spark, pages_table, pipe, ckpt_dir)
             # per-run counts from each batch's own observe() metrics — same

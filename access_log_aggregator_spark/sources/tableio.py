@@ -56,6 +56,26 @@ class CommitConflict(RuntimeError):
     commit (Iceberg's base-metadata CAS failure). The caller may retry."""
 
 
+def _live_set(snaps: list[dict]) -> tuple[int, list[dict]]:
+    """The (base id, live snapshots) of a raw manifest snapshot list: the
+    latest ``replace`` snapshot (the rewritten base, -1 if none) plus every
+    ``append`` above it. THE one copy of the live-set rule — ``state()``,
+    ``expire_snapshots()`` and ``_live_snapshots()`` all derive from it, so
+    a future operation kind (delete/overwrite) changes the rule in exactly
+    one place and the staleness fingerprint can never desynchronize from
+    the actual live view."""
+    base = -1
+    for s in snaps:
+        if s.get("operation", "append") == "replace":
+            base = s["id"]
+    live = [
+        s for s in snaps
+        if s["id"] >= base
+        and (s.get("operation", "append") == "append" or s["id"] == base)
+    ]
+    return base, live
+
+
 @dataclass
 class Snapshot:
     id: int
@@ -122,15 +142,8 @@ class SnapshotTable:
         table by (plans/pipeline.py), kept here so the live-set rule (the
         latest replace base plus appends above it) lives in one module."""
         snaps = self._manifest()["snapshots"]
-        base = -1
-        for s in snaps:
-            if s.get("operation", "append") == "replace":
-                base = s["id"]
-        live_rows = sum(
-            s["row_count"] for s in snaps
-            if s["id"] >= base
-            and (s.get("operation", "append") == "append" or s["id"] == base)
-        )
+        _, live = _live_set(snaps)
+        live_rows = sum(s["row_count"] for s in live)
         markers = frozenset(s["marker"] for s in snaps if s.get("marker"))
         return (snaps[-1]["id"] if snaps else None), live_rows, markers
 
@@ -255,7 +268,11 @@ class SnapshotTable:
                 # optimistic commit (Iceberg CAS): a replace snapshot is
                 # only valid against the exact base it rewrote — an append
                 # that landed in between would be silently dropped from the
-                # live view if we committed anyway.
+                # live view if we committed anyway. Sound only because ids
+                # are MONOTONIC ACROSS TRUNCATE (``last_id`` below): a
+                # truncate+rebuild between base capture and this check can
+                # never re-mint the captured id (ABA), so id equality
+                # really does mean "the exact state the rewrite read".
                 if cur != expected_current:
                     live = set(self.data_files())
                     for f in files:
@@ -265,7 +282,8 @@ class SnapshotTable:
                         f"table advanced (current={cur}, expected="
                         f"{expected_current}); retry the operation"
                     )
-            sid = (cur + 1) if cur is not None else 1
+            sid = max(cur or 0, int(m.get("last_id", 0))) + 1
+            m["last_id"] = sid
             m["snapshots"].append(
                 {"id": sid, "files": [str(f.relative_to(self.root)) for f in files],
                  "row_count": row_count, "marker": marker, "operation": operation}
@@ -378,13 +396,9 @@ class SnapshotTable:
         with self._manifest_lock():
             m = self._manifest()
             snaps = m["snapshots"]
-            base = -1
-            for s in snaps:
-                if s.get("operation", "append") == "replace":
-                    base = s["id"]
+            base, keep = _live_set(snaps)
             if base < 0:
                 return []
-            keep = [s for s in snaps if s["id"] >= base]
             drop = [s for s in snaps if s["id"] < base]
             kept_files = {f for s in keep for f in s["files"]}
             doomed = sorted({f for s in drop for f in s["files"]} - kept_files)
@@ -469,6 +483,15 @@ class SnapshotTable:
         with self._manifest_lock():
             m = self._manifest()
             doomed = sorted({f for s in m["snapshots"] for f in s["files"]})
+            # preserve the id high-water mark: the first post-truncate
+            # commit must NOT re-mint a dropped id, or a maintenance CAS
+            # that captured its base before the truncate would pass
+            # against the rebuilt table (ABA) and resurrect the dropped
+            # generation's files in a replace snapshot.
+            m["last_id"] = max(
+                int(m.get("last_id", 0)),
+                max((s["id"] for s in m["snapshots"]), default=0),
+            )
             m["snapshots"] = []
             self._write_manifest(m)
         for f in doomed:
@@ -479,13 +502,10 @@ class SnapshotTable:
         """The snapshots composing the table STATE as of ``end`` (default:
         current): the latest replace snapshot (the rewritten base) plus
         every append after it."""
-        snaps = [s for s in self.snapshots() if end is None or s.id <= end]
-        base = -1
-        for s in snaps:
-            if s.operation == "replace":
-                base = s.id
-        return [s for s in snaps if s.id >= base and
-                (s.operation == "append" or s.id == base)]
+        raw = [s for s in self._manifest()["snapshots"]
+               if end is None or s["id"] <= end]
+        _, live = _live_set(raw)
+        return [Snapshot(**s) for s in live]
 
     def data_files(self, start_after: Optional[int] = None,
                    end: Optional[int] = None) -> list[str]:

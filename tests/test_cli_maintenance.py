@@ -256,3 +256,110 @@ def test_compact_reporting_retries_conflicts(capsys):
     assert t.calls == 4
     err = capsys.readouterr().err
     assert "skipped: concurrent commits" in err and "4 attempts" in err
+
+
+def test_compact_reporting_retries_missing_files(capsys):
+    """FileNotFoundError out of compact() is the CAS race seen one stage
+    earlier — a concurrent truncate/expire unlinked a file between the
+    listing and the footer reads — and must retry like CommitConflict
+    (the re-listing heals it), never propagate a traceback that skips
+    the aggregate heal and summary."""
+    from access_log_aggregator_spark.cli import _compact_reporting
+
+    class Flaky:
+        def __init__(self, failures):
+            self.failures, self.calls = failures, 0
+
+        def compact(self, rows_per_file):
+            self.calls += 1
+            if self.calls <= self.failures:
+                raise FileNotFoundError("data/part-dead.parquet")
+            return 3
+
+    t = Flaky(failures=2)
+    _compact_reporting(t, "routed sink", 1000)
+    assert t.calls == 3
+    assert "compacted routed sink -> snapshot 3" in capsys.readouterr().err
+
+
+class _FakeQuery:
+    """Duck-typed StreamingQuery for the drain helper: scripted
+    (isTriggerActive, lastProgress batchId) observations per poll."""
+
+    def __init__(self, frames, exception=None):
+        self.frames = list(frames)
+        self.i = 0
+        self.stopped = False
+        self._exc = exception
+
+    def _frame(self):
+        return self.frames[min(self.i, len(self.frames) - 1)]
+
+    @property
+    def isActive(self):
+        return not self.stopped and self._frame() is not None
+
+    @property
+    def status(self):
+        f = self._frame()
+        return {"isTriggerActive": f[0]} if f else {"isTriggerActive": False}
+
+    @property
+    def lastProgress(self):
+        f = self._frame()
+        if f is None or f[1] is None:
+            return None
+        return {"batchId": f[1]}
+
+    def stop(self):
+        self.stopped = True
+
+    def exception(self):
+        return self._exc
+
+
+def test_drain_stops_at_batch_boundary_under_backtoback_triggers(monkeypatch):
+    """Back-to-back triggers: isTriggerActive never reads False at a poll,
+    so the drain must bound itself by the batchId — stop as soon as a
+    batch NEWER than the one in flight at the signal commits, instead of
+    ingesting new batches until the deadline."""
+    from access_log_aggregator_spark import cli
+
+    polls = {"n": 0}
+
+    def fake_sleep(_s):
+        polls["n"] += 1
+        q.i += 1
+
+    # signal lands mid-batch-8 (lastProgress still 7); batch 8 commits two
+    # polls later but the next trigger is ALREADY active at every poll
+    q = _FakeQuery([(True, 7), (True, 7), (True, 8), (True, 9), (True, 10)])
+    monkeypatch.setattr("time.sleep", fake_sleep)
+    cli._drain_live_query(q, timeout_s=60)
+    assert q.stopped
+    assert q._frame()[1] == 8  # stopped when 8 committed, not at deadline
+
+
+def test_drain_stops_immediately_between_batches():
+    from access_log_aggregator_spark import cli
+
+    q = _FakeQuery([(False, 4)])
+    cli._drain_live_query(q, timeout_s=60)
+    assert q.stopped and q.i == 0
+
+
+def test_drain_reraises_stream_failure(monkeypatch):
+    """A query that FAILED during the drain window must not look like a
+    graceful shutdown: the helper re-raises so main() exits nonzero
+    instead of printing a healthy summary over a crashed stream."""
+    import pytest
+
+    from access_log_aggregator_spark import cli
+
+    boom = RuntimeError("sink write failed")
+    # one active poll, then the query dies (isActive False via None frame)
+    q = _FakeQuery([(True, 7), None], exception=boom)
+    monkeypatch.setattr("time.sleep", lambda _s: setattr(q, "i", q.i + 1))
+    with pytest.raises(RuntimeError, match="sink write failed"):
+        cli._drain_live_query(q, timeout_s=60)
+    assert q.stopped

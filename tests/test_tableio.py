@@ -532,3 +532,50 @@ def test_concurrent_writers_and_maintenance_across_processes(tmp_path):
     assert len(got) == expect_rows and int(got["val"].sum()) == expect_sum
     # the post-expiry manifest still carries the compaction base
     assert any(s.operation == "replace" for s in t.snapshots())
+
+
+def test_snapshot_ids_monotonic_across_truncate(tmp_path):
+    """Ids never repeat across a truncate+rebuild: the manifest carries an
+    id high-water mark, so the first post-truncate commit continues the
+    sequence instead of re-minting id 1. This is what makes the replace
+    CAS ABA-free (see test_compact_cas_detects_truncate_rebuild)."""
+    t = SnapshotTable.create(tmp_path / "t")
+    assert t.append_pandas(_pdf(2)) == 1
+    assert t.append_pandas(_pdf(2)) == 2
+    t.truncate()
+    assert t.append_pandas(_pdf(3)) == 3  # not 1: the dropped ids stay dead
+    t.truncate()
+    t.truncate()  # idempotent on an empty table
+    assert t.append_pandas(_pdf(1)) == 4
+
+
+def test_compact_cas_detects_truncate_rebuild(tmp_path):
+    """The ABA shape the CAS must catch: a single-snapshot table (the
+    --log-file routed sink always holds exactly one: truncate + one
+    commit per rebuild) is compacted concurrently with a rebuild. With
+    ids resetting to 1 on truncate, the rebuilt table would present the
+    SAME current id the compaction captured, its replace would commit,
+    and the live view would resurrect pre-rebuild content while
+    referencing unlinked files. Monotonic ids make the CAS sound."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from access_log_aggregator_spark.sources.tableio import CommitConflict
+
+    t = SnapshotTable.create(tmp_path / "t")
+    t.append_pandas(_pdf(4))
+    base = t.current_snapshot_id()  # compact() captures its base here ...
+    # ... meanwhile a --log-file rebuild truncates and recommits
+    t.truncate()
+    t.append_pandas(_pdf(6))
+    # compaction finished its rewrite against the OLD generation and now
+    # tries the optimistic replace commit it validated against `base`
+    staged = tmp_path / "t" / "data" / "compact-stale.parquet"
+    pq.write_table(pa.Table.from_pandas(_pdf(4)), staged)
+    with pytest.raises(CommitConflict):
+        t._commit_files([staged], 4, None, operation="replace",
+                        expected_current=base)
+    # the rebuilt generation is untouched and the staged file was cleaned
+    assert t.row_count() == 6
+    assert not staged.exists()
