@@ -49,19 +49,25 @@ def _compact_reporting(table, label: str, rows_per_file: int,
 
     from .sources.tableio import CommitConflict
 
+    last_exc: Exception | None = None
     for attempt in range(retries):
         try:
             sid = table.compact(rows_per_file=rows_per_file)
             print(f"compacted {label} -> snapshot {sid}" if sid
                   else f"{label} already compact", file=sys.stderr)
             return
-        except (CommitConflict, FileNotFoundError):
+        except (CommitConflict, FileNotFoundError) as e:
+            last_exc = e
             if attempt < retries - 1:
                 time.sleep(0.05 * (attempt + 1) + random.random() * 0.1)
             continue
-    print(f"compaction of {label} skipped: concurrent commits kept "
-          f"advancing the table ({retries} attempts); rerun when the "
-          "writer is idle", file=sys.stderr)
+    cause = ("concurrent commits kept advancing the table"
+             if isinstance(last_exc, CommitConflict)
+             else "concurrent maintenance kept unlinking listed files "
+                  f"({last_exc})")
+    print(f"compaction of {label} skipped: {cause} ({retries} attempts); "
+          "rerun when the concurrent writer/maintenance is idle",
+          file=sys.stderr)
 
 
 def _drain_live_query(q, timeout_s: float = 300.0) -> None:
@@ -77,8 +83,16 @@ def _drain_live_query(q, timeout_s: float = 300.0) -> None:
     ``lastProgress.batchId`` at the signal and stop as soon as a NEWER
     batch commits — the batch in flight at the signal is then done, and
     anything the next trigger started after the operator asked to stop is
-    cancelled safely (sink idempotence markers make a replay a no-op).
-    The deadline is a backstop for a stuck batch, not the expected path.
+    cancelled safely (sink idempotence markers make a replay a no-op —
+    durable even across routed-sink maintenance, because
+    expire_snapshots retains expired snapshots' markers). The deadline
+    is a backstop for a stuck batch, not the expected path; the
+    ``q.stop()`` below is itself bounded by
+    ``spark.sql.streaming.stopTimeout`` (set in session.get_spark —
+    Spark's default 0 waits forever), so a batch wedged in a
+    non-interruptible call raises a TimeoutException instead of hanging
+    the shutdown past both bounds. Deadline on the MONOTONIC clock: a
+    wall-clock step during shutdown must not stretch or collapse it.
 
     A query that FAILED (rather than drained) must not look like a clean
     shutdown: re-raise its exception so the run exits nonzero instead of
@@ -87,8 +101,8 @@ def _drain_live_query(q, timeout_s: float = 300.0) -> None:
 
     p0 = q.lastProgress
     sig_batch = p0["batchId"] if p0 else -1
-    deadline = time.time() + timeout_s
-    while q.isActive and time.time() < deadline:
+    deadline = time.monotonic() + timeout_s
+    while q.isActive and time.monotonic() < deadline:
         if not q.status.get("isTriggerActive"):
             break  # between micro-batches: stop starts no new work
         p = q.lastProgress

@@ -311,7 +311,10 @@ class Pipeline:
         (returns False) when anything but content-preserving maintenance
         moved the state in between — a concurrent ingest changes the live
         row count and commits a marker the captured set never saw, while
-        compaction preserves both and expiry only SHRINKS the marker set.
+        compaction preserves both and expiry preserves both too (expired
+        snapshots' markers are retained in the manifest so replays stay
+        deduped; the ``<=`` below keeps the guard safe even for an older
+        manifest written before that retention existed).
         Refusing leaves the aggregates stale so the heal path recomputes
         them; stamping would mark rows they never aggregated as current
         forever. Without ``expected_state`` the caller asserts the

@@ -66,6 +66,12 @@ def get_spark(
         # when its expressions grew past the line). At 8000 Spark instead
         # falls back to per-operator codegen, whose small methods all JIT.
         .config("spark.sql.codegen.hugeMethodLimit", "8000")
+        # Bound StreamingQuery.stop(): Spark's default stopTimeout=0 joins
+        # the stream-execution thread FOREVER, so a micro-batch wedged in a
+        # non-interruptible call would hang a graceful shutdown past the
+        # drain deadline (cli._drain_live_query). 60s >> any healthy batch
+        # here; on timeout stop() raises instead of hanging.
+        .config("spark.sql.streaming.stopTimeout", "60s")
         # Keep scans bounded at scale; local runs read small files anyway
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -76,6 +76,22 @@ def _live_set(snaps: list[dict]) -> tuple[int, list[dict]]:
     return base, live
 
 
+def _marker_snapshot_id(m: dict, marker: str) -> Optional[int]:
+    """The snapshot id an already-committed ``marker`` resolves to, or None
+    if the marker was never committed. A marker whose snapshot was removed
+    by :meth:`SnapshotTable.expire_snapshots` (retained in
+    ``expired_markers``) resolves to the live base — the replace snapshot
+    that carries its rows now — so a deduped replay still gets a real,
+    readable snapshot id back."""
+    for s in m["snapshots"]:
+        if s.get("marker") == marker:
+            return s["id"]
+    if marker in m.get("expired_markers", []):
+        base, _ = _live_set(m["snapshots"])
+        return base if base >= 0 else None
+    return None
+
+
 @dataclass
 class Snapshot:
     id: int
@@ -133,7 +149,18 @@ class SnapshotTable:
         return self._manifest().get("stream_floor")
 
     def committed_markers(self) -> set[str]:
-        return {s["marker"] for s in self._manifest()["snapshots"] if s.get("marker")}
+        """Every idempotence marker this table has EVER committed (until a
+        truncate voids the history): live/time-travel snapshots' markers
+        plus the ``expired_markers`` retention list (markers whose
+        snapshots :meth:`expire_snapshots` removed). Marker lifetime is
+        deliberately decoupled from snapshot lifetime — Iceberg retains
+        WAP/txn ids in table metadata the same way — because the markers
+        are what make a replayed commit a no-op: a streaming checkpoint
+        that replays a batch AFTER maintenance expired that batch's
+        snapshot must still dedupe, or the replay double-commits rows."""
+        m = self._manifest()
+        live = {s["marker"] for s in m["snapshots"] if s.get("marker")}
+        return live | set(m.get("expired_markers", []))
 
     def state(self) -> tuple[Optional[int], int, frozenset]:
         """(last snapshot id, live row count, committed markers) from ONE
@@ -141,10 +168,13 @@ class SnapshotTable:
         the three derivations. This is the basis consumers fingerprint the
         table by (plans/pipeline.py), kept here so the live-set rule (the
         latest replace base plus appends above it) lives in one module."""
-        snaps = self._manifest()["snapshots"]
+        m = self._manifest()
+        snaps = m["snapshots"]
         _, live = _live_set(snaps)
         live_rows = sum(s["row_count"] for s in live)
-        markers = frozenset(s["marker"] for s in snaps if s.get("marker"))
+        markers = frozenset(
+            s["marker"] for s in snaps if s.get("marker")
+        ) | frozenset(m.get("expired_markers", []))
         return (snaps[-1]["id"] if snaps else None), live_rows, markers
 
     # -- table properties (Iceberg table-properties analog) -------------------
@@ -253,7 +283,8 @@ class SnapshotTable:
                       expected_current: Optional[int] = None) -> int:
         with self._manifest_lock():
             m = self._manifest()
-            if marker is not None and marker in {s.get("marker") for s in m["snapshots"]}:
+            dup_id = _marker_snapshot_id(m, marker) if marker is not None else None
+            if dup_id is not None:
                 # duplicate commit: drop the staged files, keep table as-is.
                 # Callers that pass PRE-EXISTING live files (compact's carried
                 # singles) must pre-check the marker before staging — this
@@ -262,7 +293,7 @@ class SnapshotTable:
                 for f in files:
                     if str(f) not in live:
                         f.unlink(missing_ok=True)
-                return [s["id"] for s in m["snapshots"] if s.get("marker") == marker][0]
+                return dup_id
             cur = m["snapshots"][-1]["id"] if m["snapshots"] else None
             if expected_current is not None:
                 # optimistic commit (Iceberg CAS): a replace snapshot is
@@ -319,12 +350,13 @@ class SnapshotTable:
         """
         from collections import defaultdict
 
-        if marker is not None and marker in self.committed_markers():
+        if marker is not None:
             # pre-check BEFORE touching any files: the duplicate-marker
             # path of _commit_files unlinks whatever it is passed, and
             # compact may pass pre-existing live files (carried singles)
-            m = self._manifest()
-            return [s["id"] for s in m["snapshots"] if s.get("marker") == marker][0]
+            dup_id = _marker_snapshot_id(self._manifest(), marker)
+            if dup_id is not None:
+                return dup_id
         if self.stream_markers():
             import warnings
 
@@ -343,36 +375,48 @@ class SnapshotTable:
             # cross-directory merge would lose the partition column
             groups[Path(f).parent].append(f)
         out: list[Path] = []
+        staged: list[Path] = []  # freshly-written compact-* outputs only
         total = 0
         any_merge = False
-        for d, fs in sorted(groups.items()):
-            # one footer read per file (conflict cleanup derives staged
-            # files inside _commit_files from out-minus-live, so no staged
-            # list is needed here)
-            nrows = {f: pq.read_metadata(f).num_rows for f in fs}
-            smalls = [f for f in fs if nrows[f] < rows_per_file]
-            carry = [f for f in fs if f not in smalls]
-            if len(smalls) < 2:  # nothing mergeable here: carry everything
-                carry = fs
-                smalls = []
-            for f in carry:
-                out.append(Path(f))
-                total += nrows[f]
-            if not smalls:
-                continue
-            any_merge = True
-            merged = pa.concat_tables(
-                [pq.read_table(f) for f in smalls], promote_options="default"
-            )
-            total += merged.num_rows
-            for lo in range(0, max(merged.num_rows, 1), rows_per_file):
-                dest = d / f"compact-{uuid.uuid4().hex}.parquet"
-                pq.write_table(merged.slice(lo, rows_per_file), dest)
-                out.append(dest)
-        if not any_merge:
-            return None
-        return self._commit_files(out, total, marker, operation="replace",
-                                  expected_current=base)
+        try:
+            for d, fs in sorted(groups.items()):
+                nrows = {f: pq.read_metadata(f).num_rows for f in fs}
+                smalls = [f for f in fs if nrows[f] < rows_per_file]
+                carry = [f for f in fs if f not in smalls]
+                if len(smalls) < 2:  # nothing mergeable here: carry everything
+                    carry = fs
+                    smalls = []
+                for f in carry:
+                    out.append(Path(f))
+                    total += nrows[f]
+                if not smalls:
+                    continue
+                any_merge = True
+                merged = pa.concat_tables(
+                    [pq.read_table(f) for f in smalls],
+                    promote_options="default"
+                )
+                total += merged.num_rows
+                for lo in range(0, max(merged.num_rows, 1), rows_per_file):
+                    dest = d / f"compact-{uuid.uuid4().hex}.parquet"
+                    pq.write_table(merged.slice(lo, rows_per_file), dest)
+                    out.append(dest)
+                    staged.append(dest)
+            if not any_merge:
+                return None
+            return self._commit_files(out, total, marker,
+                                      operation="replace",
+                                      expected_current=base)
+        except BaseException:
+            # a failed footer/content read (concurrent truncate/expire
+            # unlinked a listed file) or a CommitConflict must not leak the
+            # compact-* outputs already written for EARLIER groups: nothing
+            # references them, so no later expire/truncate would ever
+            # reclaim them. (_commit_files' own conflict path unlinks too;
+            # missing_ok makes the overlap harmless.)
+            for f in staged:
+                f.unlink(missing_ok=True)
+            raise
 
     def expire_snapshots(self, force: bool = False) -> list[str]:
         """Remove snapshots older than the live base (the latest replace)
@@ -403,6 +447,16 @@ class SnapshotTable:
             kept_files = {f for s in keep for f in s["files"]}
             doomed = sorted({f for s in drop for f in s["files"]} - kept_files)
             m["snapshots"] = keep
+            # retain the dropped snapshots' idempotence markers: a stream
+            # checkpoint that replays a batch after its snapshot expired
+            # must still find the marker, or the replay re-commits the
+            # rows as duplicates (committed_markers documents the
+            # contract). One short string per expired snapshot — bounded
+            # by commit count, reset by truncate.
+            m["expired_markers"] = sorted(
+                set(m.get("expired_markers", []))
+                | {s["marker"] for s in drop if s.get("marker")}
+            )
             # record the expiry floor: pre-compaction rows now exist ONLY in
             # compact-* files, which directory-based streams deliberately do
             # not glob — a stream checkpoint created after this point can
@@ -493,6 +547,10 @@ class SnapshotTable:
                 max((s["id"] for s in m["snapshots"]), default=0),
             )
             m["snapshots"] = []
+            # a truncate voids the idempotence history along with the rows:
+            # a marker retained past the rebuild would silently no-op the
+            # very re-commit the truncate exists to enable
+            m.pop("expired_markers", None)
             self._write_manifest(m)
         for f in doomed:
             (self.root / f).unlink(missing_ok=True)

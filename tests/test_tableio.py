@@ -332,6 +332,93 @@ def test_expiry_records_stream_floor(tmp_path):
     assert t.stream_floor() == replace_id
 
 
+def test_markers_survive_expiry_so_replays_stay_deduped(tmp_path):
+    """The checkpoint-replay safety net: a streaming sink batch whose
+    snapshot was compacted + expired must STILL dedupe when the
+    checkpoint replays it (Ctrl-C cancelled the epoch commit after the
+    sink commit). Marker lifetime is decoupled from snapshot lifetime,
+    like Iceberg's WAP/txn ids in table metadata."""
+    t = SnapshotTable.create(tmp_path / "t")
+    for i in range(3):
+        t.append_pandas(_pdf(10, i * 10), marker=f"stream-{i}")
+    replace_id = t.compact(rows_per_file=50)
+    t.expire_snapshots()
+    # the markers' snapshots are gone, the markers are not
+    assert t.committed_markers() == {"stream-0", "stream-1", "stream-2"}
+    # a replayed batch is a no-op and resolves to the live base that
+    # carries its rows now
+    assert t.append_pandas(_pdf(10, 0), marker="stream-1") == replace_id
+    assert t.row_count() == 30
+    # state() is fully INVARIANT across expiry (content-preserving):
+    # the aggregate fingerprint does not even go stale
+    before = t.state()
+    t.append_pandas(_pdf(10, 0), marker="stream-2")  # another no-op replay
+    assert t.state() == before
+    # repeated expiry keeps the retention set stable
+    assert t.expire_snapshots() == []
+    assert t.committed_markers() == {"stream-0", "stream-1", "stream-2"}
+
+
+def test_truncate_voids_expired_marker_retention(tmp_path):
+    """A truncate declares the content rebuilt from scratch: retained
+    expired markers must go with it, or the rebuild's re-commit of the
+    same logical batch would silently no-op."""
+    t = SnapshotTable.create(tmp_path / "t")
+    t.append_pandas(_pdf(5), marker="m-1")
+    t.append_pandas(_pdf(5, 5), marker="m-2")
+    t.compact(rows_per_file=50)
+    t.expire_snapshots()
+    assert "m-1" in t.committed_markers()
+    t.truncate()
+    assert t.committed_markers() == set()
+    sid = t.append_pandas(_pdf(5), marker="m-1")  # re-commit really lands
+    assert t.row_count() == 5 and sid is not None
+
+
+def test_compact_cleans_staged_outputs_on_failed_read(tmp_path):
+    """A FileNotFoundError mid-compact (concurrent truncate/expire
+    unlinked a listed file) must not leak the compact-* outputs already
+    written for earlier directories: nothing references them, so no
+    later maintenance could ever reclaim them."""
+    import pyarrow.parquet as pq
+    import pytest
+
+    import pyarrow as pa
+
+    t = SnapshotTable.create(tmp_path / "t")
+    # two directories (the hive-partitioned sink layout) so the first
+    # group compacts — staging a compact-* output — before the second
+    # group's read fails (groups iterate in sorted order: a/ before b/)
+    for sub, base in (("a", 0), ("b", 100)):
+        d = tmp_path / "t" / "data" / sub
+        d.mkdir(parents=True)
+        files = []
+        for i in range(2):
+            p = d / f"part-{sub}{i}.parquet"
+            pq.write_table(pa.Table.from_pandas(_pdf(5, base + i * 5)), p)
+            files.append(p)
+        t._commit_files(files, 10, marker=f"gen-{sub}")
+    manifest_before = (tmp_path / "t" / "manifest.json").read_text()
+
+    victim = t.data_files()[-1]  # a b/ file: read after a/ compacted
+    real_read = pq.read_table
+
+    def failing_read(f, *a, **kw):
+        if str(f) == victim:
+            raise FileNotFoundError(victim)
+        return real_read(f, *a, **kw)
+
+    import unittest.mock as mock
+
+    with mock.patch.object(pq, "read_table", side_effect=failing_read):
+        with pytest.raises(FileNotFoundError):
+            t.compact(rows_per_file=50)
+    # no orphaned compact-* outputs, manifest untouched
+    assert list((tmp_path / "t" / "data").rglob("compact-*.parquet")) == []
+    assert (tmp_path / "t" / "manifest.json").read_text() == manifest_before
+    assert t.compact(rows_per_file=50) is not None  # retry heals
+
+
 def test_crash_before_manifest_swap_leaves_table_clean(tmp_path, monkeypatch):
     """Kill the commit at the worst moment: data files staged into data/
     and the new manifest fully written to its tmp file, but the process
@@ -521,10 +608,10 @@ def test_concurrent_writers_and_maintenance_across_processes(tmp_path):
     expect_sum = sum(w * 100000 + i * 100 + k
                      for w in range(n_writers) for i in range(12)
                      for k in range(25))
-    # expiry drops expired snapshots' markers (the Iceberg contract —
-    # and why the aggregate-restamp guard treats marker SHRINK as
-    # content-preserving); what must never appear is a marker nobody wrote
-    assert t.committed_markers() <= expect_markers
+    # expiry RETAINS expired snapshots' markers (Iceberg keeps WAP/txn ids
+    # in table metadata the same way), so after the dust settles every
+    # writer's marker is visible — exactly once, never one nobody wrote
+    assert t.committed_markers() == expect_markers
     assert t.row_count() == expect_rows
     live = t.data_files()
     assert sum(pq.read_metadata(f).num_rows for f in live) == expect_rows
