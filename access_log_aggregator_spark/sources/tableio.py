@@ -49,6 +49,16 @@ _MANIFEST = "manifest.json"
 #: analog of that isolation.)
 STREAM_GLOB = "part-*.parquet"
 
+#: How many expired snapshots' idempotence markers the manifest retains
+#: (newest first to go over the cap). Retention exists so a replayed
+#: commit still dedupes after maintenance removed its snapshot; replays
+#: only ever reference RECENT commits (a streaming checkpoint replays at
+#: most the batch in flight at a crash, a batch rerun its last
+#: checkpointed snapshot), so a bounded tail is enough — an unbounded
+#: list would grow the manifest forever on a long-lived streamed sink.
+#: Iceberg bounds its WAP/txn-id retention the same way.
+EXPIRED_MARKER_RETENTION = 10_000
+
 
 class CommitConflict(RuntimeError):
     """Optimistic-commit validation failed: the table advanced between when
@@ -152,7 +162,8 @@ class SnapshotTable:
         """Every idempotence marker this table has EVER committed (until a
         truncate voids the history): live/time-travel snapshots' markers
         plus the ``expired_markers`` retention list (markers whose
-        snapshots :meth:`expire_snapshots` removed). Marker lifetime is
+        snapshots :meth:`expire_snapshots` removed — bounded, see
+        :data:`EXPIRED_MARKER_RETENTION`). Marker lifetime is
         deliberately decoupled from snapshot lifetime — Iceberg retains
         WAP/txn ids in table metadata the same way — because the markers
         are what make a replayed commit a no-op: a streaming checkpoint
@@ -451,12 +462,17 @@ class SnapshotTable:
             # checkpoint that replays a batch after its snapshot expired
             # must still find the marker, or the replay re-commits the
             # rows as duplicates (committed_markers documents the
-            # contract). One short string per expired snapshot — bounded
-            # by commit count, reset by truncate.
-            m["expired_markers"] = sorted(
-                set(m.get("expired_markers", []))
-                | {s["marker"] for s in drop if s.get("marker")}
-            )
+            # contract). Kept in drop (= commit) order and bounded by
+            # EXPIRED_MARKER_RETENTION so a long-lived streamed sink's
+            # manifest stays small; reset by truncate.
+            retained = list(m.get("expired_markers", []))
+            seen = set(retained)
+            for s in drop:
+                mk = s.get("marker")
+                if mk and mk not in seen:
+                    retained.append(mk)
+                    seen.add(mk)
+            m["expired_markers"] = retained[-EXPIRED_MARKER_RETENTION:]
             # record the expiry floor: pre-compaction rows now exist ONLY in
             # compact-* files, which directory-based streams deliberately do
             # not glob — a stream checkpoint created after this point can

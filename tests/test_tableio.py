@@ -359,6 +359,29 @@ def test_markers_survive_expiry_so_replays_stay_deduped(tmp_path):
     assert t.committed_markers() == {"stream-0", "stream-1", "stream-2"}
 
 
+def test_expired_marker_retention_is_bounded(tmp_path, monkeypatch):
+    """The retention list keeps the manifest small on a long-lived
+    streamed sink: oldest expired markers age out first (replays only
+    ever reference recent commits), live snapshots' markers are never
+    affected."""
+    from access_log_aggregator_spark.sources import tableio
+
+    monkeypatch.setattr(tableio, "EXPIRED_MARKER_RETENTION", 3)
+    t = SnapshotTable.create(tmp_path / "t")
+    for i in range(5):
+        t.append_pandas(_pdf(4, i * 4), marker=f"b-{i}")
+    t.compact(rows_per_file=100)
+    t.expire_snapshots()
+    # 5 expired markers, cap 3: the NEWEST three survive, in commit order
+    m = t._manifest()
+    assert m["expired_markers"] == ["b-2", "b-3", "b-4"]
+    assert t.committed_markers() == {"b-2", "b-3", "b-4"}
+    # an aged-out marker no longer dedupes (the documented contract:
+    # replays reference recent commits only) — the commit lands cleanly
+    t.append_pandas(_pdf(4), marker="b-0")
+    assert t.row_count() == 24
+
+
 def test_truncate_voids_expired_marker_retention(tmp_path):
     """A truncate declares the content rebuilt from scratch: retained
     expired markers must go with it, or the rebuild's re-commit of the
