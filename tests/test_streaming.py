@@ -298,6 +298,60 @@ def test_stream_ignores_compaction_outputs(spark, corpus, lookup_sdf,
     assert pipe2.routed().count() == n
 
 
+def test_replayed_epoch_after_sink_maintenance_stays_deduped(
+        spark, corpus, lookup_sdf, tmp_path_factory):
+    """The crash + maintenance + restart interleaving: a shutdown cancels
+    the checkpoint's epoch commit AFTER the final micro-batch committed
+    its rows to the routed sink (marker stream-N), the operator then
+    compacts + expires the routed sink, and the restarted stream replays
+    the lost epoch. The sink's idempotence marker must survive the expiry
+    (tableio retains expired snapshots' markers) or the replay
+    double-commits the batch's rows into the sink, the aggregates and the
+    final summary."""
+    root = tmp_path_factory.mktemp("stream_replay")
+    pages_table = SnapshotTable.create(root / "pages", "pages")
+    n = len(corpus.pages)
+    half = (n + 1) // 2
+    for lo in range(0, n, half):
+        pages_table.append_pandas(corpus.pages.iloc[lo: lo + half])
+    pipe = Pipeline(spark, root / "out", lookup_sdf)
+    ckpt = root / "stream_ckpt"
+    run_streaming(spark, pages_table, pipe, ckpt, max_files_per_trigger=1)
+    assert pipe.routed().count() == n
+
+    # the crash: drop the LAST epoch's checkpoint commit — its sink rows
+    # are in, but Spark never recorded the epoch as done. The restart must
+    # run from a RELOCATED copy of the checkpoint: within one JVM Spark
+    # caches the commit high-water per checkpoint path and reads the
+    # surgically-regressed log as a concurrent query (a real crash
+    # restarts the driver, so the cache is empty there).
+    import shutil
+
+    commits = sorted((p for p in (ckpt / "commits").iterdir()
+                      if p.name.isdigit()), key=lambda p: int(p.name))
+    assert len(commits) >= 2  # the corpus really split into >= 2 epochs
+    commits[-1].unlink()
+    # the checksum sidecar must go with it, or Hadoop's local filesystem
+    # fails the re-written commit's atomic create as a concurrent writer
+    (commits[-1].parent / f".{commits[-1].name}.crc").unlink(missing_ok=True)
+    ckpt2 = root / "stream_ckpt_restarted"
+    shutil.copytree(ckpt, ckpt2)
+
+    # routed-sink maintenance: compaction's replace snapshot supersedes
+    # the lost epoch's append, expiry deletes that append snapshot
+    assert pipe.routed_table.compact(rows_per_file=10 ** 6) is not None
+    assert pipe.routed_table.expire_snapshots() != []
+
+    # restart replays the uncommitted epoch; the retained marker makes it
+    # a no-op instead of a duplicate commit
+    replay = run_streaming(spark, pages_table, pipe, ckpt2,
+                           max_files_per_trigger=1)
+    assert replay  # Spark really re-fed the lost epoch through foreachBatch
+    assert pipe.routed().count() == n
+    for cls, want in corpus.golden_counts.items():
+        assert pipe.sink(cls).count() == want, cls
+
+
 def test_fresh_stream_after_expiry_warns_and_tails_new_appends(
         spark, corpus, lookup_sdf, tmp_path_factory):
     """After compact + expire_snapshots the pre-compaction rows exist only
