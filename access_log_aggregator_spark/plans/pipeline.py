@@ -240,9 +240,12 @@ class Pipeline:
         Snapshot ids alone are NOT enough: a truncate+recommit rebuild
         (--log-file) restarts ids at 1 and could coincide with the stamped
         value — the marker set always differs across rebuilds.
-        Content-preserving maintenance (compact/expire) changes this
-        fingerprint by design; the CLI restamps current aggregates
-        afterwards (:meth:`restamp_aggregates`) instead of recomputing."""
+        Compaction moves this fingerprint by design (a replace snapshot
+        advances the last id) and the CLI restamps current aggregates
+        afterwards (:meth:`restamp_aggregates`) instead of recomputing;
+        expiry no longer moves it at all (expired snapshots' markers are
+        retained, last id and live rows unchanged), so an expire-only
+        maintenance run leaves the aggregates provably current."""
         st = self._routed_state()
         return None if st is None else st.fp
 
