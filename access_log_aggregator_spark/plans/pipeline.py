@@ -243,9 +243,11 @@ class Pipeline:
         Compaction moves this fingerprint by design (a replace snapshot
         advances the last id) and the CLI restamps current aggregates
         afterwards (:meth:`restamp_aggregates`) instead of recomputing;
-        expiry no longer moves it at all (expired snapshots' markers are
-        retained, last id and live rows unchanged), so an expire-only
-        maintenance run leaves the aggregates provably current."""
+        expiry normally leaves it untouched (expired snapshots' markers
+        are retained, last id and live rows unchanged) — except on a sink
+        whose retention list is at its cap, where the oldest markers age
+        out, the fingerprint moves, and the staleness heal recomputes
+        (safe, just not free)."""
         st = self._routed_state()
         return None if st is None else st.fp
 

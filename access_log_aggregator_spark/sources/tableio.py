@@ -50,7 +50,7 @@ _MANIFEST = "manifest.json"
 STREAM_GLOB = "part-*.parquet"
 
 #: How many expired snapshots' idempotence markers the manifest retains
-#: (newest first to go over the cap). Retention exists so a replayed
+#: (kept in commit order; the OLDEST age out first). Retention exists so a replayed
 #: commit still dedupes after maintenance removed its snapshot; replays
 #: only ever reference RECENT commits (a streaming checkpoint replays at
 #: most the batch in flight at a crash, a batch rerun its last
@@ -84,6 +84,16 @@ def _live_set(snaps: list[dict]) -> tuple[int, list[dict]]:
         and (s.get("operation", "append") == "append" or s["id"] == base)
     ]
     return base, live
+
+
+def _all_markers(m: dict) -> set[str]:
+    """Every idempotence marker a raw manifest knows: live/time-travel
+    snapshots' markers plus the bounded ``expired_markers`` retention
+    list. THE one copy of the marker-set rule — ``committed_markers()``
+    and ``state()`` both derive from it, so the staleness fingerprint can
+    never desynchronize from the dedupe check."""
+    return ({s["marker"] for s in m["snapshots"] if s.get("marker")}
+            | set(m.get("expired_markers", [])))
 
 
 def _marker_snapshot_id(m: dict, marker: str) -> Optional[int]:
@@ -169,9 +179,7 @@ class SnapshotTable:
         are what make a replayed commit a no-op: a streaming checkpoint
         that replays a batch AFTER maintenance expired that batch's
         snapshot must still dedupe, or the replay double-commits rows."""
-        m = self._manifest()
-        live = {s["marker"] for s in m["snapshots"] if s.get("marker")}
-        return live | set(m.get("expired_markers", []))
+        return _all_markers(self._manifest())
 
     def state(self) -> tuple[Optional[int], int, frozenset]:
         """(last snapshot id, live row count, committed markers) from ONE
@@ -183,9 +191,7 @@ class SnapshotTable:
         snaps = m["snapshots"]
         _, live = _live_set(snaps)
         live_rows = sum(s["row_count"] for s in live)
-        markers = frozenset(
-            s["marker"] for s in snaps if s.get("marker")
-        ) | frozenset(m.get("expired_markers", []))
+        markers = frozenset(_all_markers(m))
         return (snaps[-1]["id"] if snaps else None), live_rows, markers
 
     # -- table properties (Iceberg table-properties analog) -------------------
@@ -294,15 +300,22 @@ class SnapshotTable:
                       expected_current: Optional[int] = None) -> int:
         with self._manifest_lock():
             m = self._manifest()
+            # cleanup basis for the dedupe/conflict paths below: a file is
+            # safe to unlink ONLY if NO snapshot in the manifest references
+            # it — not merely if it left the LIVE view. A losing compact
+            # passes carried pre-existing files in ``files``; if the
+            # winning racer's replace merged those same files they are
+            # gone from the live set but still referenced by older append
+            # snapshots (time travel, behind-cursor incremental reads), so
+            # a live-set basis would delete rows readers can still ask for.
+            referenced = {str(self.root / f)
+                          for s in m["snapshots"] for f in s["files"]}
             dup_id = _marker_snapshot_id(m, marker) if marker is not None else None
             if dup_id is not None:
-                # duplicate commit: drop the staged files, keep table as-is.
-                # Callers that pass PRE-EXISTING live files (compact's carried
-                # singles) must pre-check the marker before staging — this
-                # path assumes every file in ``files`` is freshly staged.
-                live = set(self.data_files())
+                # duplicate commit: drop the freshly staged files (never
+                # referenced), keep the table as-is
                 for f in files:
-                    if str(f) not in live:
+                    if str(f) not in referenced:
                         f.unlink(missing_ok=True)
                 return dup_id
             cur = m["snapshots"][-1]["id"] if m["snapshots"] else None
@@ -316,9 +329,8 @@ class SnapshotTable:
                 # never re-mint the captured id (ABA), so id equality
                 # really does mean "the exact state the rewrite read".
                 if cur != expected_current:
-                    live = set(self.data_files())
                     for f in files:
-                        if str(f) not in live:
+                        if str(f) not in referenced:
                             f.unlink(missing_ok=True)
                     raise CommitConflict(
                         f"table advanced (current={cur}, expected="
@@ -423,8 +435,10 @@ class SnapshotTable:
             # unlinked a listed file) or a CommitConflict must not leak the
             # compact-* outputs already written for EARLIER groups: nothing
             # references them, so no later expire/truncate would ever
-            # reclaim them. (_commit_files' own conflict path unlinks too;
-            # missing_ok makes the overlap harmless.)
+            # reclaim them. (_commit_files' conflict path also unlinks
+            # unreferenced staged files; missing_ok makes that overlap
+            # harmless, and carried pre-existing files are protected there
+            # by the referenced-by-any-snapshot basis.)
             for f in staged:
                 f.unlink(missing_ok=True)
             raise
@@ -472,7 +486,10 @@ class SnapshotTable:
                 if mk and mk not in seen:
                     retained.append(mk)
                     seen.add(mk)
-            m["expired_markers"] = retained[-EXPIRED_MARKER_RETENTION:]
+            # explicit <=0 branch: retained[-0:] is the WHOLE list, so a
+            # zero cap would silently mean "retain everything", not "none"
+            m["expired_markers"] = (retained[-EXPIRED_MARKER_RETENTION:]
+                                    if EXPIRED_MARKER_RETENTION > 0 else [])
             # record the expiry floor: pre-compaction rows now exist ONLY in
             # compact-* files, which directory-based streams deliberately do
             # not glob — a stream checkpoint created after this point can

@@ -398,6 +398,53 @@ def test_truncate_voids_expired_marker_retention(tmp_path):
     assert t.row_count() == 5 and sid is not None
 
 
+def test_losing_compact_conflict_keeps_carried_files_readable(tmp_path):
+    """Two compactors race with different rows_per_file: the loser passed
+    a CARRIED pre-existing file in its commit list which the winner's
+    replace snapshot merged away. The loser's conflict cleanup must not
+    unlink it — older append snapshots still reference it (time travel,
+    behind-cursor incremental reads) — while the loser's freshly staged
+    compact-* output must still be reclaimed."""
+    import pyarrow.parquet as pq
+    import pytest
+    import unittest.mock as mock
+
+    from access_log_aggregator_spark.sources.tableio import CommitConflict
+
+    t = SnapshotTable.create(tmp_path / "t")
+    t.append_pandas(_pdf(50))       # carried by A (>= 10 rows)
+    t.append_pandas(_pdf(5, 50))    # merged by A
+    t.append_pandas(_pdf(5, 55))    # merged by A
+
+    real_meta = pq.read_metadata
+    state = {"raced": False}
+
+    def racing_meta(f, *a, **kw):
+        if not state["raced"]:
+            state["raced"] = True
+            # B commits its replace between A's base capture and A's CAS
+            SnapshotTable(tmp_path / "t").compact(rows_per_file=100)
+        return real_meta(f, *a, **kw)
+
+    with mock.patch.object(pq, "read_metadata", side_effect=racing_meta):
+        with pytest.raises(CommitConflict):
+            t.compact(rows_per_file=10)
+
+    # every file any snapshot references is still on disk (the carried
+    # 50-row file survived the loser's cleanup), and nothing else is
+    # (the loser's staged compact-* output was reclaimed)
+    m = t._manifest()
+    referenced = {str(tmp_path / "t" / f)
+                  for s in m["snapshots"] for f in s["files"]}
+    on_disk = {str(p) for p in (tmp_path / "t" / "data").glob("*.parquet")}
+    assert on_disk == referenced
+    # time travel to the first append still reads its rows
+    first = t.snapshots()[0]
+    got = pq.read_table(str(tmp_path / "t" / first.files[0]))
+    assert got.num_rows == 50
+    assert t.row_count() == 60  # live view intact
+
+
 def test_compact_cleans_staged_outputs_on_failed_read(tmp_path):
     """A FileNotFoundError mid-compact (concurrent truncate/expire
     unlinked a listed file) must not leak the compact-* outputs already
