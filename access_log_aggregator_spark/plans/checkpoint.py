@@ -21,6 +21,7 @@ import json
 import os
 import uuid
 from dataclasses import asdict, dataclass, field
+from dataclasses import fields as dataclass_fields
 from pathlib import Path
 from typing import Optional
 
@@ -54,7 +55,11 @@ class Checkpoint:
             return CheckpointState()
         with open(self.path) as f:
             d = json.load(f)
-        return CheckpointState(**d)
+        # ignore unknown keys: a checkpoint annotated by a newer release
+        # (or by hand) must still load, not crash every subsequent run
+        # with a TypeError before any processing happens
+        known = {f.name for f in dataclass_fields(CheckpointState)}
+        return CheckpointState(**{k: v for k, v in d.items() if k in known})
 
     def save(self, state: CheckpointState) -> None:
         state.batches = state.batches[-BATCH_HISTORY_LIMIT:]
@@ -82,8 +87,55 @@ def run_incremental(
     """
     state = CheckpointState() if from_start else checkpoint.load()
     results: list[BatchResult] = []
+
+    # fail closed on expired history: appends removed by compact+expire
+    # live only in the replace base, which the incremental loop below
+    # skips BY DESIGN (a replace carries no new rows) — so a cursor
+    # behind the highest expired append id would otherwise silently
+    # advance past rows it never processed. --from-start over a sink
+    # with no batch-routed rows below the base may instead REBUILD from
+    # the base's full content (one batch, marker pages-snap-<base>).
+    ceiling = pages_table.expired_append_ceiling()
+    if ceiling and state.last_snapshot_id < ceiling:
+        base = pages_table.live_base_id()
+        sink_markers = (pipeline.routed_table.committed_markers()
+                        if pipeline.routed_table.exists() else set())
+        stale = sorted(
+            int(m[len("pages-snap-"):]) for m in sink_markers
+            if m.startswith("pages-snap-")
+            and m[len("pages-snap-"):].isdigit()
+            and int(m[len("pages-snap-"):]) < base)
+        if not from_start or stale:
+            raise RuntimeError(
+                f"snapshot(s) up to id {ceiling} of {pages_table.root} "
+                "were compacted + expired before this checkpoint "
+                f"(cursor {state.last_snapshot_id}) processed them; their "
+                "rows now exist only in the replace base, which "
+                "incremental reads skip. "
+                + (f"The routed sink already holds batches {stale[:3]}"
+                   f"{'...' if len(stale) > 3 else ''} from before the "
+                   "expiry, so a rebuild here would duplicate them — "
+                   "rerun with --from-start into a FRESH --out."
+                   if stale else
+                   "Rerun with --from-start to rebuild from the live "
+                   "view, or continue via the stream-managed path.")
+            )
+        batch_df = pages_table.read(spark, end=base)
+        if batch_df is not None:
+            res = pipeline.process_batch(batch_df,
+                                         batch_id=f"pages-snap-{base}")
+            results.append(res)
+            state.batches.append(
+                {"batch_id": res.batch_id, "pages_snapshot": base,
+                 "routed_snapshot": res.snapshot_id,
+                 "rows_in": res.rows_in, "sink_counts": res.sink_counts,
+                 "malformed": res.malformed, "rebuild_from_base": True}
+            )
+        state.last_snapshot_id = base
+        checkpoint.save(state)
+
     snaps = [s for s in pages_table.snapshots() if s.id > state.last_snapshot_id]
-    for s in snaps[: max_batches if max_batches is not None else len(snaps)]:
+    for s in snaps[:max_batches]:
         batch_df = pages_table.read(spark, start_after=s.id - 1, end=s.id)
         if batch_df is None:  # empty snapshot — still advance the cursor
             state.last_snapshot_id = s.id

@@ -168,6 +168,21 @@ class SnapshotTable:
         this floor; batch :meth:`read` still serves full content."""
         return self._manifest().get("stream_floor")
 
+    def expired_append_ceiling(self) -> int:
+        """Highest APPEND snapshot id ever removed by
+        :meth:`expire_snapshots` (0 if none). A snapshot-incremental
+        consumer whose cursor is BELOW this id can never see those
+        appends' rows again — they live only in replace snapshots, which
+        incremental reads skip by design — so such a consumer must fail
+        closed instead of silently advancing past them
+        (plans/checkpoint.py enforces this). Reset by :meth:`truncate`."""
+        return int(self._manifest().get("expired_append_ceiling", 0))
+
+    def live_base_id(self) -> int:
+        """Snapshot id of the latest replace snapshot (the live base), or
+        -1 when the live view is appends-only."""
+        return _live_set(self._manifest()["snapshots"])[0]
+
     def committed_markers(self) -> set[str]:
         """Every idempotence marker this table has EVER committed (until a
         truncate voids the history): live/time-travel snapshots' markers
@@ -225,14 +240,27 @@ class SnapshotTable:
                 fcntl.flock(lk, fcntl.LOCK_UN)
 
     # -- stream registration --------------------------------------------------
+    @staticmethod
+    def _stream_key(checkpoint_dir: str | Path) -> str:
+        """Marker filename key: md5 of the ABSOLUTE checkpoint path, so the
+        same checkpoint spelled relative vs absolute (or from different
+        cwds) maps to one marker. abspath, not resolve: a checkpoint
+        reached via a stable symlink keeps its spelled identity, matching
+        the logfiles-mode convention."""
+        return hashlib.md5(
+            os.path.abspath(str(checkpoint_dir)).encode()).hexdigest()
+
     def register_stream(self, checkpoint_dir: str | Path) -> None:
         """Record that a directory-based stream tails this table (one marker
         per checkpoint location). Maintenance that would delete data files
-        (:meth:`expire_snapshots`) refuses while markers exist."""
-        d = self.root / ".streams"
-        d.mkdir(exist_ok=True)
-        key = hashlib.md5(str(checkpoint_dir).encode()).hexdigest()
-        (d / f"{key}.json").write_text(json.dumps({"checkpoint": str(checkpoint_dir)}))
+        (:meth:`expire_snapshots`) refuses while markers exist. Taken
+        under the manifest lock so registration serializes against a
+        concurrent expiry's marker check."""
+        with self._manifest_lock():
+            d = self.root / ".streams"
+            d.mkdir(exist_ok=True)
+            (d / f"{self._stream_key(checkpoint_dir)}.json").write_text(
+                json.dumps({"checkpoint": str(checkpoint_dir)}))
 
     def unregister_stream(self, checkpoint_dir: str | Path) -> bool:
         """Retire a stream checkpoint's marker, unblocking
@@ -241,12 +269,17 @@ class SnapshotTable:
         ``part-*`` files an incremental drain has not listed yet (a
         drained-but-resumable checkpoint still needs appends committed
         after its last run if they get compacted+expired in between).
-        Returns True when a marker was removed."""
-        key = hashlib.md5(str(checkpoint_dir).encode()).hexdigest()
-        p = self.root / ".streams" / f"{key}.json"
-        existed = p.exists()
-        p.unlink(missing_ok=True)
-        return existed
+        Returns True when a marker was removed. Markers written by older
+        releases were keyed on the raw path spelling; both keys are
+        checked so they stay retirable."""
+        removed = False
+        for key in {self._stream_key(checkpoint_dir),
+                    hashlib.md5(str(checkpoint_dir).encode()).hexdigest()}:
+            p = self.root / ".streams" / f"{key}.json"
+            if p.exists():
+                p.unlink(missing_ok=True)
+                removed = True
+        return removed
 
     def stream_markers(self) -> list[str]:
         d = self.root / ".streams"
@@ -456,13 +489,18 @@ class SnapshotTable:
         would silently lose rows). Pass ``force=True`` only when every
         registered checkpoint is known dead. Returns the deleted paths.
         """
-        if self.stream_markers() and not force:
-            raise RuntimeError(
-                f"refusing to expire snapshots of {self.root}: stream "
-                f"checkpoint(s) registered ({self.stream_markers()}); "
-                "stop the streams or pass force=True"
-            )
         with self._manifest_lock():
+            # marker check INSIDE the lock: register_stream serializes on
+            # the same lock, so a stream registering concurrently either
+            # lands before this check (expiry refuses) or after the floor
+            # commit (the fresh-checkpoint floor warning fires) — never in
+            # a window where it silently misses both
+            if self.stream_markers() and not force:
+                raise RuntimeError(
+                    f"refusing to expire snapshots of {self.root}: stream "
+                    f"checkpoint(s) registered ({self.stream_markers()}); "
+                    "stop the streams or pass force=True"
+                )
             m = self._manifest()
             snaps = m["snapshots"]
             base, keep = _live_set(snaps)
@@ -490,6 +528,14 @@ class SnapshotTable:
             # zero cap would silently mean "retain everything", not "none"
             m["expired_markers"] = (retained[-EXPIRED_MARKER_RETENTION:]
                                     if EXPIRED_MARKER_RETENTION > 0 else [])
+            # record the highest APPEND id this expiry removes: incremental
+            # consumers below it fail closed (expired_append_ceiling) —
+            # their unprocessed rows now exist only in the replace base
+            m["expired_append_ceiling"] = max(
+                int(m.get("expired_append_ceiling", 0)),
+                max((s["id"] for s in drop
+                     if s.get("operation", "append") == "append"), default=0),
+            )
             # record the expiry floor: pre-compaction rows now exist ONLY in
             # compact-* files, which directory-based streams deliberately do
             # not glob — a stream checkpoint created after this point can
@@ -566,7 +612,16 @@ class SnapshotTable:
         :meth:`expire_snapshots` only frees files superseded by a replace
         snapshot still in the manifest). Files are unlinked after the
         manifest commit, mirroring expire_snapshots: a crash in between
-        orphans at most one generation, never corrupts the live view."""
+        orphans at most one generation, never corrupts the live view.
+
+        Refuses (RuntimeError) while a directory-based stream is
+        registered on this table, for the same reason expire_snapshots
+        does: it deletes the very ``part-*`` files such streams read."""
+        if self.stream_markers():
+            raise RuntimeError(
+                f"refusing to truncate {self.root}: stream checkpoint(s) "
+                f"registered ({self.stream_markers()}); retire them first"
+            )
         with self._manifest_lock():
             m = self._manifest()
             doomed = sorted({f for s in m["snapshots"] for f in s["files"]})
@@ -582,8 +637,14 @@ class SnapshotTable:
             m["snapshots"] = []
             # a truncate voids the idempotence history along with the rows:
             # a marker retained past the rebuild would silently no-op the
-            # very re-commit the truncate exists to enable
+            # very re-commit the truncate exists to enable. The expiry
+            # metadata goes with it — the expired history it described no
+            # longer exists, and a stale stream_floor would make a fresh
+            # post-rebuild checkpoint warn about compact-* rows that were
+            # deleted, not compacted.
             m.pop("expired_markers", None)
+            m.pop("expired_append_ceiling", None)
+            m.pop("stream_floor", None)
             self._write_manifest(m)
         for f in doomed:
             (self.root / f).unlink(missing_ok=True)

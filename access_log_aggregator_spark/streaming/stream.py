@@ -30,7 +30,7 @@ from pyspark.sql.types import (
     TimestampNTZType,
 )
 
-from ..plans.pipeline import Pipeline
+from ..plans.pipeline import BatchResult, Pipeline
 from ..sources.tableio import STREAM_GLOB, SnapshotTable
 
 PAGES_SCHEMA = StructType(
@@ -56,6 +56,12 @@ def _page_stream(spark: SparkSession, pages_table: SnapshotTable,
     table.unregister_stream(checkpoint) once the checkpoint is done for
     good (a resumable checkpoint keeps its marker so appends committed
     between drains cannot be compacted+expired out from under it)."""
+    # register FIRST, read the floor AFTER: registration serializes on the
+    # table's manifest lock against expire_snapshots' marker check, so a
+    # stream landing concurrently with an expiry either blocks the expiry
+    # or (registering just after it) reads the committed floor here and
+    # warns — there is no window where it misses both.
+    pages_table.register_stream(checkpoint_dir)
     floor = pages_table.stream_floor()
     if floor is not None and not Path(checkpoint_dir).exists():
         import warnings
@@ -71,7 +77,6 @@ def _page_stream(spark: SparkSession, pages_table: SnapshotTable,
             "batch read or they will arrive twice",
             stacklevel=2,
         )
-    pages_table.register_stream(checkpoint_dir)
     return (
         spark.readStream.schema(PAGES_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -80,13 +85,42 @@ def _page_stream(spark: SparkSession, pages_table: SnapshotTable,
     )
 
 
+def _guard_fresh_checkpoint_against_foreign_markers(
+        pipeline: Pipeline, checkpoint_dir: str | Path) -> None:
+    """A FRESH stream checkpoint restarts Spark's batch ids at 0, and the
+    routed sink's idempotence markers are ``stream-{batch_id}`` — so a
+    fresh checkpoint pointed at a sink another stream checkpoint already
+    committed to would find its early batch ids ALREADY MARKED and drop
+    those micro-batches as duplicate no-ops: silent row loss, the inverse
+    of the double-routing the other mode-ownership guards catch. Refuse
+    up front; resuming an existing checkpoint (offsets present) keeps its
+    own ids and is unaffected."""
+    if (Path(checkpoint_dir) / "offsets").exists():
+        return  # resume: batch ids continue where this checkpoint left off
+    t = pipeline.routed_table
+    if not t.exists():
+        return
+    owned = sorted(m for m in t.committed_markers()
+                   if m.startswith("stream-"))
+    if owned:
+        raise RuntimeError(
+            f"{t.root} already holds rows committed by another stream "
+            f"checkpoint (markers {owned[:3]}"
+            f"{'...' if len(owned) > 3 else ''}): a fresh checkpoint "
+            "restarts micro-batch ids at 0, so its batches would collide "
+            "with those markers and be dropped as duplicates. Resume the "
+            "original checkpoint, or point the output at a fresh "
+            "directory."
+        )
+
+
 def run_streaming(
     spark: SparkSession,
     pages_table: SnapshotTable,
     pipeline: Pipeline,
     checkpoint_dir: str | Path,
     max_files_per_trigger: int = 16,
-) -> list[str]:
+) -> list["BatchResult"]:
     """Drain the pages table through the batch pipeline via foreachBatch
     (AvailableNow: process every unseen file, then stop — the
     graceful-shutdown drain).
@@ -98,7 +132,8 @@ def run_streaming(
     caller needs to stop/await — a fire-and-forget live start with no
     handle would be unmanageable.
     """
-    processed: list = []
+    _guard_fresh_checkpoint_against_foreign_markers(pipeline, checkpoint_dir)
+    processed: list[BatchResult] = []
 
     def handle(batch_df, batch_id: int) -> None:
         processed.append(pipeline.process_batch(batch_df, batch_id=f"stream-{batch_id}"))
@@ -142,12 +177,15 @@ def run_windowed_stream(
     """
     from pyspark.sql import functions as F
 
+    from ..functions import extract as X
     from ..plans.pipeline import build_routed
 
+    _require_fresh_memory_sink_checkpoint(checkpoint_dir, query_name)
     stream = _page_stream(spark, pages_table, checkpoint_dir,
                           max_files_per_trigger)
     routed = build_routed(stream, lookup)
-    valid = routed.filter(F.col("match_class").isin("parsed", "bot"))
+    valid = routed.filter(
+        F.col("match_class").isin(X.CLASS_PARSED, X.CLASS_BOT))
     agg = (
         valid.withWatermark("log_ts", watermark)
         .groupBy(F.window("log_ts", duration).alias("w"), F.col("host"))
@@ -162,6 +200,9 @@ def run_windowed_stream(
         .start()
     )
     q.awaitTermination()
+    # one-shot by construction (memory sink — see the precheck): retire
+    # the marker so this demo drain does not block expire_snapshots forever
+    pages_table.unregister_stream(checkpoint_dir)
     return query_name
 
 
@@ -188,6 +229,7 @@ def run_dedup_stream(
     """
     from pyspark.sql import functions as F
 
+    _require_fresh_memory_sink_checkpoint(checkpoint_dir, query_name)
     stream = _page_stream(spark, pages_table, checkpoint_dir, 1)
     # watermarks need an instant (TIMESTAMP); warc_ts is stored NTZ-UTC
     deduped = (
@@ -204,7 +246,26 @@ def run_dedup_stream(
         .start()
     )
     q.awaitTermination()
+    # one-shot by construction (memory sink): retire the marker so this
+    # demo drain does not block expire_snapshots forever
+    pages_table.unregister_stream(checkpoint_dir)
     return query_name
+
+
+def _require_fresh_memory_sink_checkpoint(
+        checkpoint_dir: str | Path, query_name: str) -> None:
+    """Spark refuses to RECOVER an append-mode memory sink from an
+    existing checkpoint ('this query does not support recovering from
+    checkpoint location'), so the two in-memory demo streams are one-shot
+    per checkpoint dir. Fail up front with guidance instead of letting
+    startQuery throw after the stream marker is already registered."""
+    if (Path(checkpoint_dir) / "offsets").exists():
+        raise ValueError(
+            f"{query_name}: Spark cannot recover an append-mode memory "
+            f"sink from the existing checkpoint {checkpoint_dir}; these "
+            "demo streams are one-shot — use a fresh checkpoint dir, or "
+            "run_streaming/start_live_stream for resumable processing"
+        )
 
 
 def start_live_stream(
@@ -224,7 +285,8 @@ def start_live_stream(
     finish — the graceful-shutdown drain (aggregate.go:28-41): everything
     enqueued is counted before exit.
     """
-    processed: list = []
+    _guard_fresh_checkpoint_against_foreign_markers(pipeline, checkpoint_dir)
+    processed: list[BatchResult] = []
 
     def handle(batch_df, batch_id: int) -> None:
         processed.append(pipeline.process_batch(batch_df, batch_id=f"stream-{batch_id}"))

@@ -369,6 +369,47 @@ def test_resume_is_idempotent(pipe, spark, corpus, lookup_sdf, tmp_path_factory)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
 
+def test_incremental_fails_closed_on_expired_unprocessed_appends(
+        spark, corpus, lookup_sdf, tmp_path_factory):
+    """Appends committed after the batch cursor and then compacted +
+    expired exist only in the replace base, which incremental reads skip
+    by design — the next batch run must FAIL CLOSED (previously it
+    silently advanced the cursor past rows it never processed), and
+    --from-start must refuse a rebuild into a sink that already holds
+    pre-expiry batches (duplicates) while rebuilding a FRESH sink from
+    the base's full content exactly once."""
+    import pytest
+
+    root = tmp_path_factory.mktemp("expired_cursor")
+    pages_table = SnapshotTable.create(root / "pages", "pages")
+    pages = corpus.pages.iloc[:400]
+    pages_table.append_pandas(pages.iloc[:100])
+    pages_table.append_pandas(pages.iloc[100:200])
+    p = Pipeline(spark, root / "out", lookup_sdf)
+    cp = Checkpoint(root / "checkpoint.json")
+    assert len(run_incremental(spark, pages_table, p, cp)) == 2  # cursor=2
+
+    pages_table.append_pandas(pages.iloc[200:300])  # never batch-processed
+    pages_table.append_pandas(pages.iloc[300:400])
+    pages_table.compact(rows_per_file=10 ** 6)
+    pages_table.expire_snapshots()
+
+    with pytest.raises(RuntimeError, match="compacted \\+ expired"):
+        run_incremental(spark, pages_table, p, cp)
+    with pytest.raises(RuntimeError, match="FRESH"):
+        run_incremental(spark, pages_table, p, cp, from_start=True)
+    assert p.routed().count() == 200  # nothing silently advanced or lost
+
+    p2 = Pipeline(spark, root / "out2", lookup_sdf)
+    cp2 = Checkpoint(root / "checkpoint2.json")
+    res = run_incremental(spark, pages_table, p2, cp2, from_start=True)
+    assert sum(r.rows_in for r in res) == 400
+    assert p2.routed().count() == 400
+    # the rebuild is checkpointed and idempotent
+    assert run_incremental(spark, pages_table, p2, cp2) == []
+    assert p2.routed().count() == 400
+
+
 def test_routed_sink_compaction_preserves_reads(pipe, spark, corpus, lookup_sdf,
                                                 tmp_path_factory):
     """Compacting the hive-partitioned routed sink merges files WITHIN each

@@ -298,6 +298,52 @@ def test_stream_ignores_compaction_outputs(spark, corpus, lookup_sdf,
     assert pipe2.routed().count() == n
 
 
+def test_fresh_checkpoint_refuses_sink_with_foreign_stream_markers(
+        spark, corpus, lookup_sdf, tmp_path_factory):
+    """A FRESH stream checkpoint restarts micro-batch ids at 0, so over a
+    sink another checkpoint already committed to, its batches would
+    collide with the existing stream-N markers and be silently dropped
+    as duplicates — the run must refuse up front instead. Resuming the
+    original checkpoint stays allowed."""
+    root = tmp_path_factory.mktemp("foreign_stream")
+    pages_table = SnapshotTable.create(root / "pages", "pages")
+    pages_table.append_pandas(corpus.pages.iloc[:100])
+    pipe = Pipeline(spark, root / "out", lookup_sdf)
+    run_streaming(spark, pages_table, pipe, root / "ckpt_a")
+    n = pipe.routed().count()
+    assert n == 100
+
+    with pytest.raises(RuntimeError, match="another stream checkpoint"):
+        run_streaming(spark, pages_table, pipe, root / "ckpt_b")
+    assert pipe.routed().count() == n  # nothing routed, nothing dropped
+
+    # the ORIGINAL checkpoint resumes fine (not fresh: offsets exist)
+    assert run_streaming(spark, pages_table, pipe, root / "ckpt_a") == []
+    assert pipe.routed().count() == n
+
+
+def test_memory_sink_demo_streams_are_one_shot_and_retire_markers(
+        spark, corpus, lookup_sdf, tmp_path_factory):
+    """The in-memory demo streams cannot recover from an existing
+    checkpoint (Spark restriction for append-mode memory sinks): they
+    retire their stream marker after the drain — a one-shot demo must
+    not block expire_snapshots forever — and refuse checkpoint reuse
+    with guidance instead of crashing inside startQuery."""
+    from access_log_aggregator_spark.streaming.stream import (
+        run_windowed_stream,
+    )
+
+    root = tmp_path_factory.mktemp("memsink")
+    t = SnapshotTable.create(root / "pages", "pages")
+    t.append_pandas(corpus.pages.iloc[:50])
+    run_windowed_stream(spark, t, lookup_sdf, root / "ckpt",
+                        query_name="windowed_hits_oneshot")
+    assert t.stream_markers() == []  # marker retired after the drain
+    with pytest.raises(ValueError, match="one-shot"):
+        run_windowed_stream(spark, t, lookup_sdf, root / "ckpt",
+                            query_name="windowed_hits_oneshot")
+
+
 def test_replayed_epoch_after_sink_maintenance_stays_deduped(
         spark, corpus, lookup_sdf, tmp_path_factory):
     """The crash + maintenance + restart interleaving: a shutdown cancels

@@ -332,6 +332,46 @@ def test_expiry_records_stream_floor(tmp_path):
     assert t.stream_floor() == replace_id
 
 
+def test_truncate_refuses_streamed_table_and_resets_expiry_metadata(tmp_path):
+    """truncate() deletes part-* files, so a registered stream must block
+    it like expire_snapshots; and a truncate voids the expiry metadata
+    (stream_floor, expired_append_ceiling) along with the rows — a stale
+    floor would make a fresh post-rebuild checkpoint warn about
+    compact-* rows that were deleted, not compacted."""
+    import pytest
+
+    t = SnapshotTable.create(tmp_path / "t")
+    for i in range(3):
+        t.append_pandas(_pdf(10, i * 10))
+    t.compact(rows_per_file=50)
+    t.expire_snapshots()
+    assert t.stream_floor() is not None
+    assert t.expired_append_ceiling() == 3  # appends 1-3 were expired
+    t.register_stream(tmp_path / "ckpt")
+    with pytest.raises(RuntimeError, match="truncate"):
+        t.truncate()
+    assert t.row_count() == 30  # refused: nothing deleted
+    t.unregister_stream(tmp_path / "ckpt")
+    t.truncate()
+    assert t.stream_floor() is None
+    assert t.expired_append_ceiling() == 0
+
+
+def test_stream_marker_key_is_path_spelling_independent(tmp_path, monkeypatch):
+    """The same checkpoint spelled relative, absolute, or ./-prefixed maps
+    to ONE marker, so --retire-stream invoked from a different cwd
+    spelling actually retires it instead of leaving expiry blocked."""
+    t = SnapshotTable.create(tmp_path / "t")
+    monkeypatch.chdir(tmp_path)
+    t.register_stream("ckpt")
+    assert len(t.stream_markers()) == 1
+    t.register_stream(tmp_path / "ckpt")  # absolute spelling: same marker
+    assert len(t.stream_markers()) == 1
+    assert t.unregister_stream("./ckpt") is True
+    assert t.stream_markers() == []
+    assert t.unregister_stream("ckpt") is False  # already retired
+
+
 def test_markers_survive_expiry_so_replays_stay_deduped(tmp_path):
     """The checkpoint-replay safety net: a streaming sink batch whose
     snapshot was compacted + expired must STILL dedupe when the
