@@ -100,23 +100,32 @@ def run_incremental(
         base = pages_table.live_base_id()
         sink_markers = (pipeline.routed_table.committed_markers()
                         if pipeline.routed_table.exists() else set())
-        stale = sorted(
-            int(m[len("pages-snap-"):]) for m in sink_markers
-            if m.startswith("pages-snap-")
-            and m[len("pages-snap-"):].isdigit()
-            and int(m[len("pages-snap-"):]) < base)
-        if not from_start or stale:
+        # a rebuild re-commits the base's FULL content, so any sink rows
+        # committed under a marker the rebuild will not reuse would be
+        # duplicated: pages-snap ids below the base (pre-expiry batch
+        # runs) AND every non-batch marker (stream-N, logfiles-* — rows
+        # the base also contains, filed under a different lineage).
+        # Allowed: pages-snap-<base> itself (idempotent rebuild retry)
+        # and pages-snap ids above the base (the incremental loop below
+        # re-processes those snapshots under the SAME marker = no-op).
+        foreign = sorted(
+            m for m in sink_markers
+            if not (m.startswith("pages-snap-")
+                    and m[len("pages-snap-"):].isdigit()
+                    and int(m[len("pages-snap-"):]) >= base))
+        if not from_start or foreign:
             raise RuntimeError(
                 f"snapshot(s) up to id {ceiling} of {pages_table.root} "
                 "were compacted + expired before this checkpoint "
                 f"(cursor {state.last_snapshot_id}) processed them; their "
                 "rows now exist only in the replace base, which "
                 "incremental reads skip. "
-                + (f"The routed sink already holds batches {stale[:3]}"
-                   f"{'...' if len(stale) > 3 else ''} from before the "
+                + (f"The routed sink already holds rows committed under "
+                   f"marker(s) {foreign[:3]}"
+                   f"{'...' if len(foreign) > 3 else ''} from before the "
                    "expiry, so a rebuild here would duplicate them — "
                    "rerun with --from-start into a FRESH --out."
-                   if stale else
+                   if foreign else
                    "Rerun with --from-start to rebuild from the live "
                    "view, or continue via the stream-managed path.")
             )

@@ -259,8 +259,14 @@ class SnapshotTable:
         with self._manifest_lock():
             d = self.root / ".streams"
             d.mkdir(exist_ok=True)
+            # payload is the ABSOLUTE path (like the key): consumers read
+            # it back from arbitrary cwds (cli.py's mixed-mode guard calls
+            # stream_drained_snapshots on it) — a relative spelling would
+            # resolve against THEIR cwd and fail closed on a healthy
+            # checkpoint
             (d / f"{self._stream_key(checkpoint_dir)}.json").write_text(
-                json.dumps({"checkpoint": str(checkpoint_dir)}))
+                json.dumps(
+                    {"checkpoint": os.path.abspath(str(checkpoint_dir))}))
 
     def unregister_stream(self, checkpoint_dir: str | Path) -> bool:
         """Retire a stream checkpoint's marker, unblocking
@@ -617,12 +623,17 @@ class SnapshotTable:
         Refuses (RuntimeError) while a directory-based stream is
         registered on this table, for the same reason expire_snapshots
         does: it deletes the very ``part-*`` files such streams read."""
-        if self.stream_markers():
-            raise RuntimeError(
-                f"refusing to truncate {self.root}: stream checkpoint(s) "
-                f"registered ({self.stream_markers()}); retire them first"
-            )
         with self._manifest_lock():
+            # marker check INSIDE the lock (like expire_snapshots):
+            # register_stream serializes on the same lock, so a stream
+            # registering concurrently either blocks this truncate or
+            # registers after the manifest is already emptied
+            if self.stream_markers():
+                raise RuntimeError(
+                    f"refusing to truncate {self.root}: stream "
+                    f"checkpoint(s) registered ({self.stream_markers()}); "
+                    "retire them first"
+                )
             m = self._manifest()
             doomed = sorted({f for s in m["snapshots"] for f in s["files"]})
             # preserve the id high-water mark: the first post-truncate

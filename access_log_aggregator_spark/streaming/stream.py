@@ -95,7 +95,11 @@ def _guard_fresh_checkpoint_against_foreign_markers(
     of the double-routing the other mode-ownership guards catch. Refuse
     up front; resuming an existing checkpoint (offsets present) keeps its
     own ids and is unaffected."""
-    if (Path(checkpoint_dir) / "offsets").exists():
+    offsets = Path(checkpoint_dir) / "offsets"
+    # resume = at least one offset FILE: a bare offsets/ dir left by a
+    # crash before offset 0 was written still restarts at batch id 0,
+    # exactly the collision a fresh checkpoint has
+    if offsets.is_dir() and any(offsets.iterdir()):
         return  # resume: batch ids continue where this checkpoint left off
     t = pipeline.routed_table
     if not t.exists():
@@ -183,26 +187,30 @@ def run_windowed_stream(
     _require_fresh_memory_sink_checkpoint(checkpoint_dir, query_name)
     stream = _page_stream(spark, pages_table, checkpoint_dir,
                           max_files_per_trigger)
-    routed = build_routed(stream, lookup)
-    valid = routed.filter(
-        F.col("match_class").isin(X.CLASS_PARSED, X.CLASS_BOT))
-    agg = (
-        valid.withWatermark("log_ts", watermark)
-        .groupBy(F.window("log_ts", duration).alias("w"), F.col("host"))
-        .agg(F.count(F.lit(1)).alias("hits"))
-        .select(F.col("w.start").alias("window_start"), "host", "hits")
-    )
-    q = (
-        agg.writeStream.outputMode("append")
-        .format("memory").queryName(query_name)
-        .option("checkpointLocation", str(checkpoint_dir))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
     # one-shot by construction (memory sink — see the precheck): retire
-    # the marker so this demo drain does not block expire_snapshots forever
-    pages_table.unregister_stream(checkpoint_dir)
+    # the marker even on failure — a failed run leaves offsets behind, so
+    # it can never be resumed either way, and a leaked marker would block
+    # expire_snapshots forever
+    try:
+        routed = build_routed(stream, lookup)
+        valid = routed.filter(
+            F.col("match_class").isin(X.CLASS_PARSED, X.CLASS_BOT))
+        agg = (
+            valid.withWatermark("log_ts", watermark)
+            .groupBy(F.window("log_ts", duration).alias("w"), F.col("host"))
+            .agg(F.count(F.lit(1)).alias("hits"))
+            .select(F.col("w.start").alias("window_start"), "host", "hits")
+        )
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory").queryName(query_name)
+            .option("checkpointLocation", str(checkpoint_dir))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        pages_table.unregister_stream(checkpoint_dir)
     return query_name
 
 
@@ -231,24 +239,29 @@ def run_dedup_stream(
 
     _require_fresh_memory_sink_checkpoint(checkpoint_dir, query_name)
     stream = _page_stream(spark, pages_table, checkpoint_dir, 1)
-    # watermarks need an instant (TIMESTAMP); warc_ts is stored NTZ-UTC
-    deduped = (
-        stream.withColumn("_event_ts", F.col(watermark_col).cast("timestamp"))
-        .withWatermark("_event_ts", delay)
-        .dropDuplicatesWithinWatermark([key])
-        .select("url", "warc_ts", "lang")
-    )
-    q = (
-        deduped.writeStream.outputMode("append")
-        .format("memory").queryName(query_name)
-        .option("checkpointLocation", str(checkpoint_dir))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    # one-shot by construction (memory sink): retire the marker so this
-    # demo drain does not block expire_snapshots forever
-    pages_table.unregister_stream(checkpoint_dir)
+    # one-shot by construction (memory sink): retire the marker even on
+    # failure — a failed run leaves offsets behind, so it can never be
+    # resumed either way, and a leaked marker would block
+    # expire_snapshots forever
+    try:
+        # watermarks need an instant (TIMESTAMP); warc_ts is stored NTZ-UTC
+        deduped = (
+            stream.withColumn("_event_ts",
+                              F.col(watermark_col).cast("timestamp"))
+            .withWatermark("_event_ts", delay)
+            .dropDuplicatesWithinWatermark([key])
+            .select("url", "warc_ts", "lang")
+        )
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("memory").queryName(query_name)
+            .option("checkpointLocation", str(checkpoint_dir))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        pages_table.unregister_stream(checkpoint_dir)
     return query_name
 
 

@@ -410,6 +410,32 @@ def test_incremental_fails_closed_on_expired_unprocessed_appends(
     assert p2.routed().count() == 400
 
 
+def test_rebuild_refuses_sink_with_stream_markers(
+        spark, corpus, lookup_sdf, tmp_path_factory):
+    """The --from-start rebuild duplicate guard must catch rows committed
+    under ANY foreign marker, not just pre-expiry pages-snap batches: a
+    sink filled by a (since retired) stream holds the same rows under
+    stream-N markers, so a base rebuild into it would double every row."""
+    from access_log_aggregator_spark.streaming.stream import run_streaming
+
+    root = tmp_path_factory.mktemp("stream_then_rebuild")
+    pages_table = SnapshotTable.create(root / "pages", "pages")
+    pages_table.append_pandas(corpus.pages.iloc[:100])
+    pages_table.append_pandas(corpus.pages.iloc[100:200])
+    pipe = Pipeline(spark, root / "out", lookup_sdf)
+    run_streaming(spark, pages_table, pipe, root / "ckpt")
+    assert pipe.routed().count() == 200
+
+    pages_table.unregister_stream(root / "ckpt")  # stream permanently done
+    pages_table.compact(rows_per_file=10 ** 6)
+    pages_table.expire_snapshots()
+
+    cp = Checkpoint(root / "checkpoint.json")  # fresh batch cursor = 0
+    with pytest.raises(RuntimeError, match="stream-"):
+        run_incremental(spark, pages_table, pipe, cp, from_start=True)
+    assert pipe.routed().count() == 200  # nothing duplicated
+
+
 def test_routed_sink_compaction_preserves_reads(pipe, spark, corpus, lookup_sdf,
                                                 tmp_path_factory):
     """Compacting the hive-partitioned routed sink merges files WITHIN each

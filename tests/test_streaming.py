@@ -317,6 +317,14 @@ def test_fresh_checkpoint_refuses_sink_with_foreign_stream_markers(
         run_streaming(spark, pages_table, pipe, root / "ckpt_b")
     assert pipe.routed().count() == n  # nothing routed, nothing dropped
 
+    # a bare offsets/ dir (crash before offset 0 was committed) is still
+    # FRESH — it restarts at batch id 0, so it must refuse too, not slip
+    # through as a "resume"
+    (root / "ckpt_c" / "offsets").mkdir(parents=True)
+    with pytest.raises(RuntimeError, match="another stream checkpoint"):
+        run_streaming(spark, pages_table, pipe, root / "ckpt_c")
+    assert pipe.routed().count() == n
+
     # the ORIGINAL checkpoint resumes fine (not fresh: offsets exist)
     assert run_streaming(spark, pages_table, pipe, root / "ckpt_a") == []
     assert pipe.routed().count() == n
@@ -342,6 +350,15 @@ def test_memory_sink_demo_streams_are_one_shot_and_retire_markers(
     with pytest.raises(ValueError, match="one-shot"):
         run_windowed_stream(spark, t, lookup_sdf, root / "ckpt",
                             query_name="windowed_hits_oneshot")
+
+    # a FAILED demo run retires its marker too: the checkpoint can never
+    # be resumed either way (memory sink), so a leaked marker would block
+    # expire_snapshots forever
+    with pytest.raises(Exception, match="(?i)interval|bogus"):
+        run_windowed_stream(spark, t, lookup_sdf, root / "ckpt_fail",
+                            duration="bogus",
+                            query_name="windowed_hits_fail")
+    assert t.stream_markers() == []
 
 
 def test_replayed_epoch_after_sink_maintenance_stays_deduped(

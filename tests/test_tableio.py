@@ -361,10 +361,16 @@ def test_stream_marker_key_is_path_spelling_independent(tmp_path, monkeypatch):
     """The same checkpoint spelled relative, absolute, or ./-prefixed maps
     to ONE marker, so --retire-stream invoked from a different cwd
     spelling actually retires it instead of leaving expiry blocked."""
+    from pathlib import Path
+
     t = SnapshotTable.create(tmp_path / "t")
     monkeypatch.chdir(tmp_path)
     t.register_stream("ckpt")
     assert len(t.stream_markers()) == 1
+    # the stored payload is absolute too: consumers (cli.py's mixed-mode
+    # guard) read it back from arbitrary cwds and resolve it there
+    assert Path(t.stream_markers()[0]).is_absolute()
+    assert Path(t.stream_markers()[0]) == tmp_path / "ckpt"
     t.register_stream(tmp_path / "ckpt")  # absolute spelling: same marker
     assert len(t.stream_markers()) == 1
     assert t.unregister_stream("./ckpt") is True
