@@ -550,8 +550,15 @@ class SnapshotTable:
             # _page_stream warns fresh checkpoints using this field.
             m["stream_floor"] = base
             self._write_manifest(m)
-        for f in doomed:
-            (self.root / f).unlink(missing_ok=True)
+            # unlink INSIDE the lock (still after the manifest commit, so
+            # a crash mid-unlink orphans files, never corrupts the live
+            # view): register_stream serializes on this lock, so a stream
+            # registering concurrently can only list the data dir after
+            # the doomed part-* files are gone — released-lock unlinking
+            # left a window where a fresh stream's file source listed a
+            # doomed file and then crashed on FileNotFound mid-batch
+            for f in doomed:
+                (self.root / f).unlink(missing_ok=True)
         return [str(self.root / f) for f in doomed]
 
     def append_pandas(self, pdf: pd.DataFrame, marker: Optional[str] = None,
@@ -657,8 +664,13 @@ class SnapshotTable:
             m.pop("expired_append_ceiling", None)
             m.pop("stream_floor", None)
             self._write_manifest(m)
-        for f in doomed:
-            (self.root / f).unlink(missing_ok=True)
+            # unlink INSIDE the lock (like expire_snapshots, still after
+            # the manifest commit): a stream registering the instant the
+            # lock is released must list an already-empty data dir —
+            # otherwise its file source ingests the dropped generation's
+            # still-on-disk part-* files, resurrecting truncated rows
+            for f in doomed:
+                (self.root / f).unlink(missing_ok=True)
 
     # -- reads ---------------------------------------------------------------
     def _live_snapshots(self, end: Optional[int] = None) -> list[Snapshot]:

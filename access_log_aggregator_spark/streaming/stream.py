@@ -85,6 +85,21 @@ def _page_stream(spark: SparkSession, pages_table: SnapshotTable,
     )
 
 
+def _has_committed_offsets(checkpoint_dir: str | Path) -> bool:
+    """True iff the checkpoint holds at least one COMMITTED offset file —
+    the definition of "resumable": Spark's HDFSMetadataLog names batch
+    files ``0``, ``1``, ...; ``.``-prefixed entries are CRC sidecars and
+    in-flight ``.<id>.<uuid>.tmp`` writes. A bare ``offsets/`` dir (crash
+    before offset 0 was written) or one holding only sidecar/tmp litter
+    (crash mid-write of offset 0) still restarts at batch id 0, exactly
+    the collision a fresh checkpoint has."""
+    offsets = Path(checkpoint_dir) / "offsets"
+    if not offsets.is_dir():
+        return False
+    return any(not e.name.startswith(".") and not e.name.endswith(".tmp")
+               for e in offsets.iterdir())
+
+
 def _guard_fresh_checkpoint_against_foreign_markers(
         pipeline: Pipeline, checkpoint_dir: str | Path) -> None:
     """A FRESH stream checkpoint restarts Spark's batch ids at 0, and the
@@ -95,11 +110,7 @@ def _guard_fresh_checkpoint_against_foreign_markers(
     of the double-routing the other mode-ownership guards catch. Refuse
     up front; resuming an existing checkpoint (offsets present) keeps its
     own ids and is unaffected."""
-    offsets = Path(checkpoint_dir) / "offsets"
-    # resume = at least one offset FILE: a bare offsets/ dir left by a
-    # crash before offset 0 was written still restarts at batch id 0,
-    # exactly the collision a fresh checkpoint has
-    if offsets.is_dir() and any(offsets.iterdir()):
+    if _has_committed_offsets(checkpoint_dir):
         return  # resume: batch ids continue where this checkpoint left off
     t = pipeline.routed_table
     if not t.exists():
@@ -185,13 +196,17 @@ def run_windowed_stream(
     from ..plans.pipeline import build_routed
 
     _require_fresh_memory_sink_checkpoint(checkpoint_dir, query_name)
-    stream = _page_stream(spark, pages_table, checkpoint_dir,
-                          max_files_per_trigger)
     # one-shot by construction (memory sink — see the precheck): retire
     # the marker even on failure — a failed run leaves offsets behind, so
     # it can never be resumed either way, and a leaked marker would block
-    # expire_snapshots forever
+    # expire_snapshots forever. _page_stream (which REGISTERS the marker)
+    # sits inside the try: a failure after registration — floor read,
+    # fresh-past-floor warning escalated to an error, readStream build —
+    # must retire it too.
+    q = None
     try:
+        stream = _page_stream(spark, pages_table, checkpoint_dir,
+                              max_files_per_trigger)
         routed = build_routed(stream, lookup)
         valid = routed.filter(
             F.col("match_class").isin(X.CLASS_PARSED, X.CLASS_BOT))
@@ -210,6 +225,17 @@ def run_windowed_stream(
         )
         q.awaitTermination()
     finally:
+        # stop BEFORE retiring: KeyboardInterrupt in awaitTermination
+        # leaves the query running on Spark's thread, and retiring the
+        # marker then would let a follow-up expire_snapshots delete the
+        # very part-* files the still-active query is reading. stop() is
+        # bounded by spark.sql.streaming.stopTimeout (session factory
+        # sets 60s) and is a no-op on a terminated query.
+        if q is not None:
+            try:
+                q.stop()
+            except Exception:
+                pass
         pages_table.unregister_stream(checkpoint_dir)
     return query_name
 
@@ -238,12 +264,14 @@ def run_dedup_stream(
     from pyspark.sql import functions as F
 
     _require_fresh_memory_sink_checkpoint(checkpoint_dir, query_name)
-    stream = _page_stream(spark, pages_table, checkpoint_dir, 1)
     # one-shot by construction (memory sink): retire the marker even on
     # failure — a failed run leaves offsets behind, so it can never be
     # resumed either way, and a leaked marker would block
-    # expire_snapshots forever
+    # expire_snapshots forever. _page_stream (which REGISTERS the marker)
+    # sits inside the try so a post-registration failure retires it too.
+    q = None
     try:
+        stream = _page_stream(spark, pages_table, checkpoint_dir, 1)
         # watermarks need an instant (TIMESTAMP); warc_ts is stored NTZ-UTC
         deduped = (
             stream.withColumn("_event_ts",
@@ -261,6 +289,14 @@ def run_dedup_stream(
         )
         q.awaitTermination()
     finally:
+        # stop BEFORE retiring (see run_windowed_stream): an interrupted
+        # awaitTermination leaves the query active, and the marker must
+        # outlive every read it protects. Bounded by stopTimeout=60s.
+        if q is not None:
+            try:
+                q.stop()
+            except Exception:
+                pass
         pages_table.unregister_stream(checkpoint_dir)
     return query_name
 
@@ -271,7 +307,15 @@ def _require_fresh_memory_sink_checkpoint(
     existing checkpoint ('this query does not support recovering from
     checkpoint location'), so the two in-memory demo streams are one-shot
     per checkpoint dir. Fail up front with guidance instead of letting
-    startQuery throw after the stream marker is already registered."""
+    startQuery throw after the stream marker is already registered.
+
+    Deliberately NOT :func:`_has_committed_offsets`: Spark's
+    ``recoverFromCheckpointLocation`` refusal is existence-based — it
+    throws on a bare ``offsets/`` dir with zero committed offsets
+    (verified against the installed Spark) — so this precheck mirrors
+    that exact definition. Using the committed-offsets test here would
+    wave through a litter-only checkpoint and let startQuery throw the
+    raw AnalysisException after the marker was already registered."""
     if (Path(checkpoint_dir) / "offsets").exists():
         raise ValueError(
             f"{query_name}: Spark cannot recover an append-mode memory "

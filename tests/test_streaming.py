@@ -325,6 +325,17 @@ def test_fresh_checkpoint_refuses_sink_with_foreign_stream_markers(
         run_streaming(spark, pages_table, pipe, root / "ckpt_c")
     assert pipe.routed().count() == n
 
+    # ... and so is one holding only HDFSMetadataLog litter — a CRC
+    # sidecar and an in-flight .<id>.<uuid>.tmp from a crash mid-write of
+    # offset 0: no offset COMMITTED means the restart is still batch id 0
+    d = root / "ckpt_d" / "offsets"
+    d.mkdir(parents=True)
+    (d / "..0.crc").write_bytes(b"")
+    (d / ".0.deadbeef.tmp").write_bytes(b"")
+    with pytest.raises(RuntimeError, match="another stream checkpoint"):
+        run_streaming(spark, pages_table, pipe, root / "ckpt_d")
+    assert pipe.routed().count() == n
+
     # the ORIGINAL checkpoint resumes fine (not fresh: offsets exist)
     assert run_streaming(spark, pages_table, pipe, root / "ckpt_a") == []
     assert pipe.routed().count() == n
@@ -359,6 +370,34 @@ def test_memory_sink_demo_streams_are_one_shot_and_retire_markers(
                             duration="bogus",
                             query_name="windowed_hits_fail")
     assert t.stream_markers() == []
+
+    # a failure INSIDE _page_stream but AFTER register_stream retires the
+    # marker too (the registration is the first thing _page_stream does):
+    # escalate its fresh-checkpoint-past-floor warning to an error
+    t.append_pandas(corpus.pages.iloc[50:100])  # 2 appends: compactable
+    t.compact(rows_per_file=10 ** 6)
+    t.expire_snapshots()
+    assert t.stream_floor() is not None
+    import warnings as _w
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        with pytest.raises(UserWarning, match="FRESH stream checkpoint"):
+            run_windowed_stream(spark, t, lookup_sdf, root / "ckpt_floor",
+                                query_name="windowed_hits_floor")
+    assert t.stream_markers() == []
+
+    # a bare offsets/ dir is refused with the one-shot guidance BEFORE a
+    # marker is registered: Spark's own memory-sink recovery refusal is
+    # existence-based (it throws on the empty dir too), so the precheck
+    # mirrors that definition — unlike run_streaming's resumable path,
+    # where only a COMMITTED offset counts
+    t2 = SnapshotTable.create(root / "pages2", "pages")
+    t2.append_pandas(corpus.pages.iloc[:20])
+    (root / "ckpt_bare" / "offsets").mkdir(parents=True)
+    with pytest.raises(ValueError, match="one-shot"):
+        run_windowed_stream(spark, t2, lookup_sdf, root / "ckpt_bare",
+                            query_name="windowed_hits_bare")
+    assert t2.stream_markers() == []
 
 
 def test_replayed_epoch_after_sink_maintenance_stays_deduped(
