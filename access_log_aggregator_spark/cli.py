@@ -298,9 +298,17 @@ def main(argv: list[str] | None = None) -> int:
                          "pre-compaction snapshots (refuses while a stream "
                          "checkpoint marker is registered on the pages "
                          "table — see --retire-stream)")
+    ap.add_argument("--analyze-pages", action="store_true",
+                    help="record column statistics (min/max/null bounds) "
+                         "for PAGES-table files committed without them — "
+                         "Spark-written snapshots skip footer reads at "
+                         "commit time; the stats sweep runs as a "
+                         "distributed job and enables file pruning for "
+                         "predicate reads (read(where=...))")
     ap.add_argument("--maintenance-only", action="store_true",
                     help="run only the maintenance flags (--compact*, "
-                         "--expire*, --retire-stream) without processing "
+                         "--expire*, --analyze-pages, --retire-stream) "
+                         "without processing "
                          "any pages: required when the layout is managed "
                          "by a --stream checkpoint, because a batch run "
                          "would re-route already-streamed rows under "
@@ -325,14 +333,16 @@ def main(argv: list[str] | None = None) -> int:
                      "with --generate/--pages-table/--stream/"
                      "--maintenance-only")
         if (args.compact or args.expire_snapshots or args.retire_stream
-                or args.compact_pages or args.expire_pages_snapshots):
+                or args.compact_pages or args.expire_pages_snapshots
+                or args.analyze_pages):
             # fail loud, not silent: these run in the snapshot-pipeline path
             # only, and --log-file returning before them would drop the
             # user's requested maintenance with no indication
             ap.error("--log-file does not run maintenance flags (--compact/"
                      "--expire-snapshots/--retire-stream/--compact-pages/"
-                     "--expire-pages-snapshots): its routed sink is rebuilt "
-                     "per run, so there is nothing to compact or expire — "
+                     "--expire-pages-snapshots/--analyze-pages): its routed "
+                     "sink is rebuilt per run, so there is nothing to "
+                     "compact, expire or analyze — "
                      "run them with --pages-table/--data-dir")
         return _run_log_files(args, ap)
 
@@ -573,6 +583,10 @@ def main(argv: list[str] | None = None) -> int:
                       file=sys.stderr)
             except RuntimeError as e:
                 print(f"expire-pages-snapshots refused: {e}", file=sys.stderr)
+        if args.analyze_pages:
+            n_analyzed = pages_table.analyze(spark)
+            print(f"analyzed {n_analyzed} pages data file(s)",
+                  file=sys.stderr)
         if restamp_token is not None:
             # a refused restamp (concurrent ingest raced the maintenance
             # window) leaves the aggregates stale; the heal below recomputes

@@ -1,0 +1,243 @@
+"""Per-file column statistics and scan-planning file pruning (zone maps).
+
+Iceberg manifests carry per-data-file column bounds (``lower_bounds`` /
+``upper_bounds`` / ``null_value_counts``) and its scan planner skips files
+whose bounds provably exclude a query's predicate BEFORE any task is
+scheduled. This module is that analog for :class:`~.tableio.SnapshotTable`:
+
+- :func:`stats_from_footer` derives a JSON-safe stats record for one
+  parquet file from its FOOTER only (row-group min/max/null-count — no
+  data pages are read), combining row groups into file-level bounds;
+- :func:`file_may_match` decides, from such a record, whether a file can
+  contain any row satisfying a conjunction of simple predicates — the
+  planning-time pruning test;
+- :func:`spark_filter` turns the same predicates into the equivalent
+  Catalyst filter, so a pruned read applies EXACTLY the predicate it
+  pruned by (pruning stays a pure optimization, never a semantics change).
+
+Soundness over completeness: a file is pruned only when its recorded
+bounds PROVE no row can match. Missing stats (older snapshots, columns
+parquet wrote no statistics for, types outside the supported set) always
+fail OPEN — the file is scanned. Parquet writers may truncate string
+bounds, but both parquet-mr and arrow keep them valid (min is rounded
+down, max rounded up), and UTF-8's byte order equals code-point order, so
+Python string comparison against the stored bounds stays sound.
+
+Why this matters at 100 TB: the live file set of a long-ingested table is
+O(10^5) files, but a time-bounded query (``warc_ts >= X``) touches a thin
+suffix of them. Parquet's own row-group stats only help AFTER Spark has
+listed every file and scheduled a task per split; manifest-level pruning
+removes the files at PLAN time, so task count, listing cost and scheduler
+pressure scale with the matching data, not the table's history.
+
+Reference parity note: the reference has no storage layer at all (it
+tails flat files, internal/tailer/tailer.go:13-75); this module belongs
+to the graft's Iceberg-table seam (SURVEY.md §1.4, §7.0).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from typing import Iterable, Optional, Sequence, Tuple
+
+import pyarrow.parquet as pq
+
+#: Predicate term: (column, op, value) with op in _OPS. Terms compose as a
+#: conjunction (AND). Values may be str, bool, int, float, or datetime
+#: (naive datetimes are taken as UTC, matching the session timezone).
+Predicate = Tuple[str, str, object]
+
+_OPS = ("=", "==", "!=", "<", "<=", ">", ">=")
+
+_EPOCH = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+
+
+def _ts_micros(dt: _dt.datetime) -> int:
+    """Epoch microseconds; naive datetimes are interpreted as UTC (the
+    session factory pins spark.sql.session.timeZone=UTC)."""
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=_dt.timezone.utc)
+    return (dt - _EPOCH) // _dt.timedelta(microseconds=1)
+
+
+def _encode(v: object) -> tuple[Optional[str], object]:
+    """(type tag, JSON-safe value) for a footer min/max value, or
+    (None, None) when the type is outside the supported pruning set
+    (bytes/binary, date, decimal, nested — fail open)."""
+    if isinstance(v, bool):  # before int: bool is an int subclass
+        return "bool", v
+    if isinstance(v, int):
+        return "int", v
+    if isinstance(v, float):
+        return "float", v
+    if isinstance(v, str):
+        return "str", v
+    if isinstance(v, _dt.datetime):
+        return "ts", _ts_micros(v)
+    return None, None
+
+
+def _coerce(tag: str, v: object) -> Optional[object]:
+    """A predicate value coerced into the stored stats domain for ``tag``,
+    or None when the comparison is not type-sound (fail open)."""
+    if tag == "ts":
+        if isinstance(v, _dt.datetime):
+            return _ts_micros(v)
+        return None
+    if tag in ("int", "float"):
+        if isinstance(v, bool) or not isinstance(v, (int, float)):
+            return None
+        return v
+    if tag == "str":
+        return v if isinstance(v, str) else None
+    if tag == "bool":
+        return v if isinstance(v, bool) else None
+    return None
+
+
+def stats_from_footer(path: str) -> dict:
+    """File-level stats from one parquet footer (no data pages read).
+
+    Returns ``{"rows": N, "cols": {name: {"type": tag, "min": v, "max": v}
+    | {"all_null": True}}}``. A column appears only when EVERY row group
+    recorded usable statistics for it (otherwise pruning on it would be
+    unsound); ``all_null`` marks columns with zero non-null values —
+    provably unmatched by any comparison predicate (SQL three-valued
+    logic: ``NULL <op> v`` is never true).
+    """
+    md = pq.read_metadata(path)
+    out: dict = {"rows": md.num_rows, "cols": {}}
+    if md.num_row_groups == 0 or md.num_rows == 0:
+        return out
+    schema = md.schema
+    # top-level leaf columns only: a dotted path is a nested field, whose
+    # bounds do not compose into a row-level predicate on the struct
+    names = [schema.column(i).path for i in range(len(schema.names))]
+    for ci, name in enumerate(names):
+        if "." in name:
+            continue
+        lo = hi = None
+        tag = None
+        nulls = 0
+        usable = True
+        for gi in range(md.num_row_groups):
+            rg = md.row_group(gi)
+            col = rg.column(ci)
+            st = col.statistics if col.is_stats_set else None
+            if st is None or st.null_count is None:
+                usable = False
+                break
+            nulls += st.null_count
+            if st.null_count == rg.num_rows:
+                continue  # an all-null row group contributes no bounds
+            if not st.has_min_max:
+                usable = False
+                break
+            t_lo, v_lo = _encode(st.min)
+            t_hi, v_hi = _encode(st.max)
+            if t_lo is None or t_hi != t_lo or (tag is not None and t_lo != tag):
+                usable = False
+                break
+            tag = t_lo
+            lo = v_lo if lo is None or v_lo < lo else lo
+            hi = v_hi if hi is None or v_hi > hi else hi
+        if not usable:
+            continue
+        if tag is None:  # every row group was all-null
+            out["cols"][name] = {"all_null": True}
+        elif nulls == md.num_rows:
+            out["cols"][name] = {"all_null": True}
+        else:
+            out["cols"][name] = {"type": tag, "min": lo, "max": hi}
+    return out
+
+
+def validate_predicates(where: Sequence[Predicate]) -> None:
+    for term in where:
+        if len(term) != 3 or term[1] not in _OPS:
+            raise ValueError(
+                f"predicate must be (column, op, value) with op in {_OPS}: "
+                f"{term!r}")
+
+
+def file_may_match(stats: Optional[dict],
+                   where: Sequence[Predicate]) -> bool:
+    """False only when ``stats`` PROVES no row of the file satisfies the
+    conjunction ``where``. Missing stats / unknown columns / type
+    mismatches keep the file (fail open)."""
+    if not where:
+        return True
+    if stats is None:
+        return True
+    if stats.get("rows") == 0:
+        return False
+    for col, op, val in where:
+        cs = stats.get("cols", {}).get(col)
+        if cs is None:
+            continue
+        if cs.get("all_null"):
+            return False  # comparisons never match NULL
+        v = _coerce(cs["type"], val)
+        if v is None:
+            continue
+        lo, hi = cs["min"], cs["max"]
+        if op in ("=", "=="):
+            if v < lo or v > hi:
+                return False
+        elif op == "!=":
+            # all non-null values equal v (and NULL never matches !=)
+            if lo == hi == v:
+                return False
+        elif op == "<":
+            if lo >= v:
+                return False
+        elif op == "<=":
+            if lo > v:
+                return False
+        elif op == ">":
+            if hi <= v:
+                return False
+        elif op == ">=":
+            if hi < v:
+                return False
+    return True
+
+
+def spark_filter(where: Sequence[Predicate]):
+    """The Catalyst Column equivalent of the conjunction ``where`` — what a
+    pruned read applies so pruning can never change results."""
+    from pyspark.sql import functions as F
+
+    cond = None
+    for col, op, val in where:
+        c = F.col(col)
+        term = {"=": c == val, "==": c == val, "!=": c != val,
+                "<": c < val, "<=": c <= val,
+                ">": c > val, ">=": c >= val}[op]
+        cond = term if cond is None else cond & term
+    return cond
+
+
+def _path_stats(path: str) -> tuple[str, Optional[dict]]:
+    """Executor-side worker for :meth:`SnapshotTable.analyze`: one footer
+    read per file, run inside a Spark job so a 10^5-file table's stats
+    sweep is distributed instead of a serial driver pass. A file a
+    concurrent expire/truncate unlinked mid-sweep yields None (skipped)
+    rather than failing the whole job."""
+    try:
+        return path, stats_from_footer(path)
+    except OSError:  # pyarrow's ArrowIOError subclasses OSError
+        return path, None
+
+
+def collect_stats_distributed(spark, paths: Iterable[str],
+                              parallelism: Optional[int] = None) -> dict:
+    """Footer stats for ``paths`` computed by a Spark job (one task per
+    slice of files); the driver collects only the narrow stats records —
+    the Iceberg "rewrite manifests / collect stats" maintenance shape."""
+    paths = list(paths)
+    if not paths:
+        return {}
+    n = parallelism or min(len(paths), spark.sparkContext.defaultParallelism)
+    rdd = spark.sparkContext.parallelize(paths, n)
+    return dict(rdd.map(_path_stats).collect())

@@ -122,6 +122,13 @@ class Snapshot:
     #: changing table contents (compaction — Iceberg's rewrite_data_files).
     #: Incremental readers skip replace snapshots: they carry no new rows.
     operation: str = "append"
+    #: Per-file column statistics (Iceberg lower/upper-bounds analog),
+    #: keyed by the file's manifest-relative path; see sources/filestats.py.
+    #: None / missing entries mean "no stats recorded" — scan planning
+    #: fails OPEN on them. append_spark commits without stats (its
+    #: zero-footer-read invariant); :meth:`SnapshotTable.analyze` fills
+    #: them in afterwards with a distributed footer sweep.
+    stats: Optional[dict] = None
 
 
 class SnapshotTable:
@@ -336,7 +343,12 @@ class SnapshotTable:
     # -- writes --------------------------------------------------------------
     def _commit_files(self, files: list[Path], row_count: int,
                       marker: Optional[str], operation: str = "append",
-                      expected_current: Optional[int] = None) -> int:
+                      expected_current: Optional[int] = None,
+                      stats: Optional[dict] = None) -> int:
+        """``stats`` (optional) maps ``str(path)`` — as spelled in
+        ``files`` — to its filestats record; recorded in the snapshot
+        under the manifest-relative path. Files without an entry are
+        committed statless (scan planning fails open on them)."""
         with self._manifest_lock():
             m = self._manifest()
             # cleanup basis for the dedupe/conflict paths below: a file is
@@ -377,10 +389,18 @@ class SnapshotTable:
                     )
             sid = max(cur or 0, int(m.get("last_id", 0))) + 1
             m["last_id"] = sid
-            m["snapshots"].append(
-                {"id": sid, "files": [str(f.relative_to(self.root)) for f in files],
-                 "row_count": row_count, "marker": marker, "operation": operation}
-            )
+            snap = {"id": sid,
+                    "files": [str(f.relative_to(self.root)) for f in files],
+                    "row_count": row_count, "marker": marker,
+                    "operation": operation}
+            if stats:
+                rel_stats = {
+                    str(f.relative_to(self.root)): stats[str(f)]
+                    for f in files if str(f) in stats
+                }
+                if rel_stats:
+                    snap["stats"] = rel_stats
+            m["snapshots"].append(snap)
             self._write_manifest(m)
             return sid
 
@@ -428,8 +448,11 @@ class SnapshotTable:
                 "writes compact-*), but do not expire_snapshots until the "
                 "streams are done", stacklevel=2,
             )
+        from . import filestats
+
         base = self.current_snapshot_id()  # the state this rewrite is valid for
         live = self.data_files()
+        known = self._file_stats()  # manifest stats: rows without footer IO
         groups: dict[Path, list[str]] = defaultdict(list)
         for f in live:
             # merge only within a directory: hive-partitioned layouts keep
@@ -438,11 +461,19 @@ class SnapshotTable:
             groups[Path(f).parent].append(f)
         out: list[Path] = []
         staged: list[Path] = []  # freshly-written compact-* outputs only
+        stats: dict[str, dict] = {}
         total = 0
         any_merge = False
         try:
             for d, fs in sorted(groups.items()):
-                nrows = {f: pq.read_metadata(f).num_rows for f in fs}
+                # per-file rows from the manifest stats when recorded —
+                # the planning pass then does zero footer reads; only
+                # statless files (pre-analyze append_spark output) pay one
+                nrows = {
+                    f: (known[f]["rows"] if f in known
+                        else pq.read_metadata(f).num_rows)
+                    for f in fs
+                }
                 smalls = [f for f in fs if nrows[f] < rows_per_file]
                 carry = [f for f in fs if f not in smalls]
                 if len(smalls) < 2:  # nothing mergeable here: carry everything
@@ -451,6 +482,8 @@ class SnapshotTable:
                 for f in carry:
                     out.append(Path(f))
                     total += nrows[f]
+                    if f in known:  # carried files keep their stats
+                        stats[f] = known[f]
                 if not smalls:
                     continue
                 any_merge = True
@@ -464,11 +497,13 @@ class SnapshotTable:
                     pq.write_table(merged.slice(lo, rows_per_file), dest)
                     out.append(dest)
                     staged.append(dest)
+                    stats[str(dest)] = filestats.stats_from_footer(str(dest))
             if not any_merge:
                 return None
             return self._commit_files(out, total, marker,
                                       operation="replace",
-                                      expected_current=base)
+                                      expected_current=base,
+                                      stats=stats)
         except BaseException:
             # a failed footer/content read (concurrent truncate/expire
             # unlinked a listed file) or a CommitConflict must not leak the
@@ -563,18 +598,29 @@ class SnapshotTable:
 
     def append_pandas(self, pdf: pd.DataFrame, marker: Optional[str] = None,
                       schema: Optional[pa.Schema] = None) -> int:
+        from . import filestats
+
         dest = self.root / "data" / f"part-{uuid.uuid4().hex}.parquet"
         table = pa.Table.from_pandas(pdf, schema=schema, preserve_index=False)
         pq.write_table(table, dest)
-        return self._commit_files([dest], len(pdf), marker)
+        # single freshly-written file: its footer is page-cache-hot and the
+        # stats read is O(KB) — the driver-side cost Iceberg writers pay too
+        return self._commit_files(
+            [dest], len(pdf), marker,
+            stats={str(dest): filestats.stats_from_footer(str(dest))})
 
     def add_files(self, files, marker: Optional[str] = None) -> int:
         """Register PRE-EXISTING parquet files as one append snapshot — the
         Iceberg ``add_files`` migration-procedure analog: no data rewrite,
         each source is hardlinked into ``data/`` (copied when the link
         crosses filesystems) under a fresh ``part-*`` name and committed
-        atomically. Row counts come from parquet footers, not a scan."""
+        atomically. Row counts come from parquet footers, not a scan —
+        and the same footer read yields the files' column stats, so
+        migrated files are prunable from day one."""
+        from . import filestats
+
         staged: list[Path] = []
+        stats: dict[str, dict] = {}
         n = 0
         for src in files:
             src = Path(src)
@@ -583,9 +629,11 @@ class SnapshotTable:
                 os.link(src, dest)
             except OSError:
                 shutil.copy2(src, dest)
-            n += pq.read_metadata(dest).num_rows
+            rec = filestats.stats_from_footer(str(dest))
+            n += rec["rows"]
+            stats[str(dest)] = rec
             staged.append(dest)
-        return self._commit_files(staged, n, marker)
+        return self._commit_files(staged, n, marker, stats=stats)
 
     def append_spark(self, df: DataFrame, marker: Optional[str] = None) -> int:
         """Write a DataFrame's partitions as one snapshot (staging dir + move).
@@ -672,6 +720,60 @@ class SnapshotTable:
             for f in doomed:
                 (self.root / f).unlink(missing_ok=True)
 
+    # -- statistics (Iceberg manifest column-bounds analog) -------------------
+    def _file_stats(self) -> dict[str, dict]:
+        """Every per-file stats record the manifest knows, keyed by
+        ABSOLUTE path string; later snapshots win (analyze/compact may
+        re-record a carried file). Files without stats are absent."""
+        out: dict[str, dict] = {}
+        for s in self._manifest()["snapshots"]:
+            for f, rec in (s.get("stats") or {}).items():
+                out[str(self.root / f)] = rec
+        return out
+
+    def analyze(self, spark: SparkSession,
+                parallelism: Optional[int] = None) -> int:
+        """Fill in column statistics for files committed without them —
+        chiefly :meth:`append_spark` output, whose commit path does zero
+        footer reads by design. The footer sweep runs as a Spark job
+        (:func:`~.filestats.collect_stats_distributed`), one task per
+        slice of files, so at 10^5 files it parallelizes across the
+        cluster instead of serializing on the driver; the driver collects
+        only the ~100-byte stats records. Re-running is a no-op. Returns
+        the number of files whose stats were recorded.
+
+        The Iceberg analog is the write-path stats collection plus
+        ``rewrite_manifests`` — run it after bulk ingests so scan
+        planning (:meth:`read` ``where=``) can prune."""
+        from . import filestats
+
+        m = self._manifest()
+        missing: set[str] = set()
+        for s in m["snapshots"]:
+            have = s.get("stats") or {}
+            missing.update(f for f in s["files"] if f not in have)
+        if not missing:
+            return 0
+        recs = filestats.collect_stats_distributed(
+            spark, [str(self.root / f) for f in sorted(missing)], parallelism)
+        rel = {f: recs[str(self.root / f)] for f in missing
+               if recs.get(str(self.root / f)) is not None}
+        if not rel:
+            return 0
+        with self._manifest_lock():
+            m = self._manifest()
+            for s in m["snapshots"]:
+                st = s.get("stats") or {}
+                merged = False
+                for f in s["files"]:
+                    if f not in st and f in rel:
+                        st[f] = rel[f]
+                        merged = True
+                if merged:
+                    s["stats"] = st
+            self._write_manifest(m)
+        return len(rel)
+
     # -- reads ---------------------------------------------------------------
     def _live_snapshots(self, end: Optional[int] = None) -> list[Snapshot]:
         """The snapshots composing the table STATE as of ``end`` (default:
@@ -683,7 +785,15 @@ class SnapshotTable:
         return [Snapshot(**s) for s in live]
 
     def data_files(self, start_after: Optional[int] = None,
-                   end: Optional[int] = None) -> list[str]:
+                   end: Optional[int] = None,
+                   where: Optional[list] = None) -> list[str]:
+        """The scan plan's file list. ``where`` — a conjunction of
+        ``(column, op, value)`` terms (sources/filestats.py) — prunes
+        files whose manifest column bounds prove they hold no matching
+        row, BEFORE any Spark job is planned: at 10^5 live files a
+        time-bounded scan schedules tasks for the matching suffix only.
+        Files without recorded stats are always kept (fail open), so
+        pruning is sound on mixed tables."""
         if start_after is not None:
             # incremental scan: NEW ROWS only — append snapshots past the
             # cursor (replace snapshots rewrite existing rows; including
@@ -693,22 +803,46 @@ class SnapshotTable:
                      and (end is None or s.id <= end)]
         else:
             snaps = self._live_snapshots(end)
+        if where:
+            from . import filestats
+
+            filestats.validate_predicates(where)
         out: list[str] = []
         for s in snaps:
-            out.extend(str(self.root / f) for f in s.files)
+            for f in s.files:
+                if where:
+                    rec = (s.stats or {}).get(f)
+                    if not filestats.file_may_match(rec, where):
+                        continue
+                out.append(str(self.root / f))
         return out
 
     def read(self, spark: SparkSession, start_after: Optional[int] = None,
-             end: Optional[int] = None) -> Optional[DataFrame]:
+             end: Optional[int] = None,
+             where: Optional[list] = None) -> Optional[DataFrame]:
         """Scan the table (optionally an incremental snapshot range).
 
-        Returns None when the range is empty — the caller decides whether
-        that means "nothing new" (incremental) or an error (full scan).
+        ``where`` prunes data files by their manifest column bounds (see
+        :meth:`data_files`) AND applies the identical predicate as a
+        Catalyst filter on the result — so passing ``where`` is always
+        exactly equivalent to a full scan plus ``.filter(...)``, just
+        with fewer scheduled tasks; the same terms also reach the parquet
+        readers as pushed filters for row-group skipping within the
+        surviving files.
+
+        Returns None when the range is empty (or ``where`` pruned every
+        file) — the caller decides whether that means "nothing new"
+        (incremental) or an error (full scan).
         """
-        files = self.data_files(start_after=start_after, end=end)
+        files = self.data_files(start_after=start_after, end=end, where=where)
         if not files:
             return None
-        return spark.read.parquet(*files)
+        df = spark.read.parquet(*files)
+        if where:
+            from . import filestats
+
+            df = df.filter(filestats.spark_filter(where))
+        return df
 
     def row_count(self) -> int:
         return sum(s.row_count for s in self._live_snapshots())

@@ -1,0 +1,247 @@
+"""Manifest column statistics + scan-planning file pruning (zone maps).
+
+Pins the Iceberg-bounds analog (sources/filestats.py, SnapshotTable.read
+``where=``): stats are recorded on every write path that may touch
+footers, ``append_spark`` stays zero-footer-read and is back-filled by a
+DISTRIBUTED ``analyze`` sweep, pruning is provably sound (a pruned read
+always equals full-scan + filter) while actually skipping files, and
+everything fails open when stats are missing.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+
+from access_log_aggregator_spark.sources import filestats
+from access_log_aggregator_spark.sources import tableio as tio
+from access_log_aggregator_spark.sources.tableio import SnapshotTable
+
+UTC = dt.timezone.utc
+
+
+def _ts(h: int) -> dt.datetime:
+    return dt.datetime(2026, 3, 1, tzinfo=UTC) + dt.timedelta(hours=h)
+
+
+def _ranged_table(tmp_path, n_snaps: int = 6, rows: int = 50) -> SnapshotTable:
+    """One append per hour-range: snapshot i holds warc_ts in [i*1h, i*1h+50m)
+    and n in [i*rows, (i+1)*rows) — disjoint bounds, so range predicates
+    have an exact file-level answer."""
+    t = SnapshotTable.create(tmp_path / "ranged")
+    for i in range(n_snaps):
+        pdf = pd.DataFrame({
+            "url": [f"http://h{i}/p{j}" for j in range(rows)],
+            # micros, not pandas' default nanos: Spark's parquet reader
+            # rejects TIMESTAMP(NANOS)
+            "warc_ts": pd.Series(
+                [_ts(i) + dt.timedelta(minutes=j) for j in range(rows)],
+                dtype="datetime64[us, UTC]"),
+            "n": list(range(i * rows, (i + 1) * rows)),
+        })
+        t.append_pandas(pdf, marker=f"m{i}")
+    return t
+
+
+def test_append_pandas_records_bounds(tmp_path):
+    t = _ranged_table(tmp_path, n_snaps=1, rows=10)
+    (snap,) = t.snapshots()
+    assert snap.stats is not None
+    (rec,) = snap.stats.values()
+    assert rec["rows"] == 10
+    assert rec["cols"]["n"] == {"type": "int", "min": 0, "max": 9}
+    assert rec["cols"]["url"]["type"] == "str"
+    ts = rec["cols"]["warc_ts"]
+    assert ts["type"] == "ts"
+    assert ts["min"] == filestats._ts_micros(_ts(0))
+    assert ts["max"] == filestats._ts_micros(_ts(0) + dt.timedelta(minutes=9))
+
+
+def test_pruning_skips_files_and_preserves_results(spark, tmp_path):
+    t = _ranged_table(tmp_path)
+    all_files = t.data_files()
+    assert len(all_files) == 6
+    cases = [
+        ([("n", ">=", 250)], 1),          # only the last snapshot
+        ([("n", "<", 50)], 1),            # only the first
+        ([("n", ">=", 100), ("n", "<", 200)], 2),
+        ([("warc_ts", ">=", _ts(4))], 2),
+        ([("warc_ts", "<=", _ts(0) + dt.timedelta(minutes=10))], 1),
+        ([("url", "=", "http://h3/p7")], 1),
+        ([("n", "=", 125)], 1),
+        ([("n", ">", 10_000)], 0),        # matches nothing: zero files planned
+    ]
+    for where, expect_files in cases:
+        planned = t.data_files(where=where)
+        assert len(planned) == expect_files, where
+        expected = t.read(spark).filter(filestats.spark_filter(where)) \
+            if expect_files else None
+        got = t.read(spark, where=where)
+        if expect_files == 0:
+            assert got is None
+        else:
+            a = sorted(got.collect())
+            b = sorted(expected.collect())
+            assert a == b and len(a) > 0, where
+
+
+def test_pruning_bounds_are_inclusive(spark, tmp_path):
+    """Boundary values (= min, = max of a file) must keep the file."""
+    t = _ranged_table(tmp_path, n_snaps=2)
+    for v in (0, 49, 50, 99):
+        rows = t.read(spark, where=[("n", "=", v)]).collect()
+        assert len(rows) == 1
+        assert len(t.data_files(where=[("n", "=", v)])) == 1
+
+
+def test_naive_datetimes_are_utc(spark, tmp_path):
+    t = _ranged_table(tmp_path, n_snaps=3)
+    naive = (_ts(2)).replace(tzinfo=None)
+    assert len(t.data_files(where=[("warc_ts", ">=", naive)])) == 1
+    got = t.read(spark, where=[("warc_ts", ">=", naive)])
+    assert got.count() == 50
+
+
+def test_statless_files_fail_open(spark, tmp_path, pages_df):
+    """append_spark commits without stats (zero-footer invariant) — its
+    files are never pruned, and a mixed table prunes only what it can."""
+    t = _ranged_table(tmp_path, n_snaps=2)
+    sdf = spark.createDataFrame(pd.DataFrame({
+        "url": ["http://z/1"], "warc_ts": [_ts(100)], "n": [10_000]}))
+    t.append_spark(sdf, marker="spark")
+    spark_snap = t.snapshots()[-1]
+    assert spark_snap.stats is None
+    # a predicate excluding every pandas file still keeps the statless one
+    planned = t.data_files(where=[("n", ">=", 5_000)])
+    assert planned == [str(t.root / f) for f in spark_snap.files]
+    got = t.read(spark, where=[("n", ">=", 5_000)])
+    assert [r.url for r in got.collect()] == ["http://z/1"]
+
+
+def test_analyze_backfills_distributed_and_enables_pruning(
+        spark, tmp_path, monkeypatch):
+    """analyze() fills missing stats via a Spark job: with the DRIVER's
+    pq.read_metadata poisoned, the footer reads must happen in executor
+    workers — and afterwards the spark-written files prune."""
+    t = SnapshotTable.create(tmp_path / "t")
+    for i in range(3):
+        pdf = pd.DataFrame({"url": [f"u{i}"], "warc_ts": [_ts(i)],
+                            "n": [i * 100]})
+        t.append_spark(spark.createDataFrame(pdf), marker=f"s{i}")
+    assert all(s.stats is None for s in t.snapshots())
+
+    def boom(*a, **kw):  # driver-side footer read = test failure
+        raise AssertionError("driver-side pq.read_metadata during analyze")
+
+    monkeypatch.setattr(tio.pq, "read_metadata", boom)
+    monkeypatch.setattr(filestats.pq, "read_metadata", boom)
+    assert t.analyze(spark) == 3
+    assert t.analyze(spark) == 0  # idempotent: nothing left to fill
+    monkeypatch.undo()
+    assert all(s.stats for s in t.snapshots())
+    assert len(t.data_files(where=[("n", ">=", 150)])) == 1
+    got = t.read(spark, where=[("n", ">=", 150)])
+    assert sorted(r.url for r in got.collect()) == ["u2"]
+
+
+def test_all_null_column_prunes_comparisons(spark, tmp_path):
+    """SQL three-valued logic: NULL <op> v is never true, so a file whose
+    column is entirely null can never match a comparison on it."""
+    t = SnapshotTable.create(tmp_path / "t")
+    t.append_pandas(pd.DataFrame({
+        "url": ["a", "b"],
+        "score": pd.array([None, None], dtype="Int64")}))
+    (snap,) = t.snapshots()
+    (rec,) = snap.stats.values()
+    assert rec["cols"]["score"] == {"all_null": True}
+    assert t.data_files(where=[("score", "=", 1)]) == []
+    assert t.data_files(where=[("score", "<", 10**9)]) == []
+    # but predicates on other columns still plan the file
+    assert len(t.data_files(where=[("url", "=", "a")])) == 1
+
+
+def test_not_equal_prunes_only_constant_files(tmp_path):
+    t = SnapshotTable.create(tmp_path / "t")
+    t.append_pandas(pd.DataFrame({"lang": ["en"] * 5}))
+    t.append_pandas(pd.DataFrame({"lang": ["en", "de"]}))
+    assert len(t.data_files(where=[("lang", "!=", "en")])) == 1
+    assert len(t.data_files(where=[("lang", "!=", "fr")])) == 2
+
+
+def test_type_mismatch_and_unknown_column_fail_open(tmp_path):
+    t = _ranged_table(tmp_path, n_snaps=2)
+    assert len(t.data_files(where=[("n", ">", "zzz")])) == 2   # str vs int
+    assert len(t.data_files(where=[("nope", "=", 1)])) == 2    # no such col
+    assert len(t.data_files(where=[("n", "=", True)])) == 2    # bool vs int
+    with pytest.raises(ValueError):
+        t.data_files(where=[("n", "LIKE", "x")])
+
+
+def test_compaction_preserves_pruning(spark, tmp_path):
+    """compact() recomputes bounds for merged outputs and carries stats on
+    full files; pruning stays correct across the rewrite — and the
+    planning pass reads ZERO footers when every live file has manifest
+    row counts."""
+    t = _ranged_table(tmp_path)
+    before = {tuple(r) for r in
+              t.read(spark, where=[("n", ">=", 100)]).collect()}
+    real_meta = tio.pq.read_metadata
+    calls = []
+
+    def counting(path, *a, **kw):
+        calls.append(path)
+        return real_meta(path, *a, **kw)
+
+    import unittest.mock as mock
+    with mock.patch.object(tio.pq, "read_metadata", side_effect=counting):
+        sid = t.compact(rows_per_file=1_000)
+    assert sid is not None
+    # planning used manifest rows; the only footer read is the freshly
+    # written compact output's own stats record
+    compact_files = [f for f in t.data_files() if "compact-" in f]
+    assert set(calls) == set(compact_files)
+    (snap,) = [s for s in t.snapshots() if s.id == sid]
+    for f in snap.files:
+        assert f in snap.stats, "compaction output/carry must keep stats"
+    merged_rec = snap.stats[
+        [f for f in snap.files if "compact-" in f][0]]
+    assert merged_rec["cols"]["n"] == {"type": "int", "min": 0, "max": 299}
+    after = {tuple(r) for r in
+             t.read(spark, where=[("n", ">=", 100)]).collect()}
+    assert after == before
+    # post-compaction the table is one file: bounds now span everything,
+    # so the same predicate plans it (sound, just no longer selective)
+    assert len(t.data_files(where=[("n", ">=", 100)])) == 1
+
+
+def test_incremental_read_composes_with_pruning(spark, tmp_path):
+    t = _ranged_table(tmp_path, n_snaps=4)
+    cursor = t.snapshots()[1].id
+    planned = t.data_files(start_after=cursor, where=[("n", ">=", 150)])
+    assert len(planned) == 1
+    got = t.read(spark, start_after=cursor, where=[("n", ">=", 150)])
+    assert got.count() == 50
+
+
+def test_zero_row_file_is_pruned(spark, tmp_path):
+    t = SnapshotTable.create(tmp_path / "t")
+    t.append_pandas(pd.DataFrame({"n": pd.array([], dtype="Int64")}))
+    t.append_pandas(pd.DataFrame({"n": pd.array([1], dtype="Int64")}))
+    assert len(t.data_files()) == 2          # full scans keep empty files
+    assert len(t.data_files(where=[("n", ">=", 0)])) == 1
+
+
+def test_add_files_records_stats(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "src.parquet"
+    pq.write_table(pa.table({"n": [5, 6, 7]}), src)
+    t = SnapshotTable.create(tmp_path / "t")
+    t.add_files([src])
+    (snap,) = t.snapshots()
+    (rec,) = snap.stats.values()
+    assert rec == {"rows": 3, "cols": {"n": {"type": "int", "min": 5,
+                                             "max": 7}}}
