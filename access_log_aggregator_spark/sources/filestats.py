@@ -21,7 +21,12 @@ parquet wrote no statistics for, types outside the supported set) always
 fail OPEN — the file is scanned. Parquet writers may truncate string
 bounds, but both parquet-mr and arrow keep them valid (min is rounded
 down, max rounded up), and UTF-8's byte order equals code-point order, so
-Python string comparison against the stored bounds stays sound.
+Python string comparison against the stored bounds stays sound. Float
+columns additionally fail open on ``!=``/``>``/``>=``: parquet footers
+exclude NaN from min/max while Spark and DuckDB order NaN greater than
+every other double, so bounds can never prove those ops unmatched (note
+Spark's own parquet row-group pushdown gets this wrong — this layer does
+not inherit that bug, which matters when pushdown is disabled).
 
 Why this matters at 100 TB: the live file set of a long-ingested table is
 O(10^5) files, but a time-bounded query (``warc_ts >= X``) touches a thin
@@ -179,6 +184,16 @@ def file_may_match(stats: Optional[dict],
             return False  # comparisons never match NULL
         v = _coerce(cs["type"], val)
         if v is None:
+            continue
+        if cs["type"] == "float" and op in ("!=", ">", ">="):
+            # Parquet footers EXCLUDE NaN from min/max, but Spark and
+            # DuckDB both order NaN greater than every other double, so a
+            # NaN row matches any !=, > or >= predicate. The bounds
+            # therefore cannot prove absence of a match for these ops on
+            # float columns — fail open. (=, < and <= stay prunable:
+            # NaN = v, NaN < v and NaN <= v are never true for the
+            # non-NaN v values _coerce admits, and a NaN v fails open
+            # below because every NaN comparison is Python-False.)
             continue
         lo, hi = cs["min"], cs["max"]
         if op in ("=", "=="):

@@ -233,6 +233,64 @@ def test_zero_row_file_is_pruned(spark, tmp_path):
     assert len(t.data_files(where=[("n", ">=", 0)])) == 1
 
 
+def test_nan_rows_are_never_pruned_away(spark, tmp_path):
+    """Parquet footers EXCLUDE NaN from float min/max, but Spark and DuckDB
+    order NaN greater than every other double — a NaN row matches any
+    !=, > or >= predicate. Bounds therefore cannot prove absence of a
+    match for those ops on float columns: the planner must fail open."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    nan_src = tmp_path / "with_nan.parquet"
+    plain_src = tmp_path / "plain.parquet"
+    # pa.table keeps NaN as a VALUE (pandas conversion would null it out)
+    pq.write_table(pa.table({"score": pa.array([1.0, float("nan")],
+                                               type=pa.float64())}), nan_src)
+    pq.write_table(pa.table({"score": pa.array([2.0, 3.0],
+                                               type=pa.float64())}), plain_src)
+    t = SnapshotTable.create(tmp_path / "t")
+    t.add_files([nan_src])
+    t.add_files([plain_src])
+    nan_file, plain_file = (str(t.root / s.files[0]) for s in t.snapshots())
+    # the footer bounds of the NaN file exclude the NaN (arrow behavior)
+    rec = t.snapshots()[0].stats[t.snapshots()[0].files[0]]
+    assert rec["cols"]["score"] == {"type": "float", "min": 1.0, "max": 1.0}
+
+    # > / >= / != must keep the NaN file even though its bounds say no.
+    # Spark's own parquet ROW-GROUP pushdown has the same unsoundness
+    # (SPARK in-memory says NaN > 5 but the pushed filter drops the row
+    # group), so run with pushdown disabled to see Spark's true filter
+    # semantics — the config under which an unsound manifest prune would
+    # visibly lose the NaN row.
+    spark.conf.set("spark.sql.parquet.filterPushdown", "false")
+    try:
+        for where in ([("score", ">", 5.0)], [("score", ">=", 5.0)],
+                      [("score", "!=", 1.0)]):
+            assert nan_file in t.data_files(where=where), where
+            got = t.read(spark, where=where)
+            vals = [r.score for r in got.collect()]
+            assert any(v != v for v in vals), (where, vals)  # the NaN row
+            full = t.read(spark).filter(
+                filestats.spark_filter(where)).collect()
+            assert len(vals) == len(full), where
+    finally:
+        spark.conf.set("spark.sql.parquet.filterPushdown", "true")
+    # under the default pushdown config both sides agree as well (Spark
+    # drops the NaN row on BOTH, so pruned ≡ full-scan + filter holds)
+    where = [("score", ">", 5.0)]
+    pruned = t.read(spark, where=where).collect()
+    full = t.read(spark).filter(filestats.spark_filter(where)).collect()
+    assert pruned == full
+
+    # = / < / <= stay prunable: NaN can never satisfy them
+    assert t.data_files(where=[("score", "=", 9.0)]) == []
+    assert t.data_files(where=[("score", "<", 1.0)]) == []
+    assert t.data_files(where=[("score", "<=", 0.5)]) == []
+    assert t.data_files(where=[("score", "<", 2.0)]) == [nan_file]
+    # a NaN predicate value fails open (every Python NaN compare is False)
+    assert len(t.data_files(where=[("score", "=", float("nan"))])) == 2
+
+
 def test_add_files_records_stats(tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq
