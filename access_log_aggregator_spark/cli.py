@@ -30,7 +30,8 @@ from pathlib import Path
 
 
 def _compact_reporting(table, label: str, rows_per_file: int,
-                       retries: int = 5) -> None:
+                       retries: int = 5,
+                       sort_by: list[str] | None = None) -> None:
     """Run ``table.compact`` with the retry the CommitConflict contract
     prescribes: a concurrent ingest committing between compaction's base
     capture and its CAS commit aborts the rewrite cleanly, and the next
@@ -52,7 +53,8 @@ def _compact_reporting(table, label: str, rows_per_file: int,
     last_exc: Exception | None = None
     for attempt in range(retries):
         try:
-            sid = table.compact(rows_per_file=rows_per_file)
+            sid = table.compact(rows_per_file=rows_per_file,
+                                sort_by=sort_by)
             print(f"compacted {label} -> snapshot {sid}" if sid
                   else f"{label} already compact", file=sys.stderr)
             return
@@ -274,6 +276,15 @@ def main(argv: list[str] | None = None) -> int:
                          "incremental cursors unaffected)")
     ap.add_argument("--compact-rows-per-file", type=int, default=1_000_000,
                     metavar="N", help="target rows per compacted file")
+    ap.add_argument("--compact-sort-by", action="append", default=None,
+                    metavar="COL",
+                    help="cluster rewritten rows by COL (repeatable) during "
+                         "--compact/--compact-pages — the Iceberg "
+                         "sort-strategy rewrite analog: output files then "
+                         "cover disjoint ranges of COL, keeping manifest "
+                         "bounds tight so predicate reads still prune after "
+                         "compaction (use the dominant scan column, e.g. "
+                         "warc_ts)")
     ap.add_argument("--expire-snapshots", action="store_true",
                     help="after compacting, delete data files only reachable "
                          "from pre-compaction snapshots (disk reclaim; "
@@ -553,7 +564,8 @@ def main(argv: list[str] | None = None) -> int:
             # a compacted table is a true no-op (no growth); a constant
             # marker would silently turn every later run into a no-op
             _compact_reporting(pipe.routed_table, "routed sink",
-                               args.compact_rows_per_file)
+                               args.compact_rows_per_file,
+                               sort_by=args.compact_sort_by)
         if args.retire_stream:
             # works in maintenance-only runs too (no --stream): the marker
             # belongs to the PAGES table and the checkpoint path is derived
@@ -575,7 +587,8 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"expire-snapshots refused: {e}", file=sys.stderr)
         if args.compact_pages:
             _compact_reporting(pages_table, "pages table",
-                               args.compact_rows_per_file)
+                               args.compact_rows_per_file,
+                               sort_by=args.compact_sort_by)
         if args.expire_pages_snapshots:
             try:
                 gone = pages_table.expire_snapshots()

@@ -31,7 +31,7 @@ import uuid
 from contextlib import contextmanager
 from dataclasses import dataclass
 from pathlib import Path
-from typing import Optional
+from typing import Optional, Sequence
 
 import pandas as pd
 import pyarrow as pa
@@ -405,13 +405,28 @@ class SnapshotTable:
             return sid
 
     def compact(self, rows_per_file: int = 1_000_000,
-                marker: Optional[str] = None) -> Optional[int]:
+                marker: Optional[str] = None,
+                sort_by: Optional[Sequence[str]] = None) -> Optional[int]:
         """Small-file compaction (Iceberg ``rewrite_data_files`` analog):
         merge each directory's SMALL live files (< ``rows_per_file`` rows)
         into ~``rows_per_file``-row files and commit a ``replace`` snapshot.
         Table contents are unchanged; old files stay on disk so earlier
         snapshots remain readable (time travel / snapshot isolation) until
         :meth:`expire_snapshots` removes them.
+
+        ``sort_by`` (Iceberg's sort-strategy rewrite / ``SORTED BY`` table
+        order analog) clusters each directory's merged rows by the given
+        columns before slicing into output files, so consecutive outputs
+        cover DISJOINT ranges of the leading sort column and the manifest
+        bounds (sources/filestats.py) stay tight: without it, compaction
+        merges arrival-ordered files and a time-bounded
+        ``read(where=[("warc_ts", ">=", X)])`` can no longer prune what it
+        pruned before the rewrite. Set it to the table's dominant scan
+        predicate column (``warc_ts`` for log tables). Only the rewritten
+        small files are clustered — carried full files keep their existing
+        order and bounds, exactly like Iceberg's rewrite, so re-compacting
+        stays a no-op. Unknown columns raise ``ValueError`` (nothing is
+        committed; staged outputs are reclaimed).
 
         Idempotent and growth-bounded: a directory is rewritten only when
         it has >= 2 small files, and already-full files (>= rows_per_file
@@ -491,6 +506,15 @@ class SnapshotTable:
                     [pq.read_table(f) for f in smalls],
                     promote_options="default"
                 )
+                if sort_by:
+                    missing = [c for c in sort_by
+                               if c not in merged.schema.names]
+                    if missing:
+                        raise ValueError(
+                            f"compact sort_by column(s) {missing} not in "
+                            f"{d}: schema has {merged.schema.names}")
+                    merged = merged.sort_by(
+                        [(c, "ascending") for c in sort_by])
                 total += merged.num_rows
                 for lo in range(0, max(merged.num_rows, 1), rows_per_file):
                     dest = d / f"compact-{uuid.uuid4().hex}.parquet"

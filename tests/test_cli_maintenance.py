@@ -42,7 +42,8 @@ def test_pages_maintenance_lifecycle(tmp_path):
     #    REFUSE because this run's own stream checkpoint is still registered
     out1 = _run_cli("--generate", "400", "--snapshots", "2",
                     "--data-dir", data_dir, "--stream",
-                    "--compact-pages", "--expire-pages-snapshots")
+                    "--compact-pages", "--compact-sort-by", "warc_ts",
+                    "--expire-pages-snapshots")
     d1 = json.loads([l for l in out1.stdout.splitlines()
                      if l.startswith('{"batches')][-1])
     assert d1["rows_in"] == 400
@@ -240,15 +241,17 @@ def test_compact_reporting_retries_conflicts(capsys):
         def __init__(self, failures):
             self.failures, self.calls = failures, 0
 
-        def compact(self, rows_per_file):
+        def compact(self, rows_per_file, sort_by=None):
             self.calls += 1
+            self.sort_by = sort_by
             if self.calls <= self.failures:
                 raise CommitConflict("table advanced")
             return 7
 
     t = Flaky(failures=2)
-    _compact_reporting(t, "routed sink", 1000)
+    _compact_reporting(t, "routed sink", 1000, sort_by=["warc_ts"])
     assert t.calls == 3
+    assert t.sort_by == ["warc_ts"]  # --compact-sort-by reaches compact()
     assert "compacted routed sink -> snapshot 7" in capsys.readouterr().err
 
     t = Flaky(failures=99)
@@ -270,7 +273,7 @@ def test_compact_reporting_retries_missing_files(capsys):
         def __init__(self, failures):
             self.failures, self.calls = failures, 0
 
-        def compact(self, rows_per_file):
+        def compact(self, rows_per_file, sort_by=None):
             self.calls += 1
             if self.calls <= self.failures:
                 raise FileNotFoundError("data/part-dead.parquet")

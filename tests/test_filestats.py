@@ -216,6 +216,48 @@ def test_compaction_preserves_pruning(spark, tmp_path):
     assert len(t.data_files(where=[("n", ">=", 100)])) == 1
 
 
+def test_sorted_compaction_keeps_pruning_selective(spark, tmp_path):
+    """compact(sort_by=...) — the Iceberg sort-strategy rewrite analog —
+    clusters the rewritten rows so each output file covers a disjoint
+    range of the sort column: predicate reads stay selective AFTER
+    compaction, where an unsorted rewrite would blow every file's bounds
+    out to the full range."""
+    t = _ranged_table(tmp_path, n_snaps=6, rows=50)  # 300 rows, 6 files
+    before = {tuple(r) for r in
+              t.read(spark, where=[("n", "<", 100)]).collect()}
+    sid = t.compact(rows_per_file=100, sort_by=["n"])
+    assert sid is not None
+    (snap,) = [s for s in t.snapshots() if s.id == sid]
+    assert len(snap.files) == 3  # 300 rows at 100/file
+    bounds = sorted((snap.stats[f]["cols"]["n"]["min"],
+                     snap.stats[f]["cols"]["n"]["max"])
+                    for f in snap.files)
+    assert bounds == [(0, 99), (100, 199), (200, 299)]  # disjoint, tight
+    # the time-shaped column clusters identically (same generation order)
+    ts_bounds = sorted((snap.stats[f]["cols"]["warc_ts"]["min"],
+                        snap.stats[f]["cols"]["warc_ts"]["max"])
+                       for f in snap.files)
+    assert ts_bounds[0][1] < ts_bounds[1][0] < ts_bounds[2][0]
+    # pruning is as selective as pre-compaction: 1 of 3 files planned
+    assert len(t.data_files(where=[("n", "<", 100)])) == 1
+    after = {tuple(r) for r in
+             t.read(spark, where=[("n", "<", 100)]).collect()}
+    assert after == before
+    # re-compacting a sorted-compacted table stays a no-op (all outputs
+    # are >= rows_per_file): growth-bounded idempotence is preserved
+    assert t.compact(rows_per_file=100, sort_by=["n"]) is None
+
+
+def test_compact_sort_by_unknown_column_fails_clean(tmp_path):
+    t = _ranged_table(tmp_path, n_snaps=2, rows=5)
+    with pytest.raises(ValueError, match="nope"):
+        t.compact(rows_per_file=100, sort_by=["nope"])
+    # nothing committed, no staged compact-* leak
+    assert all("compact-" not in f for f in t.data_files())
+    assert not list((t.root / "data").glob("compact-*"))
+    assert t.row_count() == 10
+
+
 def test_incremental_read_composes_with_pruning(spark, tmp_path):
     t = _ranged_table(tmp_path, n_snaps=4)
     cursor = t.snapshots()[1].id
