@@ -111,13 +111,17 @@ def stats_from_footer(path: str) -> dict:
     logic: ``NULL <op> v`` is never true).
     """
     md = pq.read_metadata(path)
-    out: dict = {"rows": md.num_rows, "cols": {}}
-    if md.num_row_groups == 0 or md.num_rows == 0:
-        return out
     schema = md.schema
     # top-level leaf columns only: a dotted path is a nested field, whose
     # bounds do not compose into a row-level predicate on the struct
     names = [schema.column(i).path for i in range(len(schema.names))]
+    # the file's PHYSICAL top-level column set: under schema evolution a
+    # file predating add_column(c) lacks c entirely, reads back all-NULL
+    # for it, and is therefore provably unmatched by any comparison on c
+    out: dict = {"rows": md.num_rows, "cols": {},
+                 "schema_cols": sorted({n.split(".")[0] for n in names})}
+    if md.num_row_groups == 0 or md.num_rows == 0:
+        return out
     for ci, name in enumerate(names):
         if "." in name:
             continue
@@ -166,17 +170,32 @@ def validate_predicates(where: Sequence[Predicate]) -> None:
 
 
 def file_may_match(stats: Optional[dict],
-                   where: Sequence[Predicate]) -> bool:
+                   where: Sequence[Predicate],
+                   table_cols: Optional[set] = None) -> bool:
     """False only when ``stats`` PROVES no row of the file satisfies the
     conjunction ``where``. Missing stats / unknown columns / type
-    mismatches keep the file (fail open)."""
+    mismatches keep the file (fail open).
+
+    ``table_cols`` (the tracked table schema's column names, when the
+    caller has one and has already verified every predicate column is in
+    it) additionally lets a file be pruned when it PHYSICALLY lacks a
+    predicate column — a file predating ``add_column`` reads back
+    all-NULL for it, so no comparison can match. Without ``table_cols``
+    (untracked tables, whose read schema is footer-sampled and therefore
+    not authoritative) absence stays fail-open."""
     if not where:
         return True
     if stats is None:
         return True
     if stats.get("rows") == 0:
         return False
+    sc = stats.get("schema_cols")
     for col, op, val in where:
+        if table_cols is not None and sc is not None and col not in sc:
+            # the file physically lacks the column (predates an
+            # add_column): every row reads back NULL for it, and
+            # NULL <op> v is never true — prune regardless of op
+            return False
         cs = stats.get("cols", {}).get(col)
         if cs is None:
             continue

@@ -66,6 +66,66 @@ class CommitConflict(RuntimeError):
     commit (Iceberg's base-metadata CAS failure). The caller may retry."""
 
 
+class SchemaMismatch(ValueError):
+    """An append's schema is incompatible with the table's tracked schema
+    (Iceberg write-time schema enforcement). Schema changes are explicit
+    metadata operations — :meth:`SnapshotTable.add_column` /
+    :meth:`SnapshotTable.drop_column` — never a side effect of writing
+    drifted data."""
+
+
+def _schema_from_json(j: dict):
+    from pyspark.sql.types import StructType
+
+    return StructType.fromJson(j)
+
+
+def _current_schema(m: dict):
+    """The table's current tracked StructType, or None (legacy/untracked)."""
+    sid = m.get("current_schema_id")
+    if sid is None:
+        return None
+    for e in m["schemas"]:
+        if e["id"] == sid:
+            return _schema_from_json(e["json"])
+    return None
+
+
+def _spark_schema_of_arrow(asch: pa.Schema):
+    """The Spark StructType a parquet/arrow schema reads back as, or None
+    when a type falls outside the arrow<->Spark mapping (schema tracking
+    then fails open: the commit is untracked, reads sample footers)."""
+    try:
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        return from_arrow_schema(asch)
+    except Exception:
+        return None
+
+
+def _check_schema_compatible(incoming, table) -> None:
+    """Raise :class:`SchemaMismatch` unless every incoming field exists in
+    the table schema with the identical type (by-name resolution; order
+    and nullability don't matter). Table columns ABSENT from the incoming
+    data are fine — readers fill them with null, exactly as they do for
+    files that predate an added column."""
+    by_name = {f.name: f for f in table.fields}
+    for f in incoming.fields:
+        tf = by_name.get(f.name)
+        if tf is None:
+            raise SchemaMismatch(
+                f"column {f.name!r} ({f.dataType.simpleString()}) is not in "
+                f"the table schema {table.simpleString()} — evolve "
+                f"explicitly with add_column({f.name!r}, "
+                f"{f.dataType.simpleString()!r}) before writing it")
+        if tf.dataType != f.dataType:
+            raise SchemaMismatch(
+                f"column {f.name!r} is {tf.dataType.simpleString()} in the "
+                f"table schema but the append writes "
+                f"{f.dataType.simpleString()} — rewrite the data or evolve "
+                "the table to a new column name")
+
+
 def _live_set(snaps: list[dict]) -> tuple[int, list[dict]]:
     """The (base id, live snapshots) of a raw manifest snapshot list: the
     latest ``replace`` snapshot (the rewritten base, -1 if none) plus every
@@ -129,6 +189,11 @@ class Snapshot:
     #: zero-footer-read invariant); :meth:`SnapshotTable.analyze` fills
     #: them in afterwards with a distributed footer sweep.
     stats: Optional[dict] = None
+    #: The manifest schema entry this snapshot was written under (Iceberg
+    #: ties every snapshot to a schema id the same way). None on snapshots
+    #: from untracked (legacy) tables and on routed-sink commits, whose
+    #: hive layout keeps the partition column out of the files.
+    schema_id: Optional[int] = None
 
 
 class SnapshotTable:
@@ -344,11 +409,20 @@ class SnapshotTable:
     def _commit_files(self, files: list[Path], row_count: int,
                       marker: Optional[str], operation: str = "append",
                       expected_current: Optional[int] = None,
-                      stats: Optional[dict] = None) -> int:
+                      stats: Optional[dict] = None,
+                      schema=None) -> int:
         """``stats`` (optional) maps ``str(path)`` — as spelled in
         ``files`` — to its filestats record; recorded in the snapshot
         under the manifest-relative path. Files without an entry are
-        committed statless (scan planning fails open on them)."""
+        committed statless (scan planning fails open on them).
+
+        ``schema`` (optional StructType): the physical schema of ``files``.
+        On the table's FIRST commit it becomes the tracked table schema;
+        afterwards it is validated (under the manifest lock, so a racing
+        first-append pair can't both initialize) against the current
+        schema and the snapshot records the schema id it wrote under.
+        ``None`` commits untracked (legacy tables, the hive-partitioned
+        routed sink whose files deliberately omit the partition column)."""
         with self._manifest_lock():
             m = self._manifest()
             # cleanup basis for the dedupe/conflict paths below: a file is
@@ -387,6 +461,41 @@ class SnapshotTable:
                         f"table advanced (current={cur}, expected="
                         f"{expected_current}); retry the operation"
                     )
+            schema_id = None
+            if schema is not None:
+                if "schemas" not in m:
+                    if not m["snapshots"]:
+                        # first-ever commit: adopt this schema as the table
+                        # schema (Iceberg records schema 0 at table create;
+                        # we don't know it until the first write). Adopt
+                        # all fields as NULLABLE: a read schema promising
+                        # non-null over a later file that holds nulls is
+                        # undefined behavior in Spark, and evolution makes
+                        # "later file with nulls" the normal case
+                        from pyspark.sql.types import StructField, StructType
+
+                        adopted = StructType([
+                            StructField(f.name, f.dataType, True,
+                                        f.metadata)
+                            for f in schema.fields])
+                        m["schemas"] = [{"id": 1,
+                                         "json": adopted.jsonValue()}]
+                        m["current_schema_id"] = 1
+                        schema_id = 1
+                    # else: legacy manifest predating schema tracking —
+                    # commit untracked, preserving its read behavior
+                else:
+                    current = _current_schema(m)
+                    try:
+                        _check_schema_compatible(schema, current)
+                    except SchemaMismatch:
+                        # same cleanup basis as the conflict path above:
+                        # staged files no snapshot references must not leak
+                        for f in files:
+                            if str(f) not in referenced:
+                                f.unlink(missing_ok=True)
+                        raise
+                    schema_id = m["current_schema_id"]
             sid = max(cur or 0, int(m.get("last_id", 0))) + 1
             m["last_id"] = sid
             snap = {"id": sid,
@@ -400,6 +509,8 @@ class SnapshotTable:
                 }
                 if rel_stats:
                     snap["stats"] = rel_stats
+            if schema_id is not None:
+                snap["schema_id"] = schema_id
             m["snapshots"].append(snap)
             self._write_manifest(m)
             return sid
@@ -620,18 +731,32 @@ class SnapshotTable:
                 (self.root / f).unlink(missing_ok=True)
         return [str(self.root / f) for f in doomed]
 
+    def _precheck_schema(self, schema) -> None:
+        """Fast-fail an incompatible append OUTSIDE the lock, before any
+        data is written or staged; the authoritative re-check runs inside
+        ``_commit_files`` under the manifest lock (racing first-appends)."""
+        if schema is None:
+            return
+        m = self._manifest()
+        if "schemas" not in m:
+            return
+        _check_schema_compatible(schema, _current_schema(m))
+
     def append_pandas(self, pdf: pd.DataFrame, marker: Optional[str] = None,
                       schema: Optional[pa.Schema] = None) -> int:
         from . import filestats
 
-        dest = self.root / "data" / f"part-{uuid.uuid4().hex}.parquet"
         table = pa.Table.from_pandas(pdf, schema=schema, preserve_index=False)
+        st = _spark_schema_of_arrow(table.schema)
+        self._precheck_schema(st)
+        dest = self.root / "data" / f"part-{uuid.uuid4().hex}.parquet"
         pq.write_table(table, dest)
         # single freshly-written file: its footer is page-cache-hot and the
         # stats read is O(KB) — the driver-side cost Iceberg writers pay too
         return self._commit_files(
             [dest], len(pdf), marker,
-            stats={str(dest): filestats.stats_from_footer(str(dest))})
+            stats={str(dest): filestats.stats_from_footer(str(dest))},
+            schema=st)
 
     def add_files(self, files, marker: Optional[str] = None) -> int:
         """Register PRE-EXISTING parquet files as one append snapshot — the
@@ -640,14 +765,37 @@ class SnapshotTable:
         crosses filesystems) under a fresh ``part-*`` name and committed
         atomically. Row counts come from parquet footers, not a scan —
         and the same footer read yields the files' column stats, so
-        migrated files are prunable from day one."""
+        migrated files are prunable from day one. The files' UNION schema
+        (by-name; conflicting types raise :class:`SchemaMismatch`) is
+        validated against the table schema before anything is staged."""
         from . import filestats
+        from pyspark.sql.types import StructType
 
+        srcs = [Path(s) for s in files]
+        fields: dict[str, object] = {}
+        union_ok = True
+        for src in srcs:
+            st = _spark_schema_of_arrow(
+                pq.read_metadata(src).schema.to_arrow_schema())
+            if st is None:
+                union_ok = False  # exotic type: commit untracked, fail open
+                break
+            for f in st.fields:
+                prev = fields.get(f.name)
+                if prev is None:
+                    fields[f.name] = f
+                elif prev.dataType != f.dataType:
+                    raise SchemaMismatch(
+                        f"add_files inputs disagree on column {f.name!r}: "
+                        f"{prev.dataType.simpleString()} vs "
+                        f"{f.dataType.simpleString()} ({src})")
+        union = (StructType(list(fields.values()))
+                 if union_ok and fields else None)
+        self._precheck_schema(union)
         staged: list[Path] = []
         stats: dict[str, dict] = {}
         n = 0
-        for src in files:
-            src = Path(src)
+        for src in srcs:
             dest = self.root / "data" / f"part-{uuid.uuid4().hex}.parquet"
             try:
                 os.link(src, dest)
@@ -657,7 +805,8 @@ class SnapshotTable:
             n += rec["rows"]
             stats[str(dest)] = rec
             staged.append(dest)
-        return self._commit_files(staged, n, marker, stats=stats)
+        return self._commit_files(staged, n, marker, stats=stats,
+                                  schema=union)
 
     def append_spark(self, df: DataFrame, marker: Optional[str] = None) -> int:
         """Write a DataFrame's partitions as one snapshot (staging dir + move).
@@ -675,6 +824,7 @@ class SnapshotTable:
         from pyspark.sql import Observation
         from pyspark.sql import functions as F
 
+        self._precheck_schema(df.schema)  # fail BEFORE running the write job
         staging = self.root / f"_staging-{uuid.uuid4().hex}"
         obs = Observation()
         df.observe(obs, F.count(F.lit(1)).alias("rows")) \
@@ -686,7 +836,7 @@ class SnapshotTable:
             shutil.move(str(p), dest)
             moved.append(dest)
         shutil.rmtree(staging, ignore_errors=True)
-        return self._commit_files(moved, n, marker)
+        return self._commit_files(moved, n, marker, schema=df.schema)
 
     def truncate(self) -> None:
         """Drop all snapshots and DELETE their data files (full-recompute
@@ -735,6 +885,11 @@ class SnapshotTable:
             m.pop("expired_markers", None)
             m.pop("expired_append_ceiling", None)
             m.pop("stream_floor", None)
+            # the schema history goes with the rows: truncate is
+            # full-recompute mode, and the rewriter may legitimately write
+            # a different shape (its first post-truncate append re-adopts)
+            m.pop("schemas", None)
+            m.pop("current_schema_id", None)
             self._write_manifest(m)
             # unlink INSIDE the lock (like expire_snapshots, still after
             # the manifest commit): a stream registering the instant the
@@ -798,6 +953,91 @@ class SnapshotTable:
             self._write_manifest(m)
         return len(rel)
 
+    # -- schema evolution (Iceberg metadata-only evolution analog) -----------
+    def table_schema(self, end: Optional[int] = None):
+        """The tracked StructType as of snapshot ``end`` (None = current),
+        or None for untracked (legacy / routed-hive) tables. Time travel
+        resolves through the SNAPSHOT's recorded schema id, like Iceberg:
+        a metadata-only add/drop between snapshots does not rewrite what
+        an earlier snapshot's read sees."""
+        m = self._manifest()
+        if "schemas" not in m:
+            return None
+        if end is None:
+            return _current_schema(m)
+        sid = None
+        for s in m["snapshots"]:
+            if s["id"] <= end and s.get("schema_id") is not None:
+                sid = s["schema_id"]
+        if sid is None:
+            return None
+        for e in m["schemas"]:
+            if e["id"] == sid:
+                return _schema_from_json(e["json"])
+        return None
+
+    def add_column(self, name: str, ddl_type: str) -> int:
+        """Add a nullable column — METADATA ONLY, no data rewrite: rows in
+        every existing file read back as NULL for it (Iceberg
+        ``ADD COLUMN``). Returns the new schema id.
+
+        Refuses a name any HISTORICAL schema used (even a dropped one):
+        this layer resolves parquet columns BY NAME, so re-adding a
+        dropped name would resurrect the old files' values — the hazard
+        Iceberg's field-ids exist to prevent; a fresh name is free."""
+        from pyspark.sql.types import StructField, StructType
+
+        dtype = StructType.fromDDL(f"`{name}` {ddl_type}").fields[0].dataType
+        with self._manifest_lock():
+            m = self._manifest()
+            if "schemas" not in m:
+                raise RuntimeError(
+                    f"{self.root} tracks no schema (empty or pre-tracking "
+                    "table): append data first")
+            current = _current_schema(m)
+            if any(f.name == name for f in current.fields):
+                raise SchemaMismatch(f"column {name!r} already exists")
+            historical = {f["name"] for e in m["schemas"]
+                          for f in e["json"]["fields"]}
+            if name in historical:
+                raise SchemaMismatch(
+                    f"column name {name!r} was used by an earlier schema "
+                    "version: by-name parquet resolution would resurrect "
+                    "the dropped column's values from old files — use a "
+                    "new name (Iceberg avoids this with field ids)")
+            new = StructType(list(current.fields)
+                             + [StructField(name, dtype, True)])
+            nid = max(e["id"] for e in m["schemas"]) + 1
+            m["schemas"].append({"id": nid, "json": new.jsonValue()})
+            m["current_schema_id"] = nid
+            self._write_manifest(m)
+            return nid
+
+    def drop_column(self, name: str) -> int:
+        """Drop a column — METADATA ONLY: files keep the bytes (time travel
+        to pre-drop snapshots still reads them), current reads exclude it
+        (Iceberg ``DROP COLUMN``). Returns the new schema id."""
+        from pyspark.sql.types import StructType
+
+        with self._manifest_lock():
+            m = self._manifest()
+            if "schemas" not in m:
+                raise RuntimeError(
+                    f"{self.root} tracks no schema (empty or pre-tracking "
+                    "table): append data first")
+            current = _current_schema(m)
+            if not any(f.name == name for f in current.fields):
+                raise SchemaMismatch(f"no column {name!r} in "
+                                     f"{current.simpleString()}")
+            if len(current.fields) == 1:
+                raise SchemaMismatch("cannot drop the last column")
+            new = StructType([f for f in current.fields if f.name != name])
+            nid = max(e["id"] for e in m["schemas"]) + 1
+            m["schemas"].append({"id": nid, "json": new.jsonValue()})
+            m["current_schema_id"] = nid
+            self._write_manifest(m)
+            return nid
+
     # -- reads ---------------------------------------------------------------
     def _live_snapshots(self, end: Optional[int] = None) -> list[Snapshot]:
         """The snapshots composing the table STATE as of ``end`` (default:
@@ -827,16 +1067,30 @@ class SnapshotTable:
                      and (end is None or s.id <= end)]
         else:
             snaps = self._live_snapshots(end)
+        table_cols = None
         if where:
             from . import filestats
 
             filestats.validate_predicates(where)
+            st = self.table_schema(end=end)
+            if st is not None:
+                # tracked table: an unknown predicate column is the same
+                # error a full scan + .filter() raises (unresolved column)
+                # — pruning must never turn that error into "no rows"
+                table_cols = {f.name for f in st.fields}
+                unknown = sorted({c for c, _, _ in where
+                                  if c not in table_cols})
+                if unknown:
+                    raise ValueError(
+                        f"predicate column(s) {unknown} not in the table "
+                        f"schema {st.simpleString()}")
         out: list[str] = []
         for s in snaps:
             for f in s.files:
                 if where:
                     rec = (s.stats or {}).get(f)
-                    if not filestats.file_may_match(rec, where):
+                    if not filestats.file_may_match(rec, where,
+                                                    table_cols=table_cols):
                         continue
                 out.append(str(self.root / f))
         return out
@@ -861,7 +1115,14 @@ class SnapshotTable:
         files = self.data_files(start_after=start_after, end=end, where=where)
         if not files:
             return None
-        df = spark.read.parquet(*files)
+        # schema-tracked tables read under the schema AS OF ``end`` (like
+        # Iceberg: time travel sees the snapshot's schema): files predating
+        # an added column surface it as NULL, dropped columns disappear,
+        # and the result schema is deterministic — never "whichever file's
+        # footer Spark sampled first"
+        st = self.table_schema(end=end)
+        reader = spark.read.schema(st) if st is not None else spark.read
+        df = reader.parquet(*files)
         if where:
             from . import filestats
 

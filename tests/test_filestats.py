@@ -173,10 +173,20 @@ def test_not_equal_prunes_only_constant_files(tmp_path):
 def test_type_mismatch_and_unknown_column_fail_open(tmp_path):
     t = _ranged_table(tmp_path, n_snaps=2)
     assert len(t.data_files(where=[("n", ">", "zzz")])) == 2   # str vs int
-    assert len(t.data_files(where=[("nope", "=", 1)])) == 2    # no such col
     assert len(t.data_files(where=[("n", "=", True)])) == 2    # bool vs int
     with pytest.raises(ValueError):
         t.data_files(where=[("n", "LIKE", "x")])
+    # tracked table + unknown column: the same error full-scan + filter
+    # raises — pruning must not turn it into "no rows"
+    with pytest.raises(ValueError, match="nope"):
+        t.data_files(where=[("nope", "=", 1)])
+    # untracked table (no schema history): unknown columns fail open
+    import json
+    mpath = t.root / "manifest.json"
+    m = json.loads(mpath.read_text())
+    m.pop("schemas"), m.pop("current_schema_id")
+    mpath.write_text(json.dumps(m))
+    assert len(t.data_files(where=[("nope", "=", 1)])) == 2
 
 
 def test_compaction_preserves_pruning(spark, tmp_path):
@@ -343,5 +353,5 @@ def test_add_files_records_stats(tmp_path):
     t.add_files([src])
     (snap,) = t.snapshots()
     (rec,) = snap.stats.values()
-    assert rec == {"rows": 3, "cols": {"n": {"type": "int", "min": 5,
-                                             "max": 7}}}
+    assert rec == {"rows": 3, "schema_cols": ["n"],
+                   "cols": {"n": {"type": "int", "min": 5, "max": 7}}}
