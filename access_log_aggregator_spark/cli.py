@@ -58,6 +58,12 @@ def _compact_reporting(table, label: str, rows_per_file: int,
             print(f"compacted {label} -> snapshot {sid}" if sid
                   else f"{label} already compact", file=sys.stderr)
             return
+        except ValueError as e:
+            # a caller error (e.g. --compact-sort-by typo), not a race: no
+            # retry would change it, and a traceback here would also skip
+            # the aggregate heal and summary that follow in main()
+            print(f"compaction of {label} skipped: {e}", file=sys.stderr)
+            return
         except (CommitConflict, FileNotFoundError) as e:
             last_exc = e
             if attempt < retries - 1:

@@ -154,8 +154,6 @@ def stats_from_footer(path: str) -> dict:
             continue
         if tag is None:  # every row group was all-null
             out["cols"][name] = {"all_null": True}
-        elif nulls == md.num_rows:
-            out["cols"][name] = {"all_null": True}
         else:
             out["cols"][name] = {"type": tag, "min": lo, "max": hi}
     return out
@@ -239,11 +237,20 @@ def file_may_match(stats: Optional[dict],
 
 def spark_filter(where: Sequence[Predicate]):
     """The Catalyst Column equivalent of the conjunction ``where`` — what a
-    pruned read applies so pruning can never change results."""
+    pruned read applies so pruning can never change results.
+
+    Naive datetimes are made UTC-aware BEFORE becoming literals: the
+    pruning layer interprets them as UTC (:func:`_ts_micros`), but py4j's
+    DatetimeConverter builds the literal with ``time.mktime`` — the
+    DRIVER's local timezone, which the session timeZone=UTC config does
+    not govern. On a non-UTC driver the two layers would otherwise
+    disagree by the UTC offset and pruning could drop matching rows."""
     from pyspark.sql import functions as F
 
     cond = None
     for col, op, val in where:
+        if isinstance(val, _dt.datetime) and val.tzinfo is None:
+            val = val.replace(tzinfo=_dt.timezone.utc)
         c = F.col(col)
         term = {"=": c == val, "==": c == val, "!=": c != val,
                 "<": c < val, "<=": c <= val,

@@ -91,6 +91,32 @@ def _current_schema(m: dict):
     return None
 
 
+def _parse_ddl_type(ddl: str):
+    """A Spark DataType from a DDL type string. Atomic types parse locally
+    (no JVM), so metadata-only evolution works without an active
+    SparkSession — ``StructType.fromDDL`` needs a live SparkContext and
+    would make ``add_column`` crash in a sessionless maintenance process.
+    Complex types (array<...>, struct<...>, map<...>, decimal(p,s)) fall
+    back to ``fromDDL`` and therefore do need a session."""
+    from pyspark.sql import types as T
+
+    atomic = {
+        "string": T.StringType(), "int": T.IntegerType(),
+        "integer": T.IntegerType(), "bigint": T.LongType(),
+        "long": T.LongType(), "smallint": T.ShortType(),
+        "short": T.ShortType(), "tinyint": T.ByteType(),
+        "byte": T.ByteType(), "double": T.DoubleType(),
+        "float": T.FloatType(), "real": T.FloatType(),
+        "boolean": T.BooleanType(), "timestamp": T.TimestampType(),
+        "timestamp_ntz": T.TimestampNTZType(), "date": T.DateType(),
+        "binary": T.BinaryType(),
+    }
+    t = atomic.get(ddl.strip().lower())
+    if t is not None:
+        return t
+    return T.StructType.fromDDL(f"`c` {ddl}").fields[0].dataType
+
+
 def _spark_schema_of_arrow(asch: pa.Schema):
     """The Spark StructType a parquet/arrow schema reads back as, or None
     when a type falls outside the arrow<->Spark mapping (schema tracking
@@ -410,7 +436,7 @@ class SnapshotTable:
                       marker: Optional[str], operation: str = "append",
                       expected_current: Optional[int] = None,
                       stats: Optional[dict] = None,
-                      schema=None) -> int:
+                      schema=None, unconvertible: bool = False) -> int:
         """``stats`` (optional) maps ``str(path)`` — as spelled in
         ``files`` — to its filestats record; recorded in the snapshot
         under the manifest-relative path. Files without an entry are
@@ -461,6 +487,16 @@ class SnapshotTable:
                         f"table advanced (current={cur}, expected="
                         f"{expected_current}); retry the operation"
                     )
+            if unconvertible and "schemas" in m:
+                # in-lock twin of _precheck_schema's refusal: a racing
+                # first-append may have adopted a schema since the precheck
+                for f in files:
+                    if str(f) not in referenced:
+                        f.unlink(missing_ok=True)
+                raise SchemaMismatch(
+                    "frame contains arrow types outside the Spark type "
+                    "mapping — cannot validate against the tracked table "
+                    "schema; convert the column first")
             schema_id = None
             if schema is not None:
                 if "schemas" not in m:
@@ -536,8 +572,12 @@ class SnapshotTable:
         predicate column (``warc_ts`` for log tables). Only the rewritten
         small files are clustered — carried full files keep their existing
         order and bounds, exactly like Iceberg's rewrite, so re-compacting
-        stays a no-op. Unknown columns raise ``ValueError`` (nothing is
-        committed; staged outputs are reclaimed).
+        stays a no-op. Unknown columns raise ``ValueError``: on tracked
+        tables UPFRONT against the table schema (so a typo surfaces even
+        on a no-op run); on untracked tables per merged group (nothing is
+        committed; staged outputs are reclaimed). A group whose files all
+        predate an added sort column reads all-null for it and keeps its
+        order.
 
         Idempotent and growth-bounded: a directory is rewritten only when
         it has >= 2 small files, and already-full files (>= rows_per_file
@@ -579,6 +619,19 @@ class SnapshotTable:
         base = self.current_snapshot_id()  # the state this rewrite is valid for
         live = self.data_files()
         known = self._file_stats()  # manifest stats: rows without footer IO
+        # the replace snapshot commits under the CURRENT schema (Iceberg
+        # rewrites do the same): without a schema_id on the base, a
+        # post-expire table — where the base is the only snapshot left —
+        # would resolve table_schema(end=base) to None and fall back to
+        # footer-sampled reads, resurrecting dropped columns
+        cur_schema = self.table_schema()
+        if sort_by and cur_schema is not None:
+            missing = [c for c in sort_by
+                       if c not in {f.name for f in cur_schema.fields}]
+            if missing:
+                raise ValueError(
+                    f"compact sort_by column(s) {missing} not in the table "
+                    f"schema {cur_schema.simpleString()}")
         groups: dict[Path, list[str]] = defaultdict(list)
         for f in live:
             # merge only within a directory: hive-partitioned layouts keep
@@ -618,14 +671,21 @@ class SnapshotTable:
                     promote_options="default"
                 )
                 if sort_by:
-                    missing = [c for c in sort_by
-                               if c not in merged.schema.names]
-                    if missing:
+                    present = [c for c in sort_by
+                               if c in merged.schema.names]
+                    missing = [c for c in sort_by if c not in present]
+                    if missing and cur_schema is None:
+                        # untracked table: the physical schema is the only
+                        # witness, so an absent column is a caller typo
                         raise ValueError(
                             f"compact sort_by column(s) {missing} not in "
                             f"{d}: schema has {merged.schema.names}")
-                    merged = merged.sort_by(
-                        [(c, "ascending") for c in sort_by])
+                    # tracked tables validated sort_by upfront; a group
+                    # whose files all predate an added column reads
+                    # all-null for it — any order is sorted
+                    if present:
+                        merged = merged.sort_by(
+                            [(c, "ascending") for c in present])
                 total += merged.num_rows
                 for lo in range(0, max(merged.num_rows, 1), rows_per_file):
                     dest = d / f"compact-{uuid.uuid4().hex}.parquet"
@@ -638,7 +698,7 @@ class SnapshotTable:
             return self._commit_files(out, total, marker,
                                       operation="replace",
                                       expected_current=base,
-                                      stats=stats)
+                                      stats=stats, schema=cur_schema)
         except BaseException:
             # a failed footer/content read (concurrent truncate/expire
             # unlinked a listed file) or a CommitConflict must not leak the
@@ -731,10 +791,24 @@ class SnapshotTable:
                 (self.root / f).unlink(missing_ok=True)
         return [str(self.root / f) for f in doomed]
 
-    def _precheck_schema(self, schema) -> None:
+    def _precheck_schema(self, schema, unconvertible: bool = False) -> None:
         """Fast-fail an incompatible append OUTSIDE the lock, before any
         data is written or staged; the authoritative re-check runs inside
-        ``_commit_files`` under the manifest lock (racing first-appends)."""
+        ``_commit_files`` under the manifest lock (racing first-appends).
+
+        ``unconvertible`` marks a frame whose arrow schema has no Spark
+        mapping: on a TRACKED table that is refused outright — silently
+        committing it untracked would plant data the tracked read schema
+        then chokes on at scan time, with no SchemaMismatch ever raised.
+        On an untracked/empty table it commits untracked (and a first
+        commit leaves the table untracked)."""
+        if unconvertible:
+            if "schemas" in self._manifest():
+                raise SchemaMismatch(
+                    "frame contains arrow types outside the Spark type "
+                    "mapping — cannot validate against the tracked table "
+                    "schema; convert the column first")
+            return
         if schema is None:
             return
         m = self._manifest()
@@ -748,7 +822,7 @@ class SnapshotTable:
 
         table = pa.Table.from_pandas(pdf, schema=schema, preserve_index=False)
         st = _spark_schema_of_arrow(table.schema)
-        self._precheck_schema(st)
+        self._precheck_schema(st, unconvertible=st is None)
         dest = self.root / "data" / f"part-{uuid.uuid4().hex}.parquet"
         pq.write_table(table, dest)
         # single freshly-written file: its footer is page-cache-hot and the
@@ -756,7 +830,7 @@ class SnapshotTable:
         return self._commit_files(
             [dest], len(pdf), marker,
             stats={str(dest): filestats.stats_from_footer(str(dest))},
-            schema=st)
+            schema=st, unconvertible=st is None)
 
     def add_files(self, files, marker: Optional[str] = None) -> int:
         """Register PRE-EXISTING parquet files as one append snapshot — the
@@ -791,7 +865,7 @@ class SnapshotTable:
                         f"{f.dataType.simpleString()} ({src})")
         union = (StructType(list(fields.values()))
                  if union_ok and fields else None)
-        self._precheck_schema(union)
+        self._precheck_schema(union, unconvertible=not union_ok)
         staged: list[Path] = []
         stats: dict[str, dict] = {}
         n = 0
@@ -806,7 +880,7 @@ class SnapshotTable:
             stats[str(dest)] = rec
             staged.append(dest)
         return self._commit_files(staged, n, marker, stats=stats,
-                                  schema=union)
+                                  schema=union, unconvertible=not union_ok)
 
     def append_spark(self, df: DataFrame, marker: Optional[str] = None) -> int:
         """Write a DataFrame's partitions as one snapshot (staging dir + move).
@@ -960,7 +1034,9 @@ class SnapshotTable:
         resolves through the SNAPSHOT's recorded schema id, like Iceberg:
         a metadata-only add/drop between snapshots does not rewrite what
         an earlier snapshot's read sees."""
-        m = self._manifest()
+        return self._table_schema_from(self._manifest(), end)
+
+    def _table_schema_from(self, m: dict, end: Optional[int] = None):
         if "schemas" not in m:
             return None
         if end is None:
@@ -987,7 +1063,7 @@ class SnapshotTable:
         Iceberg's field-ids exist to prevent; a fresh name is free."""
         from pyspark.sql.types import StructField, StructType
 
-        dtype = StructType.fromDDL(f"`{name}` {ddl_type}").fields[0].dataType
+        dtype = _parse_ddl_type(ddl_type)
         with self._manifest_lock():
             m = self._manifest()
             if "schemas" not in m:
@@ -1058,21 +1134,34 @@ class SnapshotTable:
         time-bounded scan schedules tasks for the matching suffix only.
         Files without recorded stats are always kept (fail open), so
         pruning is sound on mixed tables."""
+        return self._data_files_from(self._manifest(), start_after, end,
+                                     where)
+
+    def _data_files_from(self, m: dict, start_after: Optional[int],
+                         end: Optional[int], where: Optional[list]
+                         ) -> list[str]:
+        """One-manifest-view body of :meth:`data_files` — ``read`` threads
+        the same parsed manifest through file listing and schema
+        resolution, so a 10^5-entry manifest is json-parsed once per scan
+        plan and both derivations see one consistent state."""
         if start_after is not None:
             # incremental scan: NEW ROWS only — append snapshots past the
             # cursor (replace snapshots rewrite existing rows; including
             # them would double-process after a compaction)
-            snaps = [s for s in self.snapshots()
-                     if s.id > start_after and s.operation == "append"
-                     and (end is None or s.id <= end)]
+            snaps = [Snapshot(**s) for s in m["snapshots"]
+                     if s["id"] > start_after
+                     and s.get("operation", "append") == "append"
+                     and (end is None or s["id"] <= end)]
         else:
-            snaps = self._live_snapshots(end)
+            raw = [s for s in m["snapshots"]
+                   if end is None or s["id"] <= end]
+            snaps = [Snapshot(**s) for s in _live_set(raw)[1]]
         table_cols = None
         if where:
             from . import filestats
 
             filestats.validate_predicates(where)
-            st = self.table_schema(end=end)
+            st = self._table_schema_from(m, end)
             if st is not None:
                 # tracked table: an unknown predicate column is the same
                 # error a full scan + .filter() raises (unresolved column)
@@ -1112,7 +1201,8 @@ class SnapshotTable:
         file) — the caller decides whether that means "nothing new"
         (incremental) or an error (full scan).
         """
-        files = self.data_files(start_after=start_after, end=end, where=where)
+        m = self._manifest()  # ONE parse: files + schema from the same view
+        files = self._data_files_from(m, start_after, end, where)
         if not files:
             return None
         # schema-tracked tables read under the schema AS OF ``end`` (like
@@ -1120,7 +1210,7 @@ class SnapshotTable:
         # an added column surface it as NULL, dropped columns disappear,
         # and the result schema is deterministic — never "whichever file's
         # footer Spark sampled first"
-        st = self.table_schema(end=end)
+        st = self._table_schema_from(m, end)
         reader = spark.read.schema(st) if st is not None else spark.read
         df = reader.parquet(*files)
         if where:

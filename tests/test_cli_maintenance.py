@@ -261,6 +261,27 @@ def test_compact_reporting_retries_conflicts(capsys):
     assert "skipped: concurrent commits" in err and "4 attempts" in err
 
 
+def test_compact_reporting_reports_caller_errors_clean(capsys):
+    """A ValueError out of compact() (e.g. a --compact-sort-by typo) is a
+    caller error, not a race: no retry would change it, and a traceback
+    would skip the aggregate heal and summary that follow in main()."""
+    from access_log_aggregator_spark.cli import _compact_reporting
+
+    class Bad:
+        calls = 0
+
+        def compact(self, rows_per_file, sort_by=None):
+            self.calls += 1
+            raise ValueError("compact sort_by column(s) ['warcts'] not in "
+                             "the table schema")
+
+    t = Bad()
+    _compact_reporting(t, "pages table", 1000, sort_by=["warcts"])
+    assert t.calls == 1  # not retried
+    err = capsys.readouterr().err
+    assert "skipped" in err and "warcts" in err
+
+
 def test_compact_reporting_retries_missing_files(capsys):
     """FileNotFoundError out of compact() is the CAS race seen one stage
     earlier — a concurrent truncate/expire unlinked a file between the

@@ -343,6 +343,56 @@ def test_nan_rows_are_never_pruned_away(spark, tmp_path):
     assert len(t.data_files(where=[("score", "=", float("nan"))])) == 2
 
 
+def test_naive_datetime_predicates_sound_on_non_utc_driver(tmp_path):
+    """Pruning interprets naive datetimes as UTC (_ts_micros); py4j's
+    literal conversion uses the DRIVER's local timezone (time.mktime),
+    which session timeZone=UTC does not govern. spark_filter therefore
+    pins naive datetimes to UTC before building the literal — without
+    that, a +05:00 driver prunes files whose rows the filter matches.
+    Runs in a subprocess with TZ=Asia/Karachi, the config where the
+    divergence is visible (CI's UTC driver masks it)."""
+    import os
+    import subprocess
+    import sys
+    import textwrap
+    from pathlib import Path
+
+    repo = str(Path(__file__).resolve().parent.parent)
+    code = textwrap.dedent("""
+        import datetime as dt, sys
+        import pandas as pd
+        sys.path.insert(0, %r)
+        from access_log_aggregator_spark.session import get_spark
+        from access_log_aggregator_spark.sources.tableio import SnapshotTable
+        import pathlib
+        d = pathlib.Path(%r)
+        t = SnapshotTable.create(d / "t")
+        UTC = dt.timezone.utc
+        rows = [dt.datetime(2026, 3, 1, 8, 30, tzinfo=UTC),
+                dt.datetime(2026, 3, 1, 9, 0, tzinfo=UTC)]
+        t.append_pandas(pd.DataFrame({
+            "url": ["a", "b"],
+            "warc_ts": pd.Series(rows, dtype="datetime64[us, UTC]")}))
+        spark = get_spark(app_name="tz-test", master="local[2]",
+                          shuffle_partitions=2)
+        # naive 08:45 means 08:45 UTC on both layers: exactly one row
+        naive = dt.datetime(2026, 3, 1, 8, 45)
+        where = [("warc_ts", ">=", naive)]
+        pruned = t.read(spark, where=where)
+        got = sorted(r.url for r in pruned.collect()) if pruned else []
+        from access_log_aggregator_spark.sources import filestats
+        full = sorted(r.url for r in t.read(spark)
+                      .filter(filestats.spark_filter(where)).collect())
+        assert got == full == ["b"], (got, full)
+        print("OK")
+    """) % (repo, str(tmp_path))
+    env = dict(os.environ, TZ="Asia/Karachi")
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=300, env=env, cwd=repo)
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert "OK" in out.stdout
+
+
 def test_add_files_records_stats(tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq

@@ -16,9 +16,12 @@ from __future__ import annotations
 
 import datetime as dt
 import json
+from pathlib import Path
 
 import pandas as pd
 import pytest
+
+REPO = str(Path(__file__).resolve().parent.parent)
 
 from access_log_aggregator_spark.sources.tableio import (
     SchemaMismatch,
@@ -199,6 +202,116 @@ def test_truncate_voids_schema_history(tmp_path):
     # the rebuild may adopt a different shape — that's the point
     t.append_pandas(pd.DataFrame({"k": ["x"], "v": [1.0]}))
     assert [f.name for f in t.table_schema().fields] == ["k", "v"]
+
+
+def test_compact_and_expire_preserve_the_tracked_schema(spark, tmp_path):
+    """The replace snapshot commits under the current schema id, so after
+    expire_snapshots leaves the base as the only snapshot the table is
+    still schema-tracked: without this, read(end=live_base_id()) — the
+    exact shape the checkpoint rebuild path runs post-expire — fell back
+    to footer-sampled reads and resurrected dropped columns."""
+    t = _t(tmp_path)
+    t.append_pandas(pd.DataFrame({"url": ["c"], "n": [3]}))
+    t.drop_column("n")
+    assert t.compact(rows_per_file=1000) is not None
+    t.expire_snapshots(force=True)
+    base = t.live_base_id()
+    assert t.table_schema(end=base) is not None
+    df = t.read(spark, end=base)
+    assert [f.name for f in df.schema.fields] == ["url"]  # n stays dropped
+    assert df.count() == 3
+    # unknown-column predicates still raise (not silently fail open)
+    with pytest.raises(ValueError, match="nope"):
+        t.data_files(where=[("nope", "=", 1)], end=base)
+
+
+def test_evolution_works_without_a_spark_session(tmp_path):
+    """Metadata-only evolution must not need a JVM: a sessionless
+    maintenance process (or a test run in isolation) calls add_column /
+    drop_column with atomic DDL types parsed locally."""
+    import subprocess
+    import sys
+    import textwrap
+
+    code = textwrap.dedent("""
+        import sys, pandas as pd
+        sys.path.insert(0, %r)
+        from pyspark.sql import SparkSession
+        assert SparkSession.getActiveSession() is None
+        from access_log_aggregator_spark.sources.tableio import SnapshotTable
+        import pathlib, tempfile
+        d = pathlib.Path(tempfile.mkdtemp())
+        t = SnapshotTable.create(d / "t")
+        t.append_pandas(pd.DataFrame({"url": ["a"], "n": [1]}))
+        t.add_column("score", "double")
+        t.add_column("ts2", "timestamp")
+        t.drop_column("n")
+        names = [f.name for f in t.table_schema().fields]
+        assert names == ["url", "score", "ts2"], names
+        assert SparkSession.getActiveSession() is None  # still no JVM
+        print("OK")
+    """) % str(REPO)
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=120)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "OK" in out.stdout
+
+
+def test_unconvertible_arrow_types_fail_closed_on_tracked_tables(tmp_path):
+    """A frame containing an arrow type outside the Spark mapping cannot
+    be validated — on a tracked table it must be REFUSED, not silently
+    committed untracked (the tracked read schema would choke on it at
+    scan time with no SchemaMismatch ever raised)."""
+    import datetime as dtm
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from access_log_aggregator_spark.sources.tableio import (
+        _spark_schema_of_arrow,
+    )
+
+    exotic = pa.schema([("url", pa.string()), ("t", pa.time32("s"))])
+    assert _spark_schema_of_arrow(exotic) is None  # premise of the test
+    t = _t(tmp_path)
+    pdf = pd.DataFrame({"url": ["x"], "t": [dtm.time(1, 2, 3)]})
+    with pytest.raises(SchemaMismatch, match="arrow types outside"):
+        t.append_pandas(pdf, schema=exotic)
+    exotic_file = tmp_path / "exotic.parquet"
+    pq.write_table(pa.Table.from_pandas(pdf, schema=exotic,
+                                        preserve_index=False), exotic_file)
+    with pytest.raises(SchemaMismatch, match="arrow types outside"):
+        t.add_files([exotic_file])
+    assert t.row_count() == 2
+    assert len(list((t.root / "data").glob("*.parquet"))) == 1  # no leak
+    # an UNTRACKED table still accepts it (legacy fail-open, reads sample)
+    u = SnapshotTable.create(tmp_path / "untracked")
+    u.append_pandas(pdf, schema=exotic)
+    assert u.table_schema() is None
+    assert u.row_count() == 1
+
+
+def test_compact_sort_by_typo_raises_even_when_already_compact(tmp_path):
+    """On a tracked table the sort column is validated against the table
+    schema UPFRONT — a typo raises on every run, not only on runs that
+    happen to find >= 2 small files to merge."""
+    t = _t(tmp_path)
+    assert t.compact(rows_per_file=1) is None  # nothing mergeable
+    with pytest.raises(ValueError, match="warcts"):
+        t.compact(rows_per_file=1, sort_by=["warcts"])
+
+
+def test_compact_sorts_across_schema_versions(spark, tmp_path):
+    """sort_by an evolved column: groups whose files all predate the
+    column are all-null for it (any order is sorted); mixed groups sort
+    with nulls placed deterministically."""
+    t = _t(tmp_path)
+    t.add_column("score", "double")
+    t.append_pandas(pd.DataFrame({"url": ["c"], "n": [3], "score": [1.5]}))
+    before = {(r.url, r.n, r.score) for r in t.read(spark).collect()}
+    assert t.compact(rows_per_file=1000, sort_by=["score"]) is not None
+    assert {(r.url, r.n, r.score)
+            for r in t.read(spark).collect()} == before
 
 
 def test_racing_first_appends_validate_under_the_lock(tmp_path):
