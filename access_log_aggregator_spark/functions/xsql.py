@@ -349,3 +349,157 @@ def dec_sum_double(expr: str, d: str) -> str:
     if d == SPARK:
         return f"cast(sum(cast({expr} as decimal(18,4))) as double)"
     return f"(sum(({expr})::decimal(18,4)))::double"
+
+
+# ---------------------------------------------------------------------------
+# Sketches: HyperLogLog distinct counting + count-min frequency estimation.
+#
+# Both are the bounded-state approximate twins of the reference's exact
+# counters (internal/accesslog/summaries.go:3-27 keeps one exact counter
+# per host in a Go map — unbounded state): at 10^12 rows an exact
+# count-distinct shuffles every key, while an HLL keeps HLL_M registers
+# per group and a count-min sketch keeps CMS_D * CMS_W cells TOTAL, both
+# mergeable with max / + (partial aggregation stays map-side). The
+# formulas below are integer-exact cross-engine (same determinism rules
+# as the hash family above): the only doubles are the final estimate
+# arithmetic, which is a fixed-length IEEE expression over exact ints.
+# ---------------------------------------------------------------------------
+
+#: HLL register count (2^HLL_REG_BITS) — std error ~ 1.04/sqrt(M) = 9.2%
+HLL_M = 128
+HLL_REG_BITS = 7
+#: bit width of the rho domain — an EXACT power of two (see hll_rho)
+HLL_RHO_BITS = 22
+#: xorshift-multiply rounds of the avalanche mix (see hll_mix); every
+#: product stays < 2^62 (operand < 2^30, multiplier < 2^32), so DuckDB
+#: (which raises on int64 overflow) and Spark (which wraps) never diverge
+HLL_MIX_MULTS = [2654435761, 1327217885, 3266489917]
+
+#: count-min rows (independent affine hashes over polyhash) and width
+CMS_COEFFS = [(23, 17), (29, 257), (37, 8191), (41, 65537)]
+CMS_D = len(CMS_COEFFS)
+CMS_W = 512
+
+
+def _xor(a: str, b: str, d: str) -> str:
+    return f"({a} ^ {b})" if d == SPARK else f"xor({a}, {b})"
+
+
+def _shr(a: str, k: int, d: str) -> str:
+    return f"shiftright({a}, {k})" if d == SPARK else f"({a} >> {k})"
+
+
+def hll_mix(hash_expr: str, d: str) -> str:
+    """Avalanche mix of a polyhash value — 3 xorshift-multiply rounds.
+
+    Polyhash alone is NOT an HLL-grade hash: short keys never wrap mod P,
+    so their magnitudes (hence leading-zero counts) are structured —
+    measured 45% cardinality error on 4-char sequential keys. One affine
+    re-hash keeps lattice structure (measured up to 48% error); three
+    xorshift-multiply rounds bring the worst case over 50 prefix/size
+    test sets to 15.6% (~1.7 sigma of the m=128 ideal).
+
+    Each round is a ``transform`` lambda over a singleton array so the
+    previous round binds to a lambda VARIABLE: ``v ^ (v >> 15)`` names v
+    twice, and writing the rounds as plain nested expressions doubles the
+    whole subtree per round — Catalyst's CollapseProject inlined such a
+    chain into a 2^rounds-fold duplication of the per-char polyhash fold
+    (observed in the physical plan; higher-order functions evaluate
+    interpreted, outside codegen subexpression elimination)."""
+    arr = hll_mix_arr(hash_expr, d)
+    return f"element_at({arr}, 1)" if d == SPARK else f"({arr})[1]"
+
+
+def hll_mix_arr(hash_expr: str, d: str) -> str:
+    """:func:`hll_mix` as its singleton-array form, for callers that want
+    to derive several columns from one mix evaluation (bind the element
+    with one more ``transform`` lambda, or explode it through a generator
+    like ``inline`` — both evaluate this chain exactly once per row)."""
+    if d == SPARK:
+        arr, tf = f"array({hash_expr})", "transform"
+    else:
+        arr, tf = f"[{hash_expr}]", "list_transform"
+    for mult in HLL_MIX_MULTS:
+        arr = f"{tf}({arr}, v -> ({_xor('v', _shr('v', 15, d), d)}) * {mult} % {P})"
+    return f"{tf}({arr}, v -> {_xor('v', _shr('v', 16, d), d)})"
+
+
+def hll_reg(mixed_expr: str, d: str) -> str:
+    """Register index of a mixed hash (low HLL_REG_BITS bits)."""
+    return f"(({mixed_expr}) % {HLL_M})"
+
+
+def hll_rho(mixed_expr: str, d: str) -> str:
+    """Position of the first 1-bit (from the MSB of the HLL_RHO_BITS-bit
+    rho word) + 1 — the quantity HLL registers maximize.
+
+    The rho word is an independent affine transform of the mixed hash
+    modded into an EXACT power-of-two domain: taking high bits of a
+    mod-P value instead (P/M = 7,812,500 < 2^23) left a truncated-domain
+    bias that overestimated every large cardinality by 5-24% (measured).
+    Modding the ~2^30 mixed domain by 2^22 is uniform to 1 part in 238.
+
+    ``bin()`` is minimal-width with bin(0) = '0' in BOTH engines
+    (verified by experiment), so rho = HLL_RHO_BITS - bit_length(w) + 1,
+    with the all-zero word pinned to HLL_RHO_BITS + 1 explicitly. The
+    CASE names the rho word twice, so it is bound to a lambda variable
+    like the mix rounds (the flat form re-evaluated the whole upstream
+    mix+polyhash chain per mention)."""
+    w = f"(((48271 * ({mixed_expr}) + 11) % {P}) % {1 << HLL_RHO_BITS})"
+    body = (f"case when w = 0 then {HLL_RHO_BITS + 1} "
+            f"else {HLL_RHO_BITS + 1} - length(bin(w)) end")
+    if d == SPARK:
+        return f"element_at(transform(array({w}), w -> {body}), 1)"
+    return f"(list_transform([{w}], w -> {body}))[1]"
+
+
+def hll_estimate(sum_expr: str, nreg_expr: str, d: str) -> str:
+    """HLL estimate from the per-group scaled harmonic sum and the number
+    of PRESENT registers (both exact bigints):
+
+    - ``sum_expr``  = sum over present registers of 2^(RHO_BITS+1 - M_r)
+      (absent registers, M = 0, are added here as 2^(RHO_BITS+1) each);
+    - raw = alpha_M * M^2 * 2^(RHO_BITS+1) / S  (one IEEE div of ints);
+    - small-range (Flajolet et al. 2007): raw <= 2.5 M and empty
+      registers exist -> linear counting M * ln(M / V).
+
+    The 32-bit-hash large-range correction is omitted: the hash domain
+    here is ~2^30 (polyhash mod P), documented in SCALE.md — estimates
+    are for operational counters, not for cardinalities near 2^30.
+
+    alpha is computed in PYTHON and emitted as a string-to-double cast:
+    a literal like ``0.7213`` parses as DECIMAL in both engines, whose
+    scale/rounding rules then differ (a real corpus estimate diverged at
+    1.2e-8 relative through decimal division); ``cast('…17 digits…' as
+    double)`` is a correctly-rounded parse in both. ``2.5 * M`` folds to
+    the exact integer 320 for the same reason. The linear-counting value
+    M * ln(M/V) is a LOOKUP over the 127 possible V values, each
+    precomputed in Python and emitted the same way: SQL ``ln`` diverged
+    by one ulp between Java's and C's libm on a real corpus input."""
+    import math
+
+    m = HLL_M
+    two_w = 1 << (HLL_RHO_BITS + 1)
+    alpha = f"cast('{0.7213 / (1.0 + 1.079 / m):.17g}' as double)"
+    lin_thresh = 5 * m // 2  # 2.5 * M, exact for the even M used here
+    s_all = f"(({sum_expr}) + ({m} - ({nreg_expr})) * cast({two_w} as bigint))"
+    raw = f"({alpha} * {m} * {m} * cast({two_w} as double) / {s_all})"
+    v = f"({m} - ({nreg_expr}))"
+    lin_vals = ", ".join(f"cast('{m * math.log(m / vv):.17g}' as double)"
+                         for vv in range(1, m))
+    if d == SPARK:
+        lin = f"element_at(array({lin_vals}), cast({v} as int))"
+    else:
+        lin = f"([{lin_vals}])[{v}]"
+    return (f"(case when {raw} <= {lin_thresh} and {v} > 0 "
+            f"then {lin} else {raw} end)")
+
+
+def hll_pow2_term(max_rho_expr: str, d: str) -> str:
+    """The exact scaled harmonic-sum term 2^(RHO_BITS+1 - M_r) of one
+    present register (bigint shift — exact in both engines)."""
+    if d == SPARK:
+        return f"shiftleft(cast(1 as bigint), {HLL_RHO_BITS + 1} - ({max_rho_expr}))"
+    return f"(1::BIGINT << ({HLL_RHO_BITS + 1} - ({max_rho_expr})))"
+
+

@@ -20,6 +20,21 @@ from .enrich import enrich, normalize_lang
 from .multimodal import extract_stub_features, frame_sample_stub, resize_stub
 from .parse import narrow, parse_stage
 from .route import malformed_count, route, sink_counts
+from .sketch import (
+    cms_counter_table,
+    cms_estimate,
+    cms_heavy_hitters,
+    cms_merge_counters,
+    hll_distinct,
+    hll_estimate,
+    hll_merge_registers,
+    hll_register_table,
+)
+from .sample import (
+    hash_sample,
+    stratified_hash_sample,
+    top_k_by_hash,
+)
 from .similarity import (
     cosine_to,
     ivf_assign,
@@ -47,6 +62,11 @@ __all__ = [
     "extract_stub_features", "frame_sample_stub", "resize_stub",
     "narrow", "parse_stage",
     "malformed_count", "route", "sink_counts",
+    "hash_sample", "stratified_hash_sample", "top_k_by_hash",
+    "cms_counter_table", "cms_estimate", "cms_heavy_hitters",
+    "cms_merge_counters",
+    "hll_distinct", "hll_estimate", "hll_merge_registers",
+    "hll_register_table",
     "cosine_to", "ivf_assign", "ivf_topk_cosine", "lsh_topk_cosine",
     "topk_cosine", "with_lsh_bucket",
     "with_bpe_token_count", "with_fingerprint", "with_lang_guess",

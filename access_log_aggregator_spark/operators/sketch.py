@@ -1,0 +1,179 @@
+"""Bounded-state sketch operators: HyperLogLog + count-min.
+
+The reference keeps one EXACT counter per host in an unbounded Go map
+(internal/accesslog/summaries.go:3-27, print.go:10-27) — fine for one
+log file, unbounded state at 10^12 rows. These are the approximate twins
+for that scale:
+
+- **HyperLogLog** (Flajolet/Fusy/Gandon/Meunier 2007): distinct counting
+  in ``HLL_M`` registers per group. The register table is the sketch —
+  mergeable by register-wise ``max`` — so per-partition/per-day sketches
+  union and re-aggregate without touching raw rows again.
+- **Count-min** (Cormode/Muthukrishnan 2005): frequency estimation in a
+  fixed ``CMS_D x CMS_W`` grid of counters, mergeable by cell-wise ``+``;
+  estimates upper-bound the true count (min over rows), so heavy hitters
+  are never missed.
+
+Both build phases are one partial+final hash aggregate whose SHUFFLED key
+space is bounded by the sketch size (groups x HLL_M rows, CMS_D x CMS_W
+cells), not by the data's key cardinality — that bound is the point at
+100 TB. Formulas come from functions/xsql.py (SPARK dialect) so every
+value is bit-identical to the DuckDB-oracled registry queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import xsql as x
+from .materialize import Materializer, pin
+
+
+def _e(sql: str) -> Column:
+    return F.expr(sql)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+def hll_register_table(df: DataFrame, key_col: str,
+                       group_cols: list[str] | None = None) -> DataFrame:
+    """The HLL sketch itself: per group, the max first-1-bit position of
+    every register that saw a key (``<= HLL_M`` rows per group).
+
+    This frame IS the persistable/mergeable artifact — union two register
+    tables and :func:`hll_merge_registers` them to sketch the union of the
+    inputs without re-reading either (tested associative/idempotent).
+    """
+    group_cols = group_cols or []
+    # reg and rho are emitted through ONE `inline` generator over the
+    # singleton mix array: a generator evaluates its child once, so the
+    # per-char polyhash fold and the avalanche rounds run exactly once
+    # per row (a flat-expression formulation let CollapseProject duplicate
+    # the fold 2^rounds times — observed in the physical plan; two
+    # separate reg/rho columns still cost two folds)
+    arr = x.hll_mix_arr(x.polyhash(key_col, x.SPARK), x.SPARK)
+    both = (f"inline(transform({arr}, v -> named_struct("
+            f"'hll_reg', {x.hll_reg('v', x.SPARK)}, "
+            f"'_rho', {x.hll_rho('v', x.SPARK)})))")
+    return (
+        df.select(*group_cols, _e(both))
+        .groupBy(*group_cols, "hll_reg")
+        .agg(F.max("_rho").alias("max_rho"))
+    )
+
+
+def hll_merge_registers(regs: DataFrame,
+                        group_cols: list[str] | None = None) -> DataFrame:
+    """Merge a union of register tables: register-wise max per group."""
+    group_cols = group_cols or []
+    return regs.groupBy(*group_cols, "hll_reg").agg(
+        F.max("max_rho").alias("max_rho")
+    )
+
+
+def hll_estimate(regs: DataFrame,
+                 group_cols: list[str] | None = None) -> DataFrame:
+    """Cardinality estimate per group from a register table.
+
+    The harmonic sum is accumulated EXACTLY (bigint powers of two, order-
+    independent), so the only floating-point work is one fixed-length IEEE
+    expression over two exact integers — deterministic across engines,
+    partitionings and merge orders. The estimate is deliberately NOT
+    rounded: IEEE arithmetic is bit-identical cross-engine, while decimal
+    rounding of a double is not (Spark rounds the exact binary value
+    HALF_UP, DuckDB rounds a scaled double — they disagreed on a real
+    corpus value 2.5e-7 from a .0005 boundary)."""
+    group_cols = group_cols or []
+    term = x.hll_pow2_term("max_rho", x.SPARK)
+    agg = regs.groupBy(*group_cols).agg(
+        F.expr(f"sum({term})").alias("_s"),
+        F.count(F.lit(1)).alias("_nreg"),
+    )
+    est = x.hll_estimate("_s", "_nreg", x.SPARK)
+    return agg.select(*group_cols, _e(est).alias("approx_distinct"))
+
+
+def hll_distinct(df: DataFrame, key_col: str,
+                 group_cols: list[str] | None = None) -> DataFrame:
+    """``approx count distinct key_col`` per group, end to end."""
+    return hll_estimate(hll_register_table(df, key_col, group_cols),
+                        group_cols)
+
+
+# ---------------------------------------------------------------------------
+# Count-min
+# ---------------------------------------------------------------------------
+
+def _cms_cells(key_col: str) -> Column:
+    """``inline`` generator emitting the CMS_D (cms_row, cms_bucket) cells
+    of a key. The polyhash binds to a lambda variable over a singleton
+    array, so the per-char fold runs ONCE per row — the naive
+    explode(array(struct...)) form inlined it once per sketch row, which
+    both cost 4 folds per input row and pushed the generated projection
+    method past HotSpot's 8000-byte JIT cap (46 kB, observed)."""
+    coeffs = ", ".join(
+        f"named_struct('i', {i}, 'a', {a}, 'b', {b})"
+        for i, (a, b) in enumerate(x.CMS_COEFFS)
+    )
+    cells = (
+        f"flatten(transform(array({x.polyhash(key_col, x.SPARK)}), p -> "
+        f"transform(array({coeffs}), c -> named_struct("
+        f"'cms_row', c.i, "
+        f"'cms_bucket', ((c.a * p + c.b) % {x.P}) % {x.CMS_W}))))"
+    )
+    return _e(f"inline({cells})")
+
+
+def cms_counter_table(df: DataFrame, key_col: str) -> DataFrame:
+    """The count-min sketch: ``CMS_D x CMS_W`` cell counts (one pass,
+    partial aggregation map-side; mergeable by cell-wise sum)."""
+    return (
+        df.select(_cms_cells(key_col))
+        .groupBy("cms_row", "cms_bucket")
+        .agg(F.count(F.lit(1)).alias("cell_count"))
+    )
+
+
+def cms_merge_counters(counters: DataFrame) -> DataFrame:
+    """Merge a union of counter tables: cell-wise sum."""
+    return counters.groupBy("cms_row", "cms_bucket").agg(
+        F.sum("cell_count").alias("cell_count")
+    )
+
+
+def cms_estimate(counters: DataFrame, keys: DataFrame,
+                 key_col: str) -> DataFrame:
+    """Estimated frequency of every row of ``keys`` (distinct keys frame):
+    min over the D rows' cells — always >= the true count, so a threshold
+    scan over the estimates can never miss a true heavy hitter.
+
+    The counter table is at most CMS_D * CMS_W rows by construction, so
+    the lookup join is a broadcast (asserted by the plan tests)."""
+    probes = keys.select(key_col, _cms_cells(key_col))
+    joined = probes.join(F.broadcast(counters), ["cms_row", "cms_bucket"])
+    return joined.groupBy(key_col).agg(
+        F.min("cell_count").alias("est_count")
+    )
+
+
+def cms_heavy_hitters(df: DataFrame, key_col: str, threshold: int,
+                      materializer: Materializer | None = None) -> DataFrame:
+    """Keys whose count-min estimate is >= threshold, with the estimate.
+
+    The distinct-keys probe frame makes this exact-recall (no false
+    negatives); at 100 TB the probe set is whatever candidate list you
+    care about (e.g. yesterday's heavy hitters + a sampled novelty set),
+    NOT all keys — the sketch's value is that the counter state, unlike
+    the reference's per-host map, never grows past CMS_D * CMS_W cells.
+
+    The key projection is pinned (operators/materialize.py) so the
+    upstream — at 100 TB typically a full parse — feeds the counter build
+    AND the probe set from one evaluation."""
+    base = pin(df.select(key_col), "cms_keys", materializer)
+    counters = cms_counter_table(base, key_col)
+    keys = base.distinct()
+    est = cms_estimate(counters, keys, key_col)
+    return est.where(F.col("est_count") >= threshold)

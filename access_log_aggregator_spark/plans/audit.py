@@ -50,6 +50,9 @@ CONSTANT_FRAME_OK: dict[str, str] = {
                    "global counts (count/count-distinct summary)",
     "events_malformed_audit": "single-partition exchange carries partial "
                               "global validity counters (one output row)",
+    "join_set_coverage": "single-partition exchanges carry ONE row of "
+                         "partial global counts per set-op leg (the anti "
+                         "join and EXCEPT legs each reduce to a count)",
 }
 
 #: queries whose returned frame is a driver-local relation (the real work

@@ -564,24 +564,37 @@ order by r_name
 """
 
 
-def _anti_join_build(d: str) -> str:
-    # customers with no orders (anti join); same SQL runs on both engines
+def _join_set_coverage_build(d: str) -> str:
+    """Anti join + semi join + EXCEPT in one tagged union (SURVEY.md §2.6
+    set-op/join coverage). The three shapes stay distinct operators in the
+    physical plan — a LeftAnti, a LeftSemi and the EXCEPT's distinct
+    anti-join — so the shape budget still pins each one; the merge frees
+    two registry rows for the sketch queries within the driver's 50-row
+    window. Same SQL runs on both engines."""
     return """
-select c_custkey, c_mktsegment
-from customer
-where not exists (select 1 from orders where o_custkey = c_custkey)
-order by c_custkey
-"""
-
-
-def _semi_join_build(d: str) -> str:
-    return """
-select c_mktsegment, count(*) as n_customers_with_urgent
-from customer
-where exists (select 1 from orders
-              where o_custkey = c_custkey and o_orderpriority = '1-URGENT')
-group by c_mktsegment
-order by c_mktsegment
+select shape, grp, n from (
+  select 'anti_customers_no_orders' as shape, 'ALL' as grp, count(*) as n
+  from customer
+  where not exists (select 1 from orders where o_custkey = c_custkey)
+  union all
+  select 'except_nations_without_suppliers' as shape, 'ALL' as grp,
+         count(*) as n
+  from (
+    select distinct n_name
+    from customer join nation on c_nationkey = n_nationkey
+    except
+    select distinct n_name
+    from supplier join nation on s_nationkey = n_nationkey
+  ) t
+  union all
+  select 'semi_urgent_customers' as shape, c_mktsegment as grp,
+         count(*) as n
+  from customer
+  where exists (select 1 from orders
+                where o_custkey = c_custkey and o_orderpriority = '1-URGENT')
+  group by c_mktsegment
+) u
+order by shape, grp
 """
 
 
@@ -616,20 +629,6 @@ from hourly
 window w as (partition by event_type order by hour_start
              rows between 2 preceding and current row)
 order by event_type, hour_start
-"""
-
-
-def _setop_build(d: str) -> str:
-    # nations that have customers but no suppliers (EXCEPT)
-    return """
-select n_name from (
-  select distinct n_name
-  from customer join nation on c_nationkey = n_nationkey
-  except
-  select distinct n_name
-  from supplier join nation on s_nationkey = n_nationkey
-) t
-order by n_name
 """
 
 
@@ -1438,6 +1437,161 @@ group by param order by param
 """
 
 
+def _pipeline_sketch_base(spark, sf_dir):
+    """(status_bucket, host, url) of the valid routed rows — the input both
+    sketch queries summarize (the bounded-state twins of the exact
+    north-star counters; see operators/sketch.py)."""
+    return _pipeline_valid(spark, sf_dir).select(
+        F.expr("cast(floor(status_code / 100) as bigint)").alias("status_bucket"),
+        "host", "url",
+    )
+
+
+_DUCK_SKETCH_BASE = """
+skbase as (
+  select cast(floor(status_code / 100) as bigint) as status_bucket, host, url
+  from routed where match_class in ('parsed', 'bot')
+)"""
+
+
+def _rel_err(approx: str, exact: str):
+    # unrounded on purpose: one IEEE sub/div over cross-engine-identical
+    # inputs is bit-exact; decimal rounding of a double is NOT (see
+    # operators/sketch.py hll_estimate)
+    return F.abs(F.col(approx) - F.col(exact)) / F.col(exact)
+
+
+def _q_pipeline_hll(spark, sf_dir):
+    """HyperLogLog distinct counters per status bucket, next to their exact
+    twins: hosts (~120/bucket — the linear-counting regime) and urls
+    (~3.7k/bucket — the raw-estimate regime), so both correction branches
+    of the estimator are driver-checked. The register tables are the
+    mergeable sketch state (operators/sketch.py docstring: bounded by
+    groups x HLL_M rows where the reference's Go map grows per-key)."""
+    from .operators.materialize import pin
+    from .operators.sketch import hll_estimate, hll_register_table
+
+    # pin: the host/url register tables and the exact twins all read this
+    # narrow frame — without the pin each consumer re-runs the full parse
+    # (3 extra scans + Arrow stages, observed in the plan audit)
+    base = pin(_pipeline_sketch_base(spark, sf_dir), "hll_base")
+    g = ["status_bucket"]
+    est_h = hll_estimate(hll_register_table(base, "host", g), g) \
+        .withColumnRenamed("approx_distinct", "approx_hosts")
+    est_u = hll_estimate(hll_register_table(base, "url", g), g) \
+        .withColumnRenamed("approx_distinct", "approx_urls")
+    exact = base.groupBy(*g).agg(
+        F.countDistinct("host").alias("exact_hosts"),
+        F.countDistinct("url").alias("exact_urls"),
+    )
+    return (
+        # the estimate frames are <= n_buckets rows: broadcast, never
+        # sort-merge (the pre-audit plan planned 2 SMJs here)
+        exact.join(F.broadcast(est_h), g).join(F.broadcast(est_u), g)
+        .select(
+            "status_bucket",
+            "exact_hosts", "approx_hosts",
+            _rel_err("approx_hosts", "exact_hosts").alias("host_rel_err"),
+            "exact_urls", "approx_urls",
+            _rel_err("approx_urls", "exact_urls").alias("url_rel_err"),
+        )
+        .orderBy("status_bucket")
+    )
+
+
+def _pipeline_hll_oracle() -> str:
+    def regs(key: str) -> str:
+        mixed = x.hll_mix(x.polyhash(key, x.DUCK), x.DUCK)
+        return (f"select status_bucket, {x.hll_reg('_mh', x.DUCK)} as hll_reg, "
+                f"max({x.hll_rho('_mh', x.DUCK)}) as max_rho "
+                f"from (select status_bucket, {mixed} as _mh from skbase) t "
+                f"group by 1, 2")
+
+    est = x.hll_estimate(f"sum({x.hll_pow2_term('max_rho', x.DUCK)})",
+                         "count(*)", x.DUCK)
+    return f"""{_pipeline_duck_cte()},
+{_DUCK_SKETCH_BASE.lstrip().rstrip()},
+hregs as ({regs('host')}),
+uregs as ({regs('url')}),
+hest as (select status_bucket, {est} as approx_hosts
+         from hregs group by status_bucket),
+uest as (select status_bucket, {est} as approx_urls
+         from uregs group by status_bucket),
+skex as (select status_bucket,
+                count(distinct host) as exact_hosts,
+                count(distinct url) as exact_urls
+         from skbase group by 1)
+select status_bucket,
+       exact_hosts, approx_hosts,
+       abs(approx_hosts - exact_hosts) / exact_hosts as host_rel_err,
+       exact_urls, approx_urls,
+       abs(approx_urls - exact_urls) / exact_urls as url_rel_err
+from skex join hest using (status_bucket) join uest using (status_bucket)
+order by status_bucket
+"""
+
+
+#: count-min heavy-hitter threshold on the 20k-page corpus: catches the
+#: three hot hosts and the three bot hosts, no tail host comes close
+_CMS_THRESHOLD = 100
+
+
+def _q_pipeline_cms(spark, sf_dir):
+    """Count-min heavy-hitter hosts next to their exact hit counts. The
+    estimates upper-bound the truth (min over CMS_D rows), so no true
+    heavy hitter is missing from this result by construction; the corpus
+    exhibits a real single-cell collision (est = exact + 1 on one host),
+    pinning the overestimate-only semantics in the driver check."""
+    from .operators.materialize import pin
+    from .operators.sketch import cms_counter_table, cms_estimate
+
+    # one pinned (host) frame feeds the counter build, the probe set and
+    # the exact twin — not three parse runs
+    base = pin(_pipeline_sketch_base(spark, sf_dir).select("host"), "cms_base")
+    est = cms_estimate(cms_counter_table(base, "host"),
+                       base.distinct(), "host")
+    hh = est.where(F.col("est_count") >= _CMS_THRESHOLD)
+    exact = base.groupBy("host").agg(F.count(F.lit(1)).alias("exact_hits"))
+    return (
+        # the filtered heavy-hitter frame is tiny by definition: broadcast
+        # it against the exact counts
+        exact.join(F.broadcast(hh), "host")
+        .select("host", F.col("est_count").alias("est_hits"), "exact_hits")
+        .orderBy("host")
+    )
+
+
+def _pipeline_cms_oracle() -> str:
+    ph = x.polyhash("host", x.DUCK)
+    coeffs = ", ".join(f"({i}, {a}, {b})"
+                       for i, (a, b) in enumerate(x.CMS_COEFFS))
+    bucket = f"((a * {ph} + b) % {x.P}) % {x.CMS_W}"
+    return f"""{_pipeline_duck_cte()},
+{_DUCK_SKETCH_BASE.lstrip().rstrip()},
+coeffs(cms_row, a, b) as (values {coeffs}),
+counters as (
+  select cms_row, {bucket} as cms_bucket, count(*) as cell_count
+  from skbase cross join coeffs
+  group by 1, 2
+),
+skkeys as (select distinct host from skbase),
+probes as (
+  select host, cms_row, {bucket} as cms_bucket
+  from skkeys cross join coeffs
+),
+cms_est as (
+  select host, min(cell_count) as est_hits
+  from probes join counters using (cms_row, cms_bucket)
+  group by host
+),
+skex as (select host, count(*) as exact_hits from skbase group by host)
+select host, est_hits, exact_hits
+from cms_est join skex using (host)
+where est_hits >= {_CMS_THRESHOLD}
+order by host
+"""
+
+
 def _media_docs(spark, sf_dir):
     """documents with the text re-encoded as an opaque binary media payload
     (the sandbox ships no codecs; the binary-column plumbing is the point)."""
@@ -1688,11 +1842,9 @@ QUERIES: dict[str, QuerySpec] = {
     "q3_revenue_by_priority": _sql_pair(_q3_build, headline=True),
     "top_customers_by_spend": _sql_pair(_topk_build),
     "region_customer_rollup": _sql_pair(_region_rollup_build),
-    "anti_join_customers_no_orders": _sql_pair(_anti_join_build),
-    "semi_join_urgent_customers": _sql_pair(_semi_join_build),
+    "join_set_coverage": _sql_pair(_join_set_coverage_build),
     "rank_orders_per_customer": _sql_pair(_rank_window_build),
     "events_hits_moving_avg": _sql_pair(_moving_avg_build),
-    "except_nations_without_suppliers": _sql_pair(_setop_build),
     # training-data ops
     "dedup_exact": _sql_pair(_dedup_exact_build),
     "doc_fingerprints": QuerySpec(
@@ -1738,6 +1890,12 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "pipeline_url_params": QuerySpec(
         _q_pipeline_url_params, _pipeline_url_params_oracle()
+    ),
+    "pipeline_approx_distinct_hll": QuerySpec(
+        _q_pipeline_hll, _pipeline_hll_oracle()
+    ),
+    "pipeline_heavy_hitters_cms": QuerySpec(
+        _q_pipeline_cms, _pipeline_cms_oracle()
     ),
     "multimodal_stub_features": QuerySpec(
         _q_multimodal_features, _multimodal_features_oracle()

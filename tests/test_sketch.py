@@ -1,0 +1,159 @@
+"""Sketch operators (operators/sketch.py): HLL + count-min invariants.
+
+Cross-engine value parity for the registry queries is covered by the
+driver gate (pipeline_approx_distinct_hll / pipeline_heavy_hitters_cms in
+tests/run_entry_check.py); these tests pin the SKETCH-algebra properties
+that make the operators usable at scale — mergeability, the overestimate
+bound, both estimator regimes, and the bounded-state plan shapes.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from access_log_aggregator_spark.functions import xsql as x
+from access_log_aggregator_spark.operators.sketch import (
+    cms_counter_table,
+    cms_estimate,
+    cms_heavy_hitters,
+    cms_merge_counters,
+    hll_distinct,
+    hll_estimate,
+    hll_merge_registers,
+    hll_register_table,
+)
+
+
+@pytest.fixture(scope="module")
+def keys_df(spark):
+    """5,000 rows over 2,600 distinct keys with one planted heavy hitter
+    ('hot' appears 2,401 times; 2,599 singletons)."""
+    return spark.range(5000).select(
+        F.when(F.col("id") < 2401, F.lit("hot"))
+        .otherwise(F.concat(F.lit("key-"), F.col("id")))
+        .alias("k"),
+        (F.col("id") % 2).alias("half"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+def _est(df) -> float:
+    [row] = df.collect()
+    return row.approx_distinct
+
+
+def test_hll_raw_regime_accuracy(spark):
+    # 3,000 distinct keys >> 2.5 * M = 320 -> the raw-estimate branch;
+    # std error ~ 1.04/sqrt(128) = 9.2%, assert a 3-sigma-ish bound
+    df = spark.range(3000).select(
+        F.concat(F.lit("u-"), F.col("id")).alias("k"))
+    est = _est(hll_distinct(df, "k"))
+    assert abs(est - 3000) / 3000 < 0.28
+
+
+def test_hll_linear_counting_regime_accuracy(spark):
+    # 120 distinct keys < 320 -> the linear-counting branch
+    df = spark.range(120).select(F.concat(F.lit("v-"), F.col("id")).alias("k"))
+    est = _est(hll_distinct(df, "k"))
+    assert abs(est - 120) / 120 < 0.25
+
+
+def test_hll_duplicates_do_not_move_the_estimate(spark, keys_df):
+    # cardinality estimation must ignore multiplicity: the 5,000-row frame
+    # and its distinct projection sketch identically
+    a = _est(hll_distinct(keys_df, "k"))
+    b = _est(hll_distinct(keys_df.select("k").distinct(), "k"))
+    assert a == b
+
+
+def test_hll_register_table_is_mergeable(spark, keys_df):
+    """sketch(A union B) == merge(sketch(A), sketch(B)) — the property that
+    lets per-partition/per-day register tables re-aggregate without
+    re-reading raw rows."""
+    whole = hll_register_table(keys_df, "k").orderBy("hll_reg")
+    parts = [
+        hll_register_table(keys_df.where(F.col("half") == i), "k")
+        for i in (0, 1)
+    ]
+    merged = hll_merge_registers(parts[0].unionAll(parts[1])).orderBy("hll_reg")
+    assert [tuple(r) for r in whole.collect()] == \
+           [tuple(r) for r in merged.collect()]
+    # and the estimate built from the merged sketch matches end-to-end
+    assert _est(hll_estimate(merged)) == _est(hll_distinct(keys_df, "k"))
+
+
+def test_hll_grouped_matches_per_group_sketches(spark, keys_df):
+    grouped = {r.half: r.approx_distinct
+               for r in hll_distinct(keys_df, "k", ["half"]).collect()}
+    for h in (0, 1):
+        solo = _est(hll_distinct(keys_df.where(F.col("half") == h), "k"))
+        assert grouped[h] == solo
+
+
+def test_hll_register_table_bounded_and_shuffles_once(spark, keys_df):
+    from access_log_aggregator_spark.plans.audit import shape_facts
+
+    regs = hll_register_table(keys_df, "k")
+    assert regs.count() <= x.HLL_M
+    # partial+final hash aggregate around exactly one exchange: the shuffle
+    # carries <= HLL_M rows per upstream partition, never the raw keys
+    f = shape_facts(regs)
+    assert f["ex_hash"] == 1 and f["ex_range"] == 0 and f["ex_single"] == 0
+    # the avalanche rounds must stay lambda-bound: a flat formulation let
+    # CollapseProject duplicate the per-char polyhash fold 2^rounds times
+    # (observed); reg + rho legitimately carry one fold each
+    from access_log_aggregator_spark.plans.audit import plan_string
+
+    assert plan_string(regs).count("aggregate(transform(split(") <= 2
+
+
+# ---------------------------------------------------------------------------
+# Count-min
+# ---------------------------------------------------------------------------
+
+def test_cms_never_underestimates(spark, keys_df):
+    exact = keys_df.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    est = cms_estimate(cms_counter_table(keys_df, "k"),
+                       keys_df.select("k").distinct(), "k")
+    joined = est.join(exact, "k")
+    assert joined.where(F.col("est_count") < F.col("n")).count() == 0
+
+
+def test_cms_heavy_hitters_full_recall(spark, keys_df):
+    # overestimate-only semantics guarantee every true heavy hitter
+    # appears; the planted one must be estimated exactly or above
+    hh = {r.k: r.est_count
+          for r in cms_heavy_hitters(keys_df, "k", 100).collect()}
+    assert "hot" in hh and hh["hot"] >= 2401
+    # singletons can only reach 100 through 4-row collision pileups, which
+    # 2,600 keys in 4 x 512 cells cannot produce
+    assert set(hh) == {"hot"}
+
+
+def test_cms_counter_table_bounded_and_mergeable(spark, keys_df):
+    whole = cms_counter_table(keys_df, "k")
+    assert whole.count() <= x.CMS_D * x.CMS_W
+    parts = [cms_counter_table(keys_df.where(F.col("half") == i), "k")
+             for i in (0, 1)]
+    merged = cms_merge_counters(parts[0].unionAll(parts[1]))
+    key = ["cms_row", "cms_bucket"]
+    assert sorted(map(tuple, whole.collect())) == \
+           sorted(map(tuple, merged.collect()))
+
+
+def test_cms_estimate_join_is_broadcast(spark, keys_df):
+    from access_log_aggregator_spark.plans.audit import shape_facts
+
+    est = cms_estimate(cms_counter_table(keys_df, "k"),
+                       keys_df.select("k").distinct(), "k")
+    f = shape_facts(est)
+    assert f["bhj"] >= 1 and f["smj"] == 0 and f["nl"] == 0
