@@ -31,7 +31,8 @@ from pathlib import Path
 
 def _compact_reporting(table, label: str, rows_per_file: int,
                        retries: int = 5,
-                       sort_by: list[str] | None = None) -> None:
+                       sort_by: list[str] | None = None,
+                       zorder_by: list[str] | None = None) -> None:
     """Run ``table.compact`` with the retry the CommitConflict contract
     prescribes: a concurrent ingest committing between compaction's base
     capture and its CAS commit aborts the rewrite cleanly, and the next
@@ -54,7 +55,7 @@ def _compact_reporting(table, label: str, rows_per_file: int,
     for attempt in range(retries):
         try:
             sid = table.compact(rows_per_file=rows_per_file,
-                                sort_by=sort_by)
+                                sort_by=sort_by, zorder_by=zorder_by)
             print(f"compacted {label} -> snapshot {sid}" if sid
                   else f"{label} already compact", file=sys.stderr)
             return
@@ -290,6 +291,16 @@ def main(argv: list[str] | None = None) -> int:
                          "cover disjoint ranges of COL, keeping manifest "
                          "bounds tight so predicate reads still prune after "
                          "compaction (use the dominant scan column, e.g. "
+                         "warc_ts)")
+    ap.add_argument("--compact-zorder-by", action="append", default=None,
+                    metavar="COL",
+                    help="cluster rewritten rows along a Morton curve over "
+                         "the listed COLs (repeatable; 2-4 columns; "
+                         "mutually exclusive with --compact-sort-by) — the "
+                         "Iceberg z-order rewrite analog: every listed "
+                         "column's per-file bounds stay tight, so predicate "
+                         "reads prune on ANY of them (use when two "
+                         "independent predicates matter, e.g. host AND "
                          "warc_ts)")
     ap.add_argument("--expire-snapshots", action="store_true",
                     help="after compacting, delete data files only reachable "
@@ -571,7 +582,8 @@ def main(argv: list[str] | None = None) -> int:
             # marker would silently turn every later run into a no-op
             _compact_reporting(pipe.routed_table, "routed sink",
                                args.compact_rows_per_file,
-                               sort_by=args.compact_sort_by)
+                               sort_by=args.compact_sort_by,
+                               zorder_by=args.compact_zorder_by)
         if args.retire_stream:
             # works in maintenance-only runs too (no --stream): the marker
             # belongs to the PAGES table and the checkpoint path is derived
@@ -594,7 +606,8 @@ def main(argv: list[str] | None = None) -> int:
         if args.compact_pages:
             _compact_reporting(pages_table, "pages table",
                                args.compact_rows_per_file,
-                               sort_by=args.compact_sort_by)
+                               sort_by=args.compact_sort_by,
+                               zorder_by=args.compact_zorder_by)
         if args.expire_pages_snapshots:
             try:
                 gone = pages_table.expire_snapshots()

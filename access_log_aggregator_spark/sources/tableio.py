@@ -553,7 +553,8 @@ class SnapshotTable:
 
     def compact(self, rows_per_file: int = 1_000_000,
                 marker: Optional[str] = None,
-                sort_by: Optional[Sequence[str]] = None) -> Optional[int]:
+                sort_by: Optional[Sequence[str]] = None,
+                zorder_by: Optional[Sequence[str]] = None) -> Optional[int]:
         """Small-file compaction (Iceberg ``rewrite_data_files`` analog):
         merge each directory's SMALL live files (< ``rows_per_file`` rows)
         into ~``rows_per_file``-row files and commit a ``replace`` snapshot.
@@ -594,9 +595,22 @@ class SnapshotTable:
         the manifest lock) that the snapshot it rewrote is still current and
         raises :class:`CommitConflict` otherwise — retry then.
 
+        ``zorder_by`` (Iceberg's z-order rewrite strategy analog,
+        mutually exclusive with ``sort_by``) clusters the rewritten rows
+        along a Morton curve over 2+ columns (sources/zorder.py) instead
+        of lexicographically: each output file then covers a TIGHT range
+        of EVERY listed column, so predicate reads prune on any of them —
+        where ``sort_by=[a, b]`` keeps only ``a``'s bounds tight and a
+        ``b``-only predicate scans every file. Same validation, carried-
+        file, and schema-evolution semantics as ``sort_by``.
+
         Returns the new snapshot id, or None when nothing needs compacting.
         """
         from collections import defaultdict
+
+        if sort_by and zorder_by:
+            raise ValueError("compact takes sort_by OR zorder_by, not both")
+        cluster_cols = list(sort_by or zorder_by or [])
 
         if marker is not None:
             # pre-check BEFORE touching any files: the duplicate-marker
@@ -625,13 +639,21 @@ class SnapshotTable:
         # would resolve table_schema(end=base) to None and fall back to
         # footer-sampled reads, resurrecting dropped columns
         cur_schema = self.table_schema()
-        if sort_by and cur_schema is not None:
-            missing = [c for c in sort_by
+        if cluster_cols and cur_schema is not None:
+            missing = [c for c in cluster_cols
                        if c not in {f.name for f in cur_schema.fields}]
             if missing:
                 raise ValueError(
-                    f"compact sort_by column(s) {missing} not in the table "
+                    f"compact {'sort_by' if sort_by else 'zorder_by'} "
+                    f"column(s) {missing} not in the table "
                     f"schema {cur_schema.simpleString()}")
+        if zorder_by:  # surface a column-count error before any file IO
+            from .zorder import MAX_COLS
+
+            if not 1 <= len(zorder_by) <= MAX_COLS:
+                raise ValueError(
+                    f"zorder_by takes 1..{MAX_COLS} columns, "
+                    f"got {len(zorder_by)}")
         groups: dict[Path, list[str]] = defaultdict(list)
         for f in live:
             # merge only within a directory: hive-partitioned layouts keep
@@ -670,22 +692,30 @@ class SnapshotTable:
                     [pq.read_table(f) for f in smalls],
                     promote_options="default"
                 )
-                if sort_by:
-                    present = [c for c in sort_by
+                if cluster_cols:
+                    present = [c for c in cluster_cols
                                if c in merged.schema.names]
-                    missing = [c for c in sort_by if c not in present]
+                    missing = [c for c in cluster_cols if c not in present]
                     if missing and cur_schema is None:
                         # untracked table: the physical schema is the only
                         # witness, so an absent column is a caller typo
                         raise ValueError(
-                            f"compact sort_by column(s) {missing} not in "
+                            f"compact "
+                            f"{'sort_by' if sort_by else 'zorder_by'} "
+                            f"column(s) {missing} not in "
                             f"{d}: schema has {merged.schema.names}")
-                    # tracked tables validated sort_by upfront; a group
-                    # whose files all predate an added column reads
-                    # all-null for it — any order is sorted
-                    if present:
+                    # tracked tables validated the columns upfront; a
+                    # group whose files all predate an added column reads
+                    # all-null for it — any order is sorted (the z-path
+                    # codes an absent column all-zero for the same effect)
+                    if sort_by and present:
                         merged = merged.sort_by(
                             [(c, "ascending") for c in present])
+                    elif zorder_by and present:
+                        from .zorder import zorder_sort_indices
+
+                        merged = merged.take(
+                            zorder_sort_indices(merged, list(zorder_by)))
                 total += merged.num_rows
                 for lo in range(0, max(merged.num_rows, 1), rows_per_file):
                     dest = d / f"compact-{uuid.uuid4().hex}.parquet"

@@ -241,7 +241,7 @@ def test_compact_reporting_retries_conflicts(capsys):
         def __init__(self, failures):
             self.failures, self.calls = failures, 0
 
-        def compact(self, rows_per_file, sort_by=None):
+        def compact(self, rows_per_file, sort_by=None, zorder_by=None):
             self.calls += 1
             self.sort_by = sort_by
             if self.calls <= self.failures:
@@ -270,7 +270,7 @@ def test_compact_reporting_reports_caller_errors_clean(capsys):
     class Bad:
         calls = 0
 
-        def compact(self, rows_per_file, sort_by=None):
+        def compact(self, rows_per_file, sort_by=None, zorder_by=None):
             self.calls += 1
             raise ValueError("compact sort_by column(s) ['warcts'] not in "
                              "the table schema")
@@ -294,7 +294,7 @@ def test_compact_reporting_retries_missing_files(capsys):
         def __init__(self, failures):
             self.failures, self.calls = failures, 0
 
-        def compact(self, rows_per_file, sort_by=None):
+        def compact(self, rows_per_file, sort_by=None, zorder_by=None):
             self.calls += 1
             if self.calls <= self.failures:
                 raise FileNotFoundError("data/part-dead.parquet")
