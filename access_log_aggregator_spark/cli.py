@@ -295,7 +295,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--compact-zorder-by", action="append", default=None,
                     metavar="COL",
                     help="cluster rewritten rows along a Morton curve over "
-                         "the listed COLs (repeatable; 2-4 columns; "
+                         "the listed COLs (repeatable; 1-4 columns, though "
+                         "a single column is just a coarser sort — prefer "
+                         "--compact-sort-by there; "
                          "mutually exclusive with --compact-sort-by) — the "
                          "Iceberg z-order rewrite analog: every listed "
                          "column's per-file bounds stay tight, so predicate "

@@ -34,6 +34,16 @@ MINHASH_COEFFS = [
 SIMHASH_BITS = 64
 
 
+def lit_str(s: str, d: str) -> str:
+    """A string as a safely-escaped SQL literal in the given dialect —
+    Spark string literals are backslash-escaped, DuckDB's are
+    quote-doubled. Interpolating raw user/data strings (salts, stratum
+    values) without this breaks on the first apostrophe."""
+    if d == SPARK:
+        return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    return "'" + s.replace("'", "''") + "'"
+
+
 def transform(arr: str, var: str, body: str, d: str) -> str:
     f = "transform" if d == SPARK else "list_transform"
     return f"{f}({arr}, {var} -> {body})"
@@ -485,8 +495,10 @@ def hll_estimate(sum_expr: str, nreg_expr: str, d: str) -> str:
     s_all = f"(({sum_expr}) + ({m} - ({nreg_expr})) * cast({two_w} as bigint))"
     raw = f"({alpha} * {m} * {m} * cast({two_w} as double) / {s_all})"
     v = f"({m} - ({nreg_expr}))"
+    # V ranges 1..M: V = M is the empty-sketch case (no register present),
+    # where linear counting gives exactly M * ln(M/M) = 0
     lin_vals = ", ".join(f"cast('{m * math.log(m / vv):.17g}' as double)"
-                         for vv in range(1, m))
+                         for vv in range(1, m + 1))
     if d == SPARK:
         lin = f"element_at(array({lin_vals}), cast({v} as int))"
     else:

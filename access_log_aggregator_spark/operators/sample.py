@@ -29,19 +29,38 @@ from pyspark.sql import functions as F
 from ..functions import xsql as x
 
 
+def mixed_key(key_col: str, salt: str = "", d: str = x.SPARK) -> str:
+    """The sampling hash in [0, P): avalanche mix of polyhash over a
+    marked key, folded back mod P — shared by every sampler here so the
+    draw semantics live in ONE place.
+
+    - The ``'v' ||`` marker keeps the empty string off hash 0
+      (mix(polyhash('')) = 0, which every nonzero threshold would keep —
+      a 100%-sampled stratum of empty keys, observed in review).
+    - NULL keys hash as the distinct marker ``'n'`` BEFORE the concat
+      (Spark concat null-propagates while DuckDB's skips null arguments
+      — inlining null into concat diverged across engines).
+    - ``salt`` is escaped per dialect (apostrophes broke the predicate)
+      and gives independent draws over the same keys.
+    - The final ``% P`` folds the mix's small over-P spill ([P, P+2^14),
+      the last xor step) back into the threshold domain, so
+      fraction 1.0 keeps EVERY row; the fold double-weights ~1.3e-5 of
+      the space — far below any sampling tolerance."""
+    keyed = (f"(case when {key_col} is null then 'n' "
+             f"else 'v' || {key_col} end)")
+    if salt:
+        keyed = f"concat({keyed}, {x.lit_str(salt, d)})"
+    return f"({x.hll_mix(x.polyhash(keyed, d), d)} % {x.P})"
+
+
 def sample_predicate(key_col: str, fraction: float, salt: str = "",
                      d: str = x.SPARK) -> str:
-    """SQL predicate: keep iff mix(polyhash(key || salt)) < fraction * P.
-
-    The threshold is computed in Python (int(fraction * P)) so both
-    engines compare against the same exact integer; ``salt`` gives
-    independent draws over the same keys (different salts -> different,
-    uncorrelated samples)."""
+    """SQL predicate: keep iff :func:`mixed_key` < fraction * P. The
+    threshold is computed in Python (int(fraction * P)) so both engines
+    compare against the same exact integer."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
-    keyed = (f"concat({key_col}, '{salt}')" if salt else key_col)
-    mixed = x.hll_mix(x.polyhash(keyed, d), d)
-    return f"({mixed} < {int(fraction * x.P)})"
+    return f"({mixed_key(key_col, salt, d)} < {int(fraction * x.P)})"
 
 
 def hash_sample(df: DataFrame, key_col: str, fraction: float,
@@ -62,30 +81,30 @@ def stratified_hash_sample(df: DataFrame, stratum_col: str, key_col: str,
     for f in [*fractions.values(), default_fraction]:
         if not 0.0 <= f <= 1.0:
             raise ValueError(f"fraction must be in [0, 1], got {f}")
-    keyed = (f"concat({key_col}, '{salt}')" if salt else key_col)
-    mixed = x.hll_mix(x.polyhash(keyed, x.SPARK), x.SPARK)
     arms = " ".join(
-        f"when '{s}' then {int(f * x.P)}" for s, f in sorted(fractions.items())
+        f"when {x.lit_str(s, x.SPARK)} then {int(f * x.P)}"
+        for s, f in sorted(fractions.items())
     )
     thresh = (f"(case {stratum_col} {arms} "
               f"else {int(default_fraction * x.P)} end)")
-    return df.where(F.expr(f"{mixed} < {thresh}"))
+    return df.where(F.expr(f"{mixed_key(key_col, salt)} < {thresh}"))
 
 
 def top_k_by_hash(df: DataFrame, group_cols: list[str], key_col: str,
                   k: int, salt: str = "") -> DataFrame:
     """Exactly-k-per-group deterministic subset: rank rows inside each
-    group by their mixed hash (ties broken by the key itself) and keep
-    the k smallest — a fixed-size quota per group where a fraction would
-    over/under-shoot small groups. One hash-partition shuffle on the
-    group key; the window never holds more than a partition's rows."""
+    group by their mixed hash (ties broken by the key, then by a
+    whole-row xxhash64 so duplicate keys still rank deterministically —
+    only fully identical rows tie, where the choice is immaterial) and
+    keep the k smallest — a fixed-size quota per group where a fraction
+    would over/under-shoot small groups. One hash-partition shuffle on
+    the group key; the window never holds more than a partition's
+    rows."""
     from pyspark.sql import Window
 
-    mixed = x.hll_mix(x.polyhash(key_col, x.SPARK) if not salt else
-                      x.polyhash(f"concat({key_col}, '{salt}')", x.SPARK),
-                      x.SPARK)
     w = Window.partitionBy(*group_cols).orderBy(
-        F.expr(mixed).asc(), F.col(key_col).asc())
+        F.expr(mixed_key(key_col, salt)).asc(), F.col(key_col).asc(),
+        F.xxhash64(*[F.col(c) for c in df.columns]).asc())
     return (
         df.withColumn("_hrank", F.row_number().over(w))
         .where(F.col("_hrank") <= k)

@@ -48,6 +48,10 @@ def hll_register_table(df: DataFrame, key_col: str,
     inputs without re-reading either (tested associative/idempotent).
     """
     group_cols = group_cols or []
+    # NULL keys are not counted, matching COUNT(DISTINCT)'s null
+    # semantics (and NULL would otherwise hash like '' — polyhash's
+    # empty-input 0 — silently merging two different "values")
+    df = df.where(F.col(key_col).isNotNull())
     # reg and rho are emitted through ONE `inline` generator over the
     # singleton mix array: a generator evaluates its child once, so the
     # per-char polyhash fold and the avalanche rounds run exactly once
@@ -88,8 +92,11 @@ def hll_estimate(regs: DataFrame,
     corpus value 2.5e-7 from a .0005 boundary)."""
     group_cols = group_cols or []
     term = x.hll_pow2_term("max_rho", x.SPARK)
+    # coalesce: a global aggregate over an EMPTY register table still
+    # emits one row (sum NULL, count 0) — with the sum pinned to 0 the
+    # estimator's V = M arm reports cardinality exactly 0, not NULL
     agg = regs.groupBy(*group_cols).agg(
-        F.expr(f"sum({term})").alias("_s"),
+        F.expr(f"coalesce(sum({term}), 0L)").alias("_s"),
         F.count(F.lit(1)).alias("_nreg"),
     )
     est = x.hll_estimate("_s", "_nreg", x.SPARK)
@@ -129,9 +136,12 @@ def _cms_cells(key_col: str) -> Column:
 
 def cms_counter_table(df: DataFrame, key_col: str) -> DataFrame:
     """The count-min sketch: ``CMS_D x CMS_W`` cell counts (one pass,
-    partial aggregation map-side; mergeable by cell-wise sum)."""
+    partial aggregation map-side; mergeable by cell-wise sum). NULL keys
+    are not counted (matching the register-table convention — NULL would
+    otherwise collide with the empty string at polyhash 0)."""
     return (
-        df.select(_cms_cells(key_col))
+        df.where(F.col(key_col).isNotNull())
+        .select(_cms_cells(key_col))
         .groupBy("cms_row", "cms_bucket")
         .agg(F.count(F.lit(1)).alias("cell_count"))
     )
@@ -151,11 +161,19 @@ def cms_estimate(counters: DataFrame, keys: DataFrame,
     scan over the estimates can never miss a true heavy hitter.
 
     The counter table is at most CMS_D * CMS_W rows by construction, so
-    the lookup join is a broadcast (asserted by the plan tests)."""
-    probes = keys.select(key_col, _cms_cells(key_col))
-    joined = probes.join(F.broadcast(counters), ["cms_row", "cms_bucket"])
+    the lookup join is a broadcast (asserted by the plan tests). The
+    join is a LEFT join with empty cells counting 0: probe keys need
+    not come from the sketched data (the whole point of probing), and
+    an inner join would silently drop a novel key's empty cells —
+    inflating its min (a false heavy hitter on one collision) or
+    erasing the key from the output when all its cells are empty."""
+    probes = keys.where(F.col(key_col).isNotNull()) \
+        .select(key_col, _cms_cells(key_col))
+    joined = probes.join(F.broadcast(counters), ["cms_row", "cms_bucket"],
+                         "left")
     return joined.groupBy(key_col).agg(
-        F.min("cell_count").alias("est_count")
+        F.min(F.coalesce(F.col("cell_count"), F.lit(0)))
+        .alias("est_count")
     )
 
 

@@ -1501,10 +1501,15 @@ def _q_pipeline_hll(spark, sf_dir):
 
 def _pipeline_hll_oracle() -> str:
     def regs(key: str) -> str:
+        # the null guard mirrors hll_register_table: NULL keys are not
+        # counted (COUNT(DISTINCT) semantics) — vacuous on this corpus
+        # (routed hosts/urls are non-null by validation), kept so the
+        # oracle formula matches the operator exactly
         mixed = x.hll_mix(x.polyhash(key, x.DUCK), x.DUCK)
         return (f"select status_bucket, {x.hll_reg('_mh', x.DUCK)} as hll_reg, "
                 f"max({x.hll_rho('_mh', x.DUCK)}) as max_rho "
-                f"from (select status_bucket, {mixed} as _mh from skbase) t "
+                f"from (select status_bucket, {mixed} as _mh from skbase "
+                f"      where {key} is not null) t "
                 f"group by 1, 2")
 
     est = x.hll_estimate(f"sum({x.hll_pow2_term('max_rho', x.DUCK)})",

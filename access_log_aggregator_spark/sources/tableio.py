@@ -597,7 +597,8 @@ class SnapshotTable:
 
         ``zorder_by`` (Iceberg's z-order rewrite strategy analog,
         mutually exclusive with ``sort_by``) clusters the rewritten rows
-        along a Morton curve over 2+ columns (sources/zorder.py) instead
+        along a Morton curve over 1-4 columns (sources/zorder.py; one
+        column is a coarser rank sort — prefer ``sort_by`` there) instead
         of lexicographically: each output file then covers a TIGHT range
         of EVERY listed column, so predicate reads prune on any of them —
         where ``sort_by=[a, b]`` keeps only ``a``'s bounds tight and a

@@ -107,6 +107,64 @@ def test_stratified_fractions_apply_per_stratum(spark, docs):
     assert _ids(out.where("lang = 'en'")) == _ids(plain)
 
 
+def test_empty_and_null_keys_are_not_always_kept(spark):
+    """polyhash('') = polyhash(NULL) = 0 would put empty/NULL keys in
+    EVERY sample at any fraction > 0 (found in review); the 'v'/'n'
+    key marking keeps them ordinary draws."""
+    df = spark.createDataFrame(
+        [("",), (None,), ("x",)] * 5, "doc_id string")
+    out = hash_sample(df, "doc_id", 0.001)
+    assert out.count() == 0          # none of the three keys survives 0.1%
+    # fraction 1.0 keeps every row, NULLs included (the % P fold: mix
+    # output can exceed P, which a raw < P*1.0 threshold dropped)
+    assert hash_sample(df, "doc_id", 1.0).count() == 15
+
+
+def test_full_fraction_keeps_every_row(spark, docs):
+    assert hash_sample(docs, "doc_id", 1.0).count() == 4000
+
+
+def test_quoted_salt_and_stratum_values(spark):
+    """Apostrophes in salts or stratum values reach the SQL as escaped
+    literals, not syntax errors (found in review)."""
+    df = spark.createDataFrame(
+        [("d1", "o'brien"), ("d2", "plain")] * 50,
+        "doc_id string, lang string")
+    assert hash_sample(df, "doc_id", 0.5, salt="it's").count() > 0
+    out = stratified_hash_sample(df, "lang", "doc_id",
+                                 {"o'brien": 1.0}, default_fraction=0.0)
+    assert {r.lang for r in out.collect()} == {"o'brien"}
+
+
+def test_null_key_parity_with_duckdb_under_salt(spark):
+    """Spark concat propagates NULL while DuckDB concat skips NULL
+    arguments — inlining NULL keys into a salted concat diverged across
+    engines (found in review); the CASE marker hashes NULL before any
+    concat so both engines draw identically."""
+    df = spark.createDataFrame([(None,), ("a",), ("b",)], "doc_id string")
+    sp = sorted(r.doc_id or "<null>" for r in
+                hash_sample(df, "doc_id", 0.5, salt="s1").collect())
+    con = duckdb.connect()
+    con.execute("create table d(doc_id varchar)")
+    con.executemany("insert into d values (?)", [(None,), ("a",), ("b",)])
+    dk = sorted(r[0] or "<null>" for r in con.execute(
+        f"select doc_id from d where "
+        f"{sample_predicate('doc_id', 0.5, salt='s1', d=x.DUCK)}").fetchall())
+    assert sp == dk
+
+
+def test_top_k_deterministic_under_duplicate_keys(spark):
+    """Duplicate keys tie on (hash, key); the whole-row xxhash64
+    tiebreak keeps the chosen rows deterministic (found in review)."""
+    rows = [("dup", i) for i in range(10)] + [("solo", 99)]
+    df = spark.createDataFrame(rows, "k string, payload int")
+    a = sorted((r.k, r.payload) for r in
+               top_k_by_hash(df.repartition(1), [], "k", 5).collect())
+    b = sorted((r.k, r.payload) for r in
+               top_k_by_hash(df.repartition(7), [], "k", 5).collect())
+    assert a == b and len(a) == 5
+
+
 def test_stratified_rejects_bad_fraction(spark, docs):
     with pytest.raises(ValueError):
         stratified_hash_sample(docs, "lang", "doc_id", {"en": 1.5})

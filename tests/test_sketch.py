@@ -150,6 +150,47 @@ def test_cms_counter_table_bounded_and_mergeable(spark, keys_df):
            sorted(map(tuple, merged.collect()))
 
 
+def test_cms_probing_novel_keys_returns_zero_not_false_hitters(spark, keys_df):
+    """The probe set need not come from the sketched data: a novel key's
+    cells are (mostly) empty, and empty cells must count 0 in the min —
+    an inner join dropped them, turning one collision with a hot key
+    into a false heavy hitter and an all-empty key into a missing row
+    (found in review)."""
+    counters = cms_counter_table(keys_df, "k")
+    novel = spark.range(200).select(
+        F.concat(F.lit("novel-"), F.col("id")).alias("k"))
+    est = cms_estimate(counters, novel, "k")
+    rows = {r.k: r.est_count for r in est.collect()}
+    assert len(rows) == 200          # nobody vanishes
+    # 200 novel keys x 4 cells vs 2,600 occupied of 2,048... most cells
+    # carry singleton counts; a novel key's min over 4 cells is ~always 0
+    # and NEVER anywhere near the heavy hitter
+    assert all(v < 100 for v in rows.values())
+    assert sum(1 for v in rows.values() if v == 0) > 100
+
+
+def test_sketches_ignore_null_keys(spark):
+    df = spark.createDataFrame(
+        [("a",), (None,), ("",), (None,)], "k string")
+    # HLL: NULL not counted (countDistinct semantics); '' IS a value
+    [row] = hll_distinct(df, "k").collect()
+    two = spark.createDataFrame([("a",), ("",)], "k string")
+    [row2] = hll_distinct(two, "k").collect()
+    assert row.approx_distinct == row2.approx_distinct
+    # CMS: null rows contribute no cells; probing returns only non-null
+    counters = cms_counter_table(df, "k")
+    assert counters.agg(F.sum("cell_count")).collect()[0][0] == \
+        2 * x.CMS_D
+    est = cms_estimate(counters, df.select("k").distinct(), "k")
+    assert {r.k for r in est.collect()} == {"a", ""}
+
+
+def test_hll_empty_input_estimates_zero(spark):
+    df = spark.createDataFrame([], "k string")
+    [row] = hll_distinct(df, "k").collect()
+    assert row.approx_distinct == 0.0   # not NULL (found in review)
+
+
 def test_cms_estimate_join_is_broadcast(spark, keys_df):
     from access_log_aggregator_spark.plans.audit import shape_facts
 
