@@ -199,6 +199,15 @@ def file_may_match(stats: Optional[dict],
             continue
         if cs.get("all_null"):
             return False  # comparisons never match NULL
+        bl = cs.get("bloom")
+        if (bl is not None and op in ("=", "==") and isinstance(val, str)
+                and not bloom_may_contain(bl, val)):
+            # the equality bloom proves the file never wrote this value
+            # — the point-lookup case zone maps cannot prune (every file
+            # of a log table spans 'a…'-to-'z…' hosts)
+            return False
+        if "type" not in cs:
+            continue  # bloom-only record (footer bounds were unusable)
         v = _coerce(cs["type"], val)
         if v is None:
             continue
@@ -259,20 +268,32 @@ def spark_filter(where: Sequence[Predicate]):
     return cond
 
 
-def _path_stats(path: str) -> tuple[str, Optional[dict]]:
+def _path_stats(path: str,
+                bloom_cols: Sequence[str] = ()) -> tuple[str, Optional[dict]]:
     """Executor-side worker for :meth:`SnapshotTable.analyze`: one footer
-    read per file, run inside a Spark job so a 10^5-file table's stats
+    read per file (plus, when ``bloom_cols`` is set, one column read of
+    just those columns to build equality blooms — the only stats that
+    need values), run inside a Spark job so a 10^5-file table's stats
     sweep is distributed instead of a serial driver pass. A file a
     concurrent expire/truncate unlinked mid-sweep yields None (skipped)
     rather than failing the whole job."""
     try:
-        return path, stats_from_footer(path)
+        rec = stats_from_footer(path)
+        if bloom_cols:
+            md_names = rec.get("schema_cols") or []
+            present = [c for c in bloom_cols if c in md_names]
+            # read only the present columns; ALL requested columns are
+            # marked considered so the sweep is a no-op next run
+            add_blooms(rec, pq.read_table(path, columns=present),
+                       bloom_cols)
+        return path, rec
     except OSError:  # pyarrow's ArrowIOError subclasses OSError
         return path, None
 
 
 def collect_stats_distributed(spark, paths: Iterable[str],
-                              parallelism: Optional[int] = None) -> dict:
+                              parallelism: Optional[int] = None,
+                              bloom_cols: Sequence[str] = ()) -> dict:
     """Footer stats for ``paths`` computed by a Spark job (one task per
     slice of files); the driver collects only the narrow stats records —
     the Iceberg "rewrite manifests / collect stats" maintenance shape."""
@@ -281,4 +302,119 @@ def collect_stats_distributed(spark, paths: Iterable[str],
         return {}
     n = parallelism or min(len(paths), spark.sparkContext.defaultParallelism)
     rdd = spark.sparkContext.parallelize(paths, n)
-    return dict(rdd.map(_path_stats).collect())
+    cols = tuple(bloom_cols)
+    return dict(rdd.map(lambda p: _path_stats(p, cols)).collect())
+
+
+# ---------------------------------------------------------------------------
+# Per-file equality blooms (Iceberg puffin / parquet bloom-filter analog).
+#
+# Zone maps prune RANGES; they are useless for point lookups on columns
+# whose values interleave across files (every file of a log table spans
+# 'a…'-to-z…' hosts, so `host = 'x'` scans all of them). A per-file bloom
+# over the column's DISTINCT values answers "can this file contain v?"
+# at plan time with a few bit probes. Opt-in per table via the
+# `bloom_cols` property (see SnapshotTable) because blooms, unlike
+# footer bounds, require reading the column's VALUES — free on the
+# in-memory write paths (append_pandas, compact), one column read on
+# add_files/analyze — and because they only earn their manifest bytes on
+# moderate-cardinality string columns (hosts, langs, categories): past
+# BLOOM_MAX_DISTINCT distinct values the false-positive rate makes the
+# filter dead weight, so such files simply record no bloom (fail open).
+# The bitmap is zlib-compressed in the manifest — a 64-host file's bloom
+# is tens of bytes, not BLOOM_M_BITS/8.
+# ---------------------------------------------------------------------------
+
+BLOOM_M_BITS = 32_768   # 4 KiB raw; fpr ~6e-4 at 2k distinct, ~2% at 4k
+BLOOM_K = 7
+BLOOM_MAX_DISTINCT = 4_096
+
+
+def _bloom_positions(value: str) -> list:
+    """K bit positions for a value: md5 split into two 64-bit halves,
+    double-hashed (h1 + i*h2). md5 is used for STABILITY across runs and
+    Python versions — this hash never crosses an engine boundary, so
+    cross-engine exactness rules do not apply here."""
+    import hashlib
+
+    d = hashlib.md5(value.encode("utf-8")).digest()
+    h1 = int.from_bytes(d[:8], "little")
+    h2 = int.from_bytes(d[8:], "little") | 1
+    return [((h1 + i * h2) & 0xFFFFFFFFFFFFFFFF) % BLOOM_M_BITS
+            for i in range(BLOOM_K)]
+
+
+def bloom_from_values(values: Iterable[str]) -> Optional[dict]:
+    """A bloom record from an iterable of DISTINCT non-null strings, or
+    None when empty or past BLOOM_MAX_DISTINCT (fail open — the fpr
+    would be useless and the manifest bytes wasted)."""
+    import base64
+    import zlib
+
+    bits = bytearray(BLOOM_M_BITS // 8)
+    n = 0
+    for v in values:
+        n += 1
+        if n > BLOOM_MAX_DISTINCT:
+            return None
+        for p in _bloom_positions(v):
+            bits[p >> 3] |= 1 << (p & 7)
+    if n == 0:
+        return None
+    return {"m": BLOOM_M_BITS, "k": BLOOM_K, "n": n,
+            "z64": base64.b64encode(zlib.compress(bytes(bits))).decode()}
+
+
+def bloom_may_contain(bloom: dict, value: str) -> bool:
+    """False only when the bloom PROVES the file never wrote ``value``.
+    A record with unexpected parameters or an undecodable bitmap fails
+    open — a manifest written by a future format must never turn into
+    wrong pruning here."""
+    import base64
+    import zlib
+
+    if bloom.get("m") != BLOOM_M_BITS or bloom.get("k") != BLOOM_K:
+        return True
+    try:
+        bits = zlib.decompress(base64.b64decode(bloom["z64"]))
+    except Exception:
+        return True
+    if len(bits) != BLOOM_M_BITS // 8:
+        return True
+    return all((bits[p >> 3] >> (p & 7)) & 1 for p in _bloom_positions(value))
+
+
+def add_blooms(stats: dict, table, cols: Sequence[str]) -> dict:
+    """Attach equality blooms for the listed STRING columns to a stats
+    record, from an in-memory arrow table's distinct values. Non-string
+    or absent columns are skipped; a column past the distinct cap stores
+    nothing (fail open). EVERY passed column is recorded in the
+    ``bloomed`` considered-set either way, so ``analyze`` can tell
+    "swept, nothing to store" from "never swept" and stay a no-op on
+    re-runs. Mutates and returns ``stats``."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for c in cols:
+        if c in table.schema.names and (
+                pa.types.is_string(table.schema.field(c).type)
+                or pa.types.is_large_string(table.schema.field(c).type)):
+            distinct = pc.unique(pc.drop_null(
+                table.column(c).combine_chunks()))
+            if len(distinct) <= BLOOM_MAX_DISTINCT:
+                bl = bloom_from_values(distinct.to_pylist())
+                if bl is not None:
+                    stats.setdefault("cols", {}) \
+                        .setdefault(c, {})["bloom"] = bl
+    stats["bloomed"] = sorted(set(stats.get("bloomed", [])) | set(cols))
+    return stats
+
+
+def needs_bloom_sweep(rec: Optional[dict],
+                      bloom_cols: Sequence[str]) -> bool:
+    """True when a stats record predates some of the table's requested
+    bloom columns (or is absent entirely) — the analyze re-sweep test."""
+    if rec is None:
+        return True
+    return bool(bloom_cols) and \
+        not set(bloom_cols) <= set(rec.get("bloomed", []))

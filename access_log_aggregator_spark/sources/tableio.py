@@ -311,6 +311,16 @@ class SnapshotTable:
     def properties(self) -> dict:
         return dict(self._manifest().get("properties", {}))
 
+    def bloom_cols(self) -> list[str]:
+        """Columns the ``bloom_cols`` table property asks equality blooms
+        for (comma-separated; Iceberg's write.parquet.bloom-filter-enabled
+        / puffin analog). Opt-in because blooms need column VALUES (free
+        on in-memory write paths, one column read on add_files/analyze)
+        and only pay off on moderate-cardinality string columns — see
+        filestats.py. Set via ``set_properties(bloom_cols="host,lang")``."""
+        raw = self.properties().get("bloom_cols", "")
+        return [c.strip() for c in raw.split(",") if c.strip()]
+
     def set_properties(self, **kv: str) -> None:
         """Merge key/value properties into the manifest (read-modify-write
         under the manifest lock, so concurrent commits are not lost)."""
@@ -718,12 +728,17 @@ class SnapshotTable:
                         merged = merged.take(
                             zorder_sort_indices(merged, list(zorder_by)))
                 total += merged.num_rows
+                bcols = self.bloom_cols()
                 for lo in range(0, max(merged.num_rows, 1), rows_per_file):
+                    sl = merged.slice(lo, rows_per_file)
                     dest = d / f"compact-{uuid.uuid4().hex}.parquet"
-                    pq.write_table(merged.slice(lo, rows_per_file), dest)
+                    pq.write_table(sl, dest)
                     out.append(dest)
                     staged.append(dest)
-                    stats[str(dest)] = filestats.stats_from_footer(str(dest))
+                    rec = filestats.stats_from_footer(str(dest))
+                    if bcols:  # slice is in memory: blooms are free here
+                        filestats.add_blooms(rec, sl, bcols)
+                    stats[str(dest)] = rec
             if not any_merge:
                 return None
             return self._commit_files(out, total, marker,
@@ -858,9 +873,12 @@ class SnapshotTable:
         pq.write_table(table, dest)
         # single freshly-written file: its footer is page-cache-hot and the
         # stats read is O(KB) — the driver-side cost Iceberg writers pay too
+        rec = filestats.stats_from_footer(str(dest))
+        bcols = self.bloom_cols()
+        if bcols:  # values are in hand: blooms cost no extra IO here
+            filestats.add_blooms(rec, table, bcols)
         return self._commit_files(
-            [dest], len(pdf), marker,
-            stats={str(dest): filestats.stats_from_footer(str(dest))},
+            [dest], len(pdf), marker, stats={str(dest): rec},
             schema=st, unconvertible=st is None)
 
     def add_files(self, files, marker: Optional[str] = None) -> int:
@@ -907,6 +925,13 @@ class SnapshotTable:
             except OSError:
                 shutil.copy2(src, dest)
             rec = filestats.stats_from_footer(str(dest))
+            bcols = self.bloom_cols()
+            if bcols:  # one column read per file: migrated files get
+                # equality blooms day one, like their footer bounds
+                present = [c for c in bcols
+                           if c in (rec.get("schema_cols") or [])]
+                filestats.add_blooms(
+                    rec, pq.read_table(dest, columns=present), bcols)
             n += rec["rows"]
             stats[str(dest)] = rec
             staged.append(dest)
@@ -1023,8 +1048,13 @@ class SnapshotTable:
         (:func:`~.filestats.collect_stats_distributed`), one task per
         slice of files, so at 10^5 files it parallelizes across the
         cluster instead of serializing on the driver; the driver collects
-        only the ~100-byte stats records. Re-running is a no-op. Returns
-        the number of files whose stats were recorded.
+        only the ~100-byte stats records. When the ``bloom_cols``
+        property is set, the same sweep also builds equality blooms
+        (reading just those columns' values — the one stat footers cannot
+        provide) for files whose records predate the property. Re-running
+        is a no-op, including for columns that stored no bloom (the
+        considered-set marker). Returns the number of files whose stats
+        were recorded.
 
         The Iceberg analog is the write-path stats collection plus
         ``rewrite_manifests`` — run it after bulk ingests so scan
@@ -1032,14 +1062,21 @@ class SnapshotTable:
         from . import filestats
 
         m = self._manifest()
+        bcols = self.bloom_cols()
         missing: set[str] = set()
         for s in m["snapshots"]:
             have = s.get("stats") or {}
-            missing.update(f for f in s["files"] if f not in have)
+            # a file also needs the sweep when its record predates some of
+            # the requested bloom columns (bloom_cols set after the stats
+            # landed); the considered-set marker keeps re-runs no-ops even
+            # for columns that stored no bloom (overflow / non-string)
+            missing.update(f for f in s["files"]
+                           if filestats.needs_bloom_sweep(have.get(f), bcols))
         if not missing:
             return 0
         recs = filestats.collect_stats_distributed(
-            spark, [str(self.root / f) for f in sorted(missing)], parallelism)
+            spark, [str(self.root / f) for f in sorted(missing)],
+            parallelism, bloom_cols=bcols)
         rel = {f: recs[str(self.root / f)] for f in missing
                if recs.get(str(self.root / f)) is not None}
         if not rel:
@@ -1050,7 +1087,10 @@ class SnapshotTable:
                 st = s.get("stats") or {}
                 merged = False
                 for f in s["files"]:
-                    if f not in st and f in rel:
+                    if f in rel and filestats.needs_bloom_sweep(
+                            st.get(f), bcols):
+                        # the fresh record is a superset (same footer,
+                        # plus any newly-considered blooms)
                         st[f] = rel[f]
                         merged = True
                 if merged:
