@@ -483,7 +483,8 @@ def hll_estimate(sum_expr: str, nreg_expr: str, d: str) -> str:
     1.2e-8 relative through decimal division); ``cast('…17 digits…' as
     double)`` is a correctly-rounded parse in both. ``2.5 * M`` folds to
     the exact integer 320 for the same reason. The linear-counting value
-    M * ln(M/V) is a LOOKUP over the 127 possible V values, each
+    M * ln(M/V) is a LOOKUP over the 128 possible V values (1..M;
+    V = M is the empty-sketch arm, value exactly 0), each
     precomputed in Python and emitted the same way: SQL ``ln`` diverged
     by one ulp between Java's and C's libm on a real corpus input."""
     import math

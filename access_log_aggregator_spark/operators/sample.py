@@ -93,18 +93,35 @@ def stratified_hash_sample(df: DataFrame, stratum_col: str, key_col: str,
 def top_k_by_hash(df: DataFrame, group_cols: list[str], key_col: str,
                   k: int, salt: str = "") -> DataFrame:
     """Exactly-k-per-group deterministic subset: rank rows inside each
-    group by their mixed hash (ties broken by the key, then by a
-    whole-row xxhash64 so duplicate keys still rank deterministically —
-    only fully identical rows tie, where the choice is immaterial) and
-    keep the k smallest — a fixed-size quota per group where a fraction
-    would over/under-shoot small groups. One hash-partition shuffle on
-    the group key; the window never holds more than a partition's
-    rows."""
-    from pyspark.sql import Window
+    group by their mixed hash (ties broken by the key, then by an
+    xxhash64 over the row's hashable columns so duplicate keys still
+    rank deterministically — only rows identical in every hashable
+    column tie, where the choice is immaterial) and keep the k smallest
+    — a fixed-size quota per group where a fraction would over/under-
+    shoot small groups. One hash-partition shuffle on the group key; the
+    window never holds more than a partition's rows.
 
-    w = Window.partitionBy(*group_cols).orderBy(
-        F.expr(mixed_key(key_col, salt)).asc(), F.col(key_col).asc(),
-        F.xxhash64(*[F.col(c) for c in df.columns]).asc())
+    Map-typed columns are excluded from the tiebreak (xxhash64 rejects
+    MAP anywhere in a type — Spark's map equality is undefined, so maps
+    cannot break ties deterministically anyway); rows differing ONLY in
+    map columns therefore still tie arbitrarily."""
+    from pyspark.sql import Window
+    from pyspark.sql.types import ArrayType, DataType, MapType, StructType
+
+    def _mappy(t: DataType) -> bool:
+        if isinstance(t, MapType):
+            return True
+        if isinstance(t, ArrayType):
+            return _mappy(t.elementType)
+        if isinstance(t, StructType):
+            return any(_mappy(f.dataType) for f in t.fields)
+        return False
+
+    hashable = [f.name for f in df.schema.fields if not _mappy(f.dataType)]
+    order = [F.expr(mixed_key(key_col, salt)).asc(), F.col(key_col).asc()]
+    if hashable:
+        order.append(F.xxhash64(*[F.col(c) for c in hashable]).asc())
+    w = Window.partitionBy(*group_cols).orderBy(*order)
     return (
         df.withColumn("_hrank", F.row_number().over(w))
         .where(F.col("_hrank") <= k)

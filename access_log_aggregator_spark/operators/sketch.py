@@ -50,8 +50,9 @@ def hll_register_table(df: DataFrame, key_col: str,
     group_cols = group_cols or []
     # NULL keys are not counted, matching COUNT(DISTINCT)'s null
     # semantics (and NULL would otherwise hash like '' — polyhash's
-    # empty-input 0 — silently merging two different "values")
-    df = df.where(F.col(key_col).isNotNull())
+    # empty-input 0 — silently merging two different "values");
+    # F.expr, not F.col: key_col may be a SQL expression like upper(k)
+    df = df.where(F.expr(key_col).isNotNull())
     # reg and rho are emitted through ONE `inline` generator over the
     # singleton mix array: a generator evaluates its child once, so the
     # per-char polyhash fold and the avalanche rounds run exactly once
@@ -140,7 +141,7 @@ def cms_counter_table(df: DataFrame, key_col: str) -> DataFrame:
     are not counted (matching the register-table convention — NULL would
     otherwise collide with the empty string at polyhash 0)."""
     return (
-        df.where(F.col(key_col).isNotNull())
+        df.where(F.expr(key_col).isNotNull())
         .select(_cms_cells(key_col))
         .groupBy("cms_row", "cms_bucket")
         .agg(F.count(F.lit(1)).alias("cell_count"))
@@ -166,7 +167,11 @@ def cms_estimate(counters: DataFrame, keys: DataFrame,
     not come from the sketched data (the whole point of probing), and
     an inner join would silently drop a novel key's empty cells —
     inflating its min (a false heavy hitter on one collision) or
-    erasing the key from the output when all its cells are empty."""
+    erasing the key from the output when all its cells are empty.
+
+    ``key_col`` must be a real column of ``keys`` (it is selected and
+    grouped by name), unlike the build-side operators which accept any
+    SQL expression."""
     probes = keys.where(F.col(key_col).isNotNull()) \
         .select(key_col, _cms_cells(key_col))
     joined = probes.join(F.broadcast(counters), ["cms_row", "cms_bucket"],

@@ -43,6 +43,7 @@ to the graft's Iceberg-table seam (SURVEY.md §1.4, §7.0).
 from __future__ import annotations
 
 import datetime as _dt
+import functools as _functools
 from typing import Iterable, Optional, Sequence, Tuple
 
 import pyarrow.parquet as pq
@@ -199,13 +200,22 @@ def file_may_match(stats: Optional[dict],
             continue
         if cs.get("all_null"):
             return False  # comparisons never match NULL
-        bl = cs.get("bloom")
-        if (bl is not None and op in ("=", "==") and isinstance(val, str)
-                and not bloom_may_contain(bl, val)):
+        if op in ("=", "==") and isinstance(val, str):
+            bl = cs.get("bloom")
             # the equality bloom proves the file never wrote this value
             # — the point-lookup case zone maps cannot prune (every file
-            # of a log table spans 'a…'-to-'z…' hosts)
-            return False
+            # of a log table spans 'a…'-to-'z…' hosts). Bounds are
+            # checked FIRST below only when this term keeps the file:
+            # the bloom probe decompresses a bitmap, the bounds are two
+            # comparisons — but a bounds-prune returns immediately, so
+            # ordering the bloom here only costs when bounds failed to
+            # prune anyway (the common case for interleaved values).
+            if (bl is not None and "type" in cs
+                    and isinstance(cs.get("min"), str)
+                    and (val < cs["min"] or val > cs["max"])):
+                return False  # bounds prune without touching the bloom
+            if bl is not None and not bloom_may_contain(bl, val):
+                return False
         if "type" not in cs:
             continue  # bloom-only record (footer bounds were unusable)
         v = _coerce(cs["type"], val)
@@ -365,21 +375,31 @@ def bloom_from_values(values: Iterable[str]) -> Optional[dict]:
             "z64": base64.b64encode(zlib.compress(bytes(bits))).decode()}
 
 
+@_functools.lru_cache(maxsize=8192)
+def _bloom_bits(z64: str):
+    """Decode+decompress a bloom bitmap, memoized: planning a predicate
+    over 10^5 files re-probes the same manifests call after call, and
+    the bitmap bytes are immutable once written. None on any decode
+    failure (fail open)."""
+    import base64
+    import zlib
+
+    try:
+        bits = zlib.decompress(base64.b64decode(z64))
+    except Exception:
+        return None
+    return bits if len(bits) == BLOOM_M_BITS // 8 else None
+
+
 def bloom_may_contain(bloom: dict, value: str) -> bool:
     """False only when the bloom PROVES the file never wrote ``value``.
     A record with unexpected parameters or an undecodable bitmap fails
     open — a manifest written by a future format must never turn into
     wrong pruning here."""
-    import base64
-    import zlib
-
     if bloom.get("m") != BLOOM_M_BITS or bloom.get("k") != BLOOM_K:
         return True
-    try:
-        bits = zlib.decompress(base64.b64decode(bloom["z64"]))
-    except Exception:
-        return True
-    if len(bits) != BLOOM_M_BITS // 8:
+    bits = _bloom_bits(bloom.get("z64", ""))
+    if bits is None:
         return True
     return all((bits[p >> 3] >> (p & 7)) & 1 for p in _bloom_positions(value))
 
@@ -418,3 +438,23 @@ def needs_bloom_sweep(rec: Optional[dict],
         return True
     return bool(bloom_cols) and \
         not set(bloom_cols) <= set(rec.get("bloomed", []))
+
+
+def carry_blooms(old: Optional[dict], new: dict) -> dict:
+    """Graft blooms an older stats record holds for columns a fresh
+    re-sweep did not consider into the fresh record (and union the
+    considered-sets). Without this, narrowing then re-widening the
+    ``bloom_cols`` property would silently DROP already-built blooms on
+    the next analyze (replacing the whole record), turning point lookups
+    back into full scans. Fresh blooms always win for columns both
+    records cover. Mutates and returns ``new``."""
+    if old is None:
+        return new
+    for c, cs in (old.get("cols") or {}).items():
+        bl = cs.get("bloom")
+        if bl is not None and \
+                "bloom" not in (new.get("cols") or {}).get(c, {}):
+            new.setdefault("cols", {}).setdefault(c, {})["bloom"] = bl
+    new["bloomed"] = sorted(set(new.get("bloomed", []))
+                            | set(old.get("bloomed", [])))
+    return new

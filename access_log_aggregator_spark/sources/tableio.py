@@ -650,6 +650,7 @@ class SnapshotTable:
         # would resolve table_schema(end=base) to None and fall back to
         # footer-sampled reads, resurrecting dropped columns
         cur_schema = self.table_schema()
+        bcols = self.bloom_cols()  # once: each call parses the manifest
         if cluster_cols and cur_schema is not None:
             missing = [c for c in cluster_cols
                        if c not in {f.name for f in cur_schema.fields}]
@@ -728,7 +729,6 @@ class SnapshotTable:
                         merged = merged.take(
                             zorder_sort_indices(merged, list(zorder_by)))
                 total += merged.num_rows
-                bcols = self.bloom_cols()
                 for lo in range(0, max(merged.num_rows, 1), rows_per_file):
                     sl = merged.slice(lo, rows_per_file)
                     dest = d / f"compact-{uuid.uuid4().hex}.parquet"
@@ -918,6 +918,7 @@ class SnapshotTable:
         staged: list[Path] = []
         stats: dict[str, dict] = {}
         n = 0
+        bcols = self.bloom_cols()  # once: each call parses the manifest
         for src in srcs:
             dest = self.root / "data" / f"part-{uuid.uuid4().hex}.parquet"
             try:
@@ -925,7 +926,6 @@ class SnapshotTable:
             except OSError:
                 shutil.copy2(src, dest)
             rec = filestats.stats_from_footer(str(dest))
-            bcols = self.bloom_cols()
             if bcols:  # one column read per file: migrated files get
                 # equality blooms day one, like their footer bounds
                 present = [c for c in bcols
@@ -1089,9 +1089,10 @@ class SnapshotTable:
                 for f in s["files"]:
                     if f in rel and filestats.needs_bloom_sweep(
                             st.get(f), bcols):
-                        # the fresh record is a superset (same footer,
-                        # plus any newly-considered blooms)
-                        st[f] = rel[f]
+                        # fresh footer stats + newly-considered blooms,
+                        # carrying blooms the old record holds for
+                        # columns this sweep no longer asked about
+                        st[f] = filestats.carry_blooms(st.get(f), rel[f])
                         merged = True
                 if merged:
                     s["stats"] = st

@@ -147,6 +147,27 @@ def test_analyze_resweeps_when_bloom_cols_added_later(spark, tmp_path):
     assert t.analyze(spark) == 0          # and done
 
 
+def test_narrow_then_rewiden_bloom_cols_keeps_old_blooms(spark, tmp_path):
+    """Re-sweeping for a new bloom column must NOT drop blooms already
+    built for columns no longer in the property (found in review: the
+    whole-record replacement lost them, silently un-pruning host
+    lookups until another full sweep)."""
+    t = _host_table(tmp_path)                  # host blooms at write time
+    t.add_column("lang", "string")
+    t.set_properties(bloom_cols="lang")        # narrow away from host
+    t.append_pandas(pd.DataFrame(
+        {"host": ["q9.example.net"] * 3, "lang": ["en", "de", "en"],
+         "n": [1, 2, 3]}), marker="h9")
+    assert t.analyze(spark) > 0                # sweep adds lang blooms
+    # host blooms from the original records survive the re-sweep
+    assert len(t.data_files(where=[("host", "=", "m2.example.net")])) == 1
+    # lang blooms work on the new file; old files predate the column and
+    # are schema-pruned regardless, so an absent value plans NOTHING
+    assert len(t.data_files(where=[("lang", "=", "en")])) == 1
+    assert len(t.data_files(where=[("lang", "=", "fr")])) == 0
+    assert t.analyze(spark) == 0
+
+
 def test_add_files_attaches_blooms(tmp_path):
     import pyarrow.parquet as pq
 

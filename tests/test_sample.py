@@ -165,6 +165,32 @@ def test_top_k_deterministic_under_duplicate_keys(spark):
     assert a == b and len(a) == 5
 
 
+def test_top_k_tolerates_map_columns(spark):
+    """xxhash64 rejects MAP anywhere in a type; the tiebreak must skip
+    such columns instead of crashing the whole operator (found in
+    review)."""
+    df = spark.createDataFrame(
+        [("a", {"x": "1"}), ("b", {"y": "2"}), ("c", {"z": "3"})],
+        "k string, m map<string,string>")
+    out = top_k_by_hash(df, [], "k", 2)
+    assert out.count() == 2
+
+
+def test_sketches_accept_expression_keys(spark):
+    """Build-side sketch operators take any SQL expression as the key
+    (the null guard must use F.expr, not F.col — found in review)."""
+    from access_log_aggregator_spark.operators.sketch import (
+        cms_counter_table,
+        hll_distinct,
+    )
+
+    df = spark.createDataFrame([("A",), ("a",), ("B",)], "k string")
+    [row] = hll_distinct(df, "upper(k)").collect()
+    [row2] = hll_distinct(df.selectExpr("upper(k) as k"), "k").collect()
+    assert row.approx_distinct == row2.approx_distinct
+    assert cms_counter_table(df, "lower(k)").count() > 0
+
+
 def test_stratified_rejects_bad_fraction(spark, docs):
     with pytest.raises(ValueError):
         stratified_hash_sample(docs, "lang", "doc_id", {"en": 1.5})
