@@ -1515,7 +1515,7 @@ def _pipeline_hll_oracle() -> str:
     est = x.hll_estimate(f"sum({x.hll_pow2_term('max_rho', x.DUCK)})",
                          "count(*)", x.DUCK)
     return f"""{_pipeline_duck_cte()},
-{_DUCK_SKETCH_BASE.lstrip().rstrip()},
+{_DUCK_SKETCH_BASE.strip()},
 hregs as ({regs('host')}),
 uregs as ({regs('url')}),
 hest as (select status_bucket, {est} as approx_hosts
@@ -1572,7 +1572,7 @@ def _pipeline_cms_oracle() -> str:
                        for i, (a, b) in enumerate(x.CMS_COEFFS))
     bucket = f"((a * {ph} + b) % {x.P}) % {x.CMS_W}"
     return f"""{_pipeline_duck_cte()},
-{_DUCK_SKETCH_BASE.lstrip().rstrip()},
+{_DUCK_SKETCH_BASE.strip()},
 coeffs(cms_row, a, b) as (values {coeffs}),
 counters as (
   select cms_row, {bucket} as cms_bucket, count(*) as cell_count

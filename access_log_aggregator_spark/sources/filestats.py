@@ -200,58 +200,51 @@ def file_may_match(stats: Optional[dict],
             continue
         if cs.get("all_null"):
             return False  # comparisons never match NULL
-        if op in ("=", "==") and isinstance(val, str):
-            bl = cs.get("bloom")
-            # the equality bloom proves the file never wrote this value
-            # — the point-lookup case zone maps cannot prune (every file
-            # of a log table spans 'a…'-to-'z…' hosts). Bounds are
-            # checked FIRST below only when this term keeps the file:
-            # the bloom probe decompresses a bitmap, the bounds are two
-            # comparisons — but a bounds-prune returns immediately, so
-            # ordering the bloom here only costs when bounds failed to
-            # prune anyway (the common case for interleaved values).
-            if (bl is not None and "type" in cs
-                    and isinstance(cs.get("min"), str)
-                    and (val < cs["min"] or val > cs["max"])):
-                return False  # bounds prune without touching the bloom
-            if bl is not None and not bloom_may_contain(bl, val):
-                return False
-        if "type" not in cs:
-            continue  # bloom-only record (footer bounds were unusable)
-        v = _coerce(cs["type"], val)
-        if v is None:
-            continue
-        if cs["type"] == "float" and op in ("!=", ">", ">="):
-            # Parquet footers EXCLUDE NaN from min/max, but Spark and
-            # DuckDB both order NaN greater than every other double, so a
-            # NaN row matches any !=, > or >= predicate. The bounds
-            # therefore cannot prove absence of a match for these ops on
-            # float columns — fail open. (=, < and <= stay prunable:
-            # NaN = v, NaN < v and NaN <= v are never true for the
-            # non-NaN v values _coerce admits, and a NaN v fails open
-            # below because every NaN comparison is Python-False.)
-            continue
-        lo, hi = cs["min"], cs["max"]
-        if op in ("=", "=="):
-            if v < lo or v > hi:
-                return False
-        elif op == "!=":
-            # all non-null values equal v (and NULL never matches !=)
-            if lo == hi == v:
-                return False
-        elif op == "<":
-            if lo >= v:
-                return False
-        elif op == "<=":
-            if lo > v:
-                return False
-        elif op == ">":
-            if hi <= v:
-                return False
-        elif op == ">=":
-            if hi < v:
-                return False
+        if not _bounds_may_match(cs, op, val):
+            return False  # two comparisons: always checked first
+        # the equality bloom proves the file never wrote this value — the
+        # point-lookup case zone maps cannot prune (every file of a log
+        # table spans 'a…'-to-'z…' hosts). Probed only when the cheap
+        # bounds test above kept the file: it decompresses a bitmap.
+        bl = cs.get("bloom")
+        if (bl is not None and op in ("=", "==") and isinstance(val, str)
+                and not bloom_may_contain(bl, val)):
+            return False
     return True
+
+
+def _bounds_may_match(cs: dict, op: str, val: object) -> bool:
+    """The min/max test for one predicate term against one column's
+    stats record: False only on proof, True for every fail-open case
+    (no recorded bounds, type-unsound comparison, float NaN ops)."""
+    if "type" not in cs:
+        return True  # bloom-only record (footer bounds were unusable)
+    v = _coerce(cs["type"], val)
+    if v is None:
+        return True
+    if cs["type"] == "float" and op in ("!=", ">", ">="):
+        # Parquet footers EXCLUDE NaN from min/max, but Spark and
+        # DuckDB both order NaN greater than every other double, so a
+        # NaN row matches any !=, > or >= predicate. The bounds
+        # therefore cannot prove absence of a match for these ops on
+        # float columns — fail open. (=, < and <= stay prunable:
+        # NaN = v, NaN < v and NaN <= v are never true for the
+        # non-NaN v values _coerce admits, and a NaN v fails open
+        # below because every NaN comparison is Python-False.)
+        return True
+    lo, hi = cs["min"], cs["max"]
+    if op in ("=", "=="):
+        return not (v < lo or v > hi)
+    if op == "!=":
+        # all non-null values equal v (and NULL never matches !=)
+        return not (lo == hi == v)
+    if op == "<":
+        return lo < v
+    if op == "<=":
+        return lo <= v
+    if op == ">":
+        return hi > v
+    return hi >= v  # op == ">="
 
 
 def spark_filter(where: Sequence[Predicate]):
@@ -290,12 +283,7 @@ def _path_stats(path: str,
     try:
         rec = stats_from_footer(path)
         if bloom_cols:
-            md_names = rec.get("schema_cols") or []
-            present = [c for c in bloom_cols if c in md_names]
-            # read only the present columns; ALL requested columns are
-            # marked considered so the sweep is a no-op next run
-            add_blooms(rec, pq.read_table(path, columns=present),
-                       bloom_cols)
+            add_blooms_from_file(rec, path, bloom_cols)
         return path, rec
     except OSError:  # pyarrow's ArrowIOError subclasses OSError
         return path, None
@@ -428,6 +416,19 @@ def add_blooms(stats: dict, table, cols: Sequence[str]) -> dict:
                         .setdefault(c, {})["bloom"] = bl
     stats["bloomed"] = sorted(set(stats.get("bloomed", [])) | set(cols))
     return stats
+
+
+def add_blooms_from_file(rec: dict, path: str,
+                         bloom_cols: Sequence[str]) -> dict:
+    """:func:`add_blooms` against a parquet FILE: reads only the bloom
+    columns physically present (one column read — blooms are the one
+    stat footers cannot provide), marking ALL requested columns
+    considered so a later sweep is a no-op. Shared by ``add_files`` and
+    the distributed ``analyze`` worker."""
+    present = [c for c in bloom_cols
+               if c in (rec.get("schema_cols") or [])]
+    return add_blooms(rec, pq.read_table(path, columns=present),
+                      bloom_cols)
 
 
 def needs_bloom_sweep(rec: Optional[dict],

@@ -928,10 +928,7 @@ class SnapshotTable:
             rec = filestats.stats_from_footer(str(dest))
             if bcols:  # one column read per file: migrated files get
                 # equality blooms day one, like their footer bounds
-                present = [c for c in bcols
-                           if c in (rec.get("schema_cols") or [])]
-                filestats.add_blooms(
-                    rec, pq.read_table(dest, columns=present), bcols)
+                filestats.add_blooms_from_file(rec, str(dest), bcols)
             n += rec["rows"]
             stats[str(dest)] = rec
             staged.append(dest)
