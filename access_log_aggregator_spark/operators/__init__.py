@@ -25,6 +25,9 @@ from .sketch import (
     cms_estimate,
     cms_heavy_hitters,
     cms_merge_counters,
+    histogram_merge,
+    histogram_quantiles,
+    histogram_table,
     hll_distinct,
     hll_estimate,
     hll_merge_registers,
@@ -65,6 +68,7 @@ __all__ = [
     "hash_sample", "stratified_hash_sample", "top_k_by_hash",
     "cms_counter_table", "cms_estimate", "cms_heavy_hitters",
     "cms_merge_counters",
+    "histogram_merge", "histogram_quantiles", "histogram_table",
     "hll_distinct", "hll_estimate", "hll_merge_registers",
     "hll_register_table",
     "cosine_to", "ivf_assign", "ivf_topk_cosine", "lsh_topk_cosine",

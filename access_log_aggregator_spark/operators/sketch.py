@@ -1,9 +1,10 @@
-"""Bounded-state sketch operators: HyperLogLog + count-min.
+"""Bounded-state sketch operators: HyperLogLog, count-min, histogram.
 
 The reference keeps one EXACT counter per host in an unbounded Go map
 (internal/accesslog/summaries.go:3-27, print.go:10-27) — fine for one
 log file, unbounded state at 10^12 rows. These are the approximate twins
-for that scale:
+for that scale, covering the three operational log metrics (unique
+visitors, top hosts, latency percentiles):
 
 - **HyperLogLog** (Flajolet/Fusy/Gandon/Meunier 2007): distinct counting
   in ``HLL_M`` registers per group. The register table is the sketch —
@@ -13,6 +14,10 @@ for that scale:
   fixed ``CMS_D x CMS_W`` grid of counters, mergeable by cell-wise ``+``;
   estimates upper-bound the true count (min over rows), so heavy hitters
   are never missed.
+- **Fixed-bucket histogram**: quantiles over a known value range (the
+  reference's duration lives in (0, 1)) in ``<= n_buckets`` counts per
+  group, mergeable by cell-wise ``+``; estimate error is bounded by one
+  bucket width.
 
 Both build phases are one partial+final hash aggregate whose SHUFFLED key
 space is bounded by the sketch size (groups x HLL_M rows, CMS_D x CMS_W
@@ -200,3 +205,94 @@ def cms_heavy_hitters(df: DataFrame, key_col: str, threshold: int,
     keys = base.distinct()
     est = cms_estimate(counters, keys, key_col)
     return est.where(F.col("est_count") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# Fixed-bucket histogram (quantile sketch)
+# ---------------------------------------------------------------------------
+
+def histogram_table(df: DataFrame, value_col: str, lo: float, hi: float,
+                    n_buckets: int = 256,
+                    group_cols: list[str] | None = None) -> DataFrame:
+    """The third counter sketch: a fixed equi-width histogram over a
+    KNOWN value range — with HLL (distinct) and count-min (frequency)
+    this completes the operational log-metric trio, here for latency
+    quantiles (the reference's `duration` lives in (0, 1)).
+
+    State is ``<= n_buckets`` rows per group, mergeable by cell-wise
+    sum (union two tables and re-aggregate), built in one partial+final
+    hash aggregate. Values outside [lo, hi) clamp into the edge buckets
+    (documented bias instead of unbounded state — the known-range
+    requirement is what keeps this sketch trivially mergeable where
+    t-digest/KLL need weighted centroid merging); NULLs are not
+    counted, matching SQL aggregate semantics."""
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi})")
+    if n_buckets < 1:
+        raise ValueError(f"need n_buckets >= 1, got {n_buckets}")
+    group_cols = group_cols or []
+    width = (hi - lo) / n_buckets
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        F.greatest(F.lit(0), F.floor(
+            (F.expr(value_col) - F.lit(lo)) / F.lit(width)).cast("int")),
+    )
+    return (
+        df.where(F.expr(value_col).isNotNull())
+        .select(*group_cols, bucket.alias("hist_bucket"))
+        .groupBy(*group_cols, "hist_bucket")
+        .agg(F.count(F.lit(1)).alias("bucket_count"))
+    )
+
+
+def histogram_merge(hist: DataFrame,
+                    group_cols: list[str] | None = None) -> DataFrame:
+    """Merge a union of histogram tables: cell-wise sum per group."""
+    group_cols = group_cols or []
+    return hist.groupBy(*group_cols, "hist_bucket").agg(
+        F.sum("bucket_count").alias("bucket_count")
+    )
+
+
+def histogram_quantiles(hist: DataFrame, qs: list[float],
+                        lo: float, hi: float, n_buckets: int = 256,
+                        group_cols: list[str] | None = None) -> DataFrame:
+    """Quantile estimates from a histogram table: for each q, find the
+    bucket where the cumulative count crosses q * total and interpolate
+    linearly inside it — error is bounded by one bucket width of the
+    value range. Output: (group_cols..., q, quantile_est), one row per
+    group per requested q.
+
+    Everything stays distributed: the cumulative sum is a window over
+    the <= n_buckets rows of each group's sketch, and the q probes are
+    a broadcast-joined literal frame — no driver-side collection."""
+    from pyspark.sql import Window
+
+    if not qs:
+        raise ValueError("need at least one quantile in qs")
+    for q in qs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantiles must be in [0, 1], got {q}")
+    group_cols = group_cols or []
+    width = (hi - lo) / n_buckets
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]) \
+        .orderBy("hist_bucket")
+    cum = (
+        hist.withColumn("cum", F.sum("bucket_count").over(w))
+        .withColumn("total", F.sum("bucket_count").over(
+            Window.partitionBy(*[F.col(c) for c in group_cols])))
+    )
+    probes = F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
+    # rank = the target cumulative mass for q (at least 1 so q=0 lands
+    # in the first occupied bucket)
+    joined = cum.select("*", probes).withColumn(
+        "rank", F.greatest(F.lit(1.0), F.col("q") * F.col("total")))
+    hit = joined.where(
+        (F.col("cum") >= F.col("rank"))
+        & (F.col("cum") - F.col("bucket_count") < F.col("rank"))
+    )
+    frac = (F.col("rank") - (F.col("cum") - F.col("bucket_count"))) \
+        / F.col("bucket_count")
+    est = F.lit(lo) + (F.col("hist_bucket") + frac) * F.lit(width)
+    return hit.select(*group_cols, "q", est.alias("quantile_est")) \
+        .orderBy(*group_cols, "q")

@@ -23,6 +23,9 @@ from access_log_aggregator_spark.operators.sketch import (
     cms_estimate,
     cms_heavy_hitters,
     cms_merge_counters,
+    histogram_merge,
+    histogram_quantiles,
+    histogram_table,
     hll_distinct,
     hll_estimate,
     hll_merge_registers,
@@ -198,3 +201,76 @@ def test_cms_estimate_join_is_broadcast(spark, keys_df):
                        keys_df.select("k").distinct(), "k")
     f = shape_facts(est)
     assert f["bhj"] >= 1 and f["smj"] == 0 and f["nl"] == 0
+
+
+# ---------------------------------------------------------------------------
+# Fixed-bucket histogram (quantile sketch)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def latencies(spark):
+    """10,000 deterministic 'durations' in (0, 1), skewed toward small
+    values like real latencies, with a stratifying host column."""
+    return spark.range(10_000).select(
+        (F.expr("pmod(id * 2654435761, 1000003)") / 1000003.0)
+        .alias("u"),
+        F.expr("case pmod(id, 3) when 0 then 'a.net' when 1 then 'b.net' "
+               "else 'c.net' end").alias("host"),
+    ).select("host", (F.col("u") * F.col("u")).alias("duration"))
+
+
+def test_histogram_quantiles_within_bucket_width(spark, latencies):
+    B = 256
+    hist = histogram_table(latencies, "duration", 0.0, 1.0, B, ["host"])
+    est = histogram_quantiles(hist, [0.5, 0.95, 0.99], 0.0, 1.0, B,
+                              ["host"])
+    exact = latencies.groupBy("host").agg(
+        F.expr("percentile(duration, array(0.5, 0.95, 0.99))").alias("p"))
+    ex = {r.host: r.p for r in exact.collect()}
+    for r in est.collect():
+        want = ex[r.host][{0.5: 0, 0.95: 1, 0.99: 2}[r.q]]
+        assert abs(r.quantile_est - want) <= 2.0 / B, (r, want)
+
+
+def test_histogram_state_bounded_and_mergeable(spark, latencies):
+    B = 64
+    whole = histogram_table(latencies, "duration", 0.0, 1.0, B, ["host"])
+    assert whole.count() <= 3 * B
+    # split by a value predicate so both shards hold every host
+    parts = [
+        histogram_table(latencies.where(f"duration {op} 0.25"),
+                        "duration", 0.0, 1.0, B, ["host"])
+        for op in ("<", ">=")
+    ]
+    merged = histogram_merge(parts[0].unionAll(parts[1]), ["host"])
+    assert sorted(map(tuple, whole.collect())) == \
+        sorted(map(tuple, merged.collect()))
+
+
+def test_histogram_clamps_out_of_range_and_skips_nulls(spark):
+    df = spark.createDataFrame(
+        [(-5.0,), (0.5,), (99.0,), (None,)], "v double")
+    hist = histogram_table(df, "v", 0.0, 1.0, 4)
+    rows = {r.hist_bucket: r.bucket_count for r in hist.collect()}
+    assert rows == {0: 1, 2: 1, 3: 1}  # clamped low, mid, clamped high
+    assert sum(rows.values()) == 3     # NULL not counted
+
+
+def test_histogram_single_shuffle_plan(spark, latencies):
+    from access_log_aggregator_spark.plans.audit import shape_facts
+
+    f = shape_facts(histogram_table(latencies, "duration", 0.0, 1.0, 256,
+                                    ["host"]))
+    assert f["ex_hash"] == 1 and f["ex_range"] == 0 and f["ex_single"] == 0
+
+
+def test_histogram_validation(spark, latencies):
+    with pytest.raises(ValueError):
+        histogram_table(latencies, "duration", 1.0, 0.0)
+    with pytest.raises(ValueError):
+        histogram_table(latencies, "duration", 0.0, 1.0, 0)
+    hist = histogram_table(latencies, "duration", 0.0, 1.0, 8)
+    with pytest.raises(ValueError):
+        histogram_quantiles(hist, [], 0.0, 1.0, 8)
+    with pytest.raises(ValueError):
+        histogram_quantiles(hist, [1.5], 0.0, 1.0, 8)
