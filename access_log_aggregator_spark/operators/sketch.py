@@ -225,18 +225,28 @@ def histogram_table(df: DataFrame, value_col: str, lo: float, hi: float,
     (documented bias instead of unbounded state — the known-range
     requirement is what keeps this sketch trivially mergeable where
     t-digest/KLL need weighted centroid merging); NULLs are not
-    counted, matching SQL aggregate semantics."""
+    counted, matching SQL aggregate semantics; NaN clamps into the TOP
+    bucket, matching Spark/DuckDB's NaN-greatest double ordering (so
+    the estimate diverges from exact `percentile` the same way a
+    largest-value outlier would, not silently downward).
+
+    The clamp runs on the DOUBLE scaled value BEFORE floor/cast:
+    flooring an unclamped huge value (or +-inf) overflows long/int and
+    under Spark's default ANSI mode kills the job instead of clamping
+    (found in review). Spark's least/greatest order NaN above every
+    double, which is exactly what routes NaN to the top bucket."""
     if not hi > lo:
         raise ValueError(f"need hi > lo, got [{lo}, {hi})")
     if n_buckets < 1:
         raise ValueError(f"need n_buckets >= 1, got {n_buckets}")
     group_cols = group_cols or []
     width = (hi - lo) / n_buckets
-    bucket = F.least(
-        F.lit(n_buckets - 1),
-        F.greatest(F.lit(0), F.floor(
-            (F.expr(value_col) - F.lit(lo)) / F.lit(width)).cast("int")),
+    scaled = F.least(
+        F.lit(float(n_buckets - 1)),
+        F.greatest(F.lit(0.0),
+                   (F.expr(value_col) - F.lit(lo)) / F.lit(width)),
     )
+    bucket = F.floor(scaled).cast("int")
     return (
         df.where(F.expr(value_col).isNotNull())
         .select(*group_cols, bucket.alias("hist_bucket"))
@@ -265,7 +275,12 @@ def histogram_quantiles(hist: DataFrame, qs: list[float],
 
     Everything stays distributed: the cumulative sum is a window over
     the <= n_buckets rows of each group's sketch, and the q probes are
-    a broadcast-joined literal frame — no driver-side collection."""
+    a broadcast-joined literal frame — no driver-side collection. The
+    input is re-merged first, so a raw union of shard histograms (the
+    natural way sketches arrive) is as valid as a merged one — without
+    that, duplicate bucket rows become RANGE-frame window peers and the
+    crossing test can emit conflicting rows per (group, q) (found in
+    review)."""
     from pyspark.sql import Window
 
     if not qs:
@@ -274,6 +289,7 @@ def histogram_quantiles(hist: DataFrame, qs: list[float],
         if not 0.0 <= q <= 1.0:
             raise ValueError(f"quantiles must be in [0, 1], got {q}")
     group_cols = group_cols or []
+    hist = histogram_merge(hist, group_cols)  # no-op on merged input
     width = (hi - lo) / n_buckets
     w = Window.partitionBy(*[F.col(c) for c in group_cols]) \
         .orderBy("hist_bucket")

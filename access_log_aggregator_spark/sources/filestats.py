@@ -222,15 +222,22 @@ def _bounds_may_match(cs: dict, op: str, val: object) -> bool:
     v = _coerce(cs["type"], val)
     if v is None:
         return True
+    if isinstance(v, float) and v != v:
+        # a NaN PREDICATE value: bounds can prove nothing (Spark orders
+        # NaN above every double, so e.g. `x < NaN` matches every
+        # non-NaN row). This must be EXPLICIT in the keep-oriented
+        # phrasing below — `lo < v` is Python-False for NaN, which
+        # would silently flip fail-open into fail-closed (caught in
+        # review; the old prune-oriented ifs failed open by accident).
+        return True
     if cs["type"] == "float" and op in ("!=", ">", ">="):
         # Parquet footers EXCLUDE NaN from min/max, but Spark and
         # DuckDB both order NaN greater than every other double, so a
-        # NaN row matches any !=, > or >= predicate. The bounds
+        # NaN ROW matches any !=, > or >= predicate. The bounds
         # therefore cannot prove absence of a match for these ops on
         # float columns — fail open. (=, < and <= stay prunable:
         # NaN = v, NaN < v and NaN <= v are never true for the
-        # non-NaN v values _coerce admits, and a NaN v fails open
-        # below because every NaN comparison is Python-False.)
+        # non-NaN v values admitted above.)
         return True
     lo, hi = cs["min"], cs["max"]
     if op in ("=", "=="):
@@ -244,7 +251,9 @@ def _bounds_may_match(cs: dict, op: str, val: object) -> bool:
         return lo <= v
     if op == ">":
         return hi > v
-    return hi >= v  # op == ">="
+    if op == ">=":
+        return hi >= v
+    return True  # unknown op: never prune without proof
 
 
 def spark_filter(where: Sequence[Predicate]):

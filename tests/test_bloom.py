@@ -193,3 +193,15 @@ def test_high_cardinality_column_stores_no_bloom_fails_open(tmp_path):
     (rec,) = snap.stats.values()
     assert "bloom" not in rec["cols"]["u"]
     assert rec["bloomed"] == ["u"]        # considered: analyze won't loop
+
+
+def test_nan_predicate_value_fails_open():
+    """A NaN predicate value proves nothing (Spark orders NaN above
+    every double, so `x < NaN` matches every non-NaN row); the
+    keep-oriented bounds refactor briefly flipped this into
+    fail-CLOSED because `lo < nan` is Python-False (found in review)."""
+    nan = float("nan")
+    rec = {"rows": 5, "schema_cols": ["score"],
+           "cols": {"score": {"type": "float", "min": 1.0, "max": 5.0}}}
+    for op in ("=", "!=", "<", "<=", ">", ">="):
+        assert filestats.file_may_match(rec, [("score", op, nan)]), op

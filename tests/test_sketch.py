@@ -274,3 +274,35 @@ def test_histogram_validation(spark, latencies):
         histogram_quantiles(hist, [], 0.0, 1.0, 8)
     with pytest.raises(ValueError):
         histogram_quantiles(hist, [1.5], 0.0, 1.0, 8)
+
+
+def test_histogram_extreme_values_clamp_not_crash(spark):
+    """Unclamped floor/cast of huge or infinite values overflowed under
+    Spark's default ANSI mode (found in review); NaN routes to the TOP
+    bucket, matching the NaN-greatest ordering exact percentile uses."""
+    df = spark.createDataFrame(
+        [(1e300,), (float("inf"),), (float("-inf"),), (float("nan"),),
+         (0.5,)], "v double")
+    hist = histogram_table(df, "v", 0.0, 1.0, 4)
+    rows = {r.hist_bucket: r.bucket_count for r in hist.collect()}
+    assert rows == {3: 3, 0: 1, 2: 1}  # 1e300/inf/NaN top, -inf bottom
+
+
+def test_histogram_quantiles_accept_unmerged_unions(spark, latencies):
+    """A raw union of shard histograms must quantile identically to the
+    merged table (duplicate bucket rows were RANGE-frame peers emitting
+    conflicting rows — found in review)."""
+    B = 64
+    parts = [
+        histogram_table(latencies.where(f"duration {op} 0.25"),
+                        "duration", 0.0, 1.0, B, ["host"])
+        for op in ("<", ">=")
+    ]
+    union = parts[0].unionAll(parts[1])
+    merged = histogram_merge(union, ["host"])
+    a = sorted(map(tuple, histogram_quantiles(
+        union, [0.5, 0.95], 0.0, 1.0, B, ["host"]).collect()))
+    b = sorted(map(tuple, histogram_quantiles(
+        merged, [0.5, 0.95], 0.0, 1.0, B, ["host"]).collect()))
+    assert a == b
+    assert len(a) == 6  # 3 hosts x 2 quantiles, exactly one row each
