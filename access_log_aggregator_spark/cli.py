@@ -32,7 +32,8 @@ from pathlib import Path
 def _compact_reporting(table, label: str, rows_per_file: int,
                        retries: int = 5,
                        sort_by: list[str] | None = None,
-                       zorder_by: list[str] | None = None) -> None:
+                       zorder_by: list[str] | None = None,
+                       spark=None) -> None:
     """Run ``table.compact`` with the retry the CommitConflict contract
     prescribes: a concurrent ingest committing between compaction's base
     capture and its CAS commit aborts the rewrite cleanly, and the next
@@ -55,7 +56,8 @@ def _compact_reporting(table, label: str, rows_per_file: int,
     for attempt in range(retries):
         try:
             sid = table.compact(rows_per_file=rows_per_file,
-                                sort_by=sort_by, zorder_by=zorder_by)
+                                sort_by=sort_by, zorder_by=zorder_by,
+                                spark=spark)
             print(f"compacted {label} -> snapshot {sid}" if sid
                   else f"{label} already compact", file=sys.stderr)
             return
@@ -328,6 +330,12 @@ def main(argv: list[str] | None = None) -> int:
                          "pre-compaction snapshots (refuses while a stream "
                          "checkpoint marker is registered on the pages "
                          "table — see --retire-stream)")
+    ap.add_argument("--no-analyze-routed", action="store_true",
+                    help="skip the default end-of-run distributed stats "
+                         "sweep over the routed sink (it records min/max/"
+                         "null bounds + host equality blooms for "
+                         "newly-committed files so point lookups prune; "
+                         "the write path itself stays zero-footer-read)")
     ap.add_argument("--analyze-pages", action="store_true",
                     help="record column statistics (min/max/null bounds) "
                          "for PAGES-table files committed without them — "
@@ -349,6 +357,14 @@ def main(argv: list[str] | None = None) -> int:
                          "an AvailableNow drain")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
+
+    if args.compact_sort_by and args.compact_zorder_by:
+        # fail fast: compact() raises ValueError for this combination, but
+        # _compact_reporting downgrades maintenance errors to a "compaction
+        # skipped" stderr note and the run would continue WITHOUT compacting
+        ap.error("--compact-sort-by and --compact-zorder-by are mutually "
+                 "exclusive: a z-order curve over the sort columns replaces "
+                 "the linear sort (pick one clustering strategy)")
 
     from .plans.checkpoint import Checkpoint, run_incremental
     from .plans.pipeline import Pipeline
@@ -585,7 +601,8 @@ def main(argv: list[str] | None = None) -> int:
             _compact_reporting(pipe.routed_table, "routed sink",
                                args.compact_rows_per_file,
                                sort_by=args.compact_sort_by,
-                               zorder_by=args.compact_zorder_by)
+                               zorder_by=args.compact_zorder_by,
+                               spark=spark)
         if args.retire_stream:
             # works in maintenance-only runs too (no --stream): the marker
             # belongs to the PAGES table and the checkpoint path is derived
@@ -609,7 +626,8 @@ def main(argv: list[str] | None = None) -> int:
             _compact_reporting(pages_table, "pages table",
                                args.compact_rows_per_file,
                                sort_by=args.compact_sort_by,
-                               zorder_by=args.compact_zorder_by)
+                               zorder_by=args.compact_zorder_by,
+                               spark=spark)
         if args.expire_pages_snapshots:
             try:
                 gone = pages_table.expire_snapshots()
@@ -630,6 +648,21 @@ def main(argv: list[str] | None = None) -> int:
         # not yet written/stamped) that a no-new-rows re-run must heal
         agg_rows = (pipe.write_aggregates()
                     if rows_in or pipe.aggregates_stale() else {})
+        if not args.no_analyze_routed and pipe.routed_table.exists():
+            # default-on stats+blooms for the routed sink: the write path
+            # stays zero-driver-footer-read (executor-side Observation
+            # counts), and this DISTRIBUTED sweep back-fills min/max/null
+            # bounds + host equality blooms for the files each run just
+            # committed — so downstream point lookups (read(where=[("host",
+            # "=", v)])) prune without a manual analyze. A no-op when every
+            # live file already has stats (one manifest read).
+            rt = pipe.routed_table
+            if "bloom_cols" not in rt.properties():
+                rt.set_properties(bloom_cols="host")
+            n_swept = rt.analyze(spark)
+            if n_swept:
+                print(f"analyzed {n_swept} routed sink file(s) "
+                      "(stats + host blooms)", file=sys.stderr)
         print(json.dumps({"batches": n_batches, "rows_in": rows_in,
                           "sink_counts": totals,
                           "malformed": totals["unparsed"] + totals["error"],

@@ -104,7 +104,11 @@ def top_k_by_hash(df: DataFrame, group_cols: list[str], key_col: str,
     Map-typed columns are excluded from the tiebreak (xxhash64 rejects
     MAP anywhere in a type — Spark's map equality is undefined, so maps
     cannot break ties deterministically anyway); rows differing ONLY in
-    map columns therefore still tie arbitrarily."""
+    map columns therefore still tie arbitrarily.
+
+    ``key_col`` accepts any SQL expression (e.g. ``"upper(k)"``), same
+    as :func:`mixed_key` and the sibling samplers — both the hash and
+    the tiebreak parse it with ``F.expr``."""
     from pyspark.sql import Window
     from pyspark.sql.types import ArrayType, DataType, MapType, StructType
 
@@ -118,7 +122,7 @@ def top_k_by_hash(df: DataFrame, group_cols: list[str], key_col: str,
         return False
 
     hashable = [f.name for f in df.schema.fields if not _mappy(f.dataType)]
-    order = [F.expr(mixed_key(key_col, salt)).asc(), F.col(key_col).asc()]
+    order = [F.expr(mixed_key(key_col, salt)).asc(), F.expr(key_col).asc()]
     if hashable:
         order.append(F.xxhash64(*[F.col(c) for c in hashable]).asc())
     w = Window.partitionBy(*group_cols).orderBy(*order)

@@ -44,8 +44,10 @@ CONSTANT_FRAME_OK: dict[str, str] = {
                     "rows) and the single query vector",
     "ann_cosine_topk": "nested loop broadcasts the single query-vector "
                        "literal frame",
-    "text_tfidf_top_terms": "nested loop + single-partition exchange carry "
-                            "the n_docs scalar and the global top-20",
+    "text_tfidf_top_terms": "nested loop + single-partition exchanges carry "
+                            "the n_docs scalar, the global top-20 tf-idf "
+                            "rows and the global top-10 token counts (the "
+                            "merged top_token arm) — all constant-size",
     "dedup_exact": "single-partition exchange carries ONE row of partial "
                    "global counts (count/count-distinct summary)",
     "events_malformed_audit": "single-partition exchange carries partial "
@@ -155,6 +157,38 @@ def shape_facts(df: DataFrame) -> dict[str, int]:
 
 def load_budgets() -> dict[str, dict[str, int]]:
     return json.loads(BUDGET_PATH.read_text())["queries"]
+
+
+def executed_facts(df: DataFrame) -> dict[str, int]:
+    """Shape facts of the RUNTIME-FINALIZED plan: execute ``df`` (so AQE
+    re-plans with real statistics) and count nodes in the final plan.
+    Plans with no exchange are not wrapped by AQE (forceApply is off) —
+    their static shape IS the executed shape, and shape_facts handles
+    both forms."""
+    df.collect()
+    plan = plan_string(df)
+    if "AdaptiveSparkPlan" in plan:
+        assert "isFinalPlan=true" in plan, "adaptive plan did not finalize"
+    return shape_facts(df)
+
+
+def aqe_violations(name: str, facts: dict[str, int],
+                   budget: dict[str, int]) -> list[str]:
+    """Join-shape regressions of an EXECUTED (AQE-final) plan vs its
+    recorded AQE budget: runtime re-planning may only improve the join
+    shape (e.g. SMJ -> BHJ), never demote a broadcast or introduce a
+    nested-loop / sort-merge join."""
+    out = []
+    if facts["nl"] > budget["aqe_nl"]:
+        out.append(f"{name}: AQE-final nl = {facts['nl']} exceeds "
+                   f"recorded {budget['aqe_nl']}")
+    if facts["smj"] > budget["aqe_smj"]:
+        out.append(f"{name}: AQE-final smj = {facts['smj']} exceeds "
+                   f"recorded {budget['aqe_smj']}")
+    if facts["bhj"] < budget["aqe_bhj"]:
+        out.append(f"{name}: AQE-final bhj = {facts['bhj']} lost a "
+                   f"broadcast (recorded {budget['aqe_bhj']})")
+    return out
 
 
 def violations(name: str, facts: dict[str, int],

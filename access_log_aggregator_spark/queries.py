@@ -841,25 +841,37 @@ select doc_id, {x.simhash_expr('th', d)} as simhash from t order by doc_id
 """
 
 
-def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DataFrame implementation: Arrow/numpy simhash UDF (operators/
-    dedup.py:with_simhash, engine='arrow') — same interpreted-HOF
-    bottleneck as minhash; values bit-identical to the canonical SQL
-    (pinned by tests/test_training_ops.py::test_simhash_matches_sql)."""
-    from .operators.dedup import with_simhash
-
-    docs = _t(spark, sf_dir, "documents")
-    return (with_simhash(docs.select("doc_id", "text"))
-            .select("doc_id", "simhash").orderBy("doc_id"))
-
-
 def _q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DataFrame implementation: banded equi-join (exact via pigeonhole +
-    hamming filter) instead of the oracle's O(n^2) nested loop."""
-    from .operators.dedup import simhash_near_pairs
+    """SimHash signatures + hamming near-pairs in one tagged union
+    (r5 merge, join_set_coverage precedent: frees a registry row for the
+    histogram-quantile sketch within the driver's 50-row window while
+    keeping BOTH operator surfaces driver-oracled).
+
+    - ``sig`` rows run the Arrow/numpy simhash UDF
+      (functions/simhash_arrow.py — same interpreted-HOF escape as
+      minhash; bit-parity with the canonical SQL pinned by
+      tests/test_training_ops.py::test_simhash_matches_sql);
+    - ``pair`` rows run the banded equi-join (exact via pigeonhole +
+      hamming filter) instead of the oracle's O(n^2) nested loop.
+
+    ``coalesce(doc_b, -1)`` in the sort keeps the order total without
+    touching NULL ordering (Spark asc = NULLS FIRST, DuckDB = NULLS
+    LAST — a silent cross-engine hash divergence otherwise)."""
+    from .operators.dedup import simhash_near_pairs, with_simhash
 
     docs = _t(spark, sf_dir, "documents")
-    return simhash_near_pairs(docs).orderBy("doc_a", "doc_b")
+    sigs = with_simhash(docs.select("doc_id", "text")).select(
+        F.lit("sig").alias("part"),
+        F.col("doc_id").alias("doc_a"),
+        F.lit(None).cast("long").alias("doc_b"),
+        F.col("simhash").cast("long").alias("val"),
+    )
+    pairs = simhash_near_pairs(docs).select(
+        F.lit("pair").alias("part"), "doc_a", "doc_b",
+        F.col("hamming").cast("long").alias("val"),
+    )
+    return sigs.unionByName(pairs).orderBy(
+        "part", "doc_a", F.coalesce("doc_b", F.lit(-1)))
 
 
 def _simhash_pairs_build(d: str) -> str:
@@ -870,10 +882,17 @@ def _simhash_pairs_build(d: str) -> str:
     return f"""
 with t as (select doc_id, {th} as th from documents),
 s as (select doc_id, {x.simhash_expr('th', d)} as simhash from t)
-select a.doc_id as doc_a, b.doc_id as doc_b, {ham} as hamming
-from s a join s b on a.doc_id < b.doc_id
-where {ham} <= 3
-order by doc_a, doc_b
+select part, doc_a, doc_b, val from (
+  select 'sig' as part, doc_id as doc_a, cast(null as bigint) as doc_b,
+         cast(simhash as bigint) as val
+  from s
+  union all
+  select 'pair' as part, a.doc_id as doc_a, b.doc_id as doc_b,
+         cast({ham} as bigint) as val
+  from s a join s b on a.doc_id < b.doc_id
+  where {ham} <= 3
+) u
+order by part, doc_a, coalesce(doc_b, -1)
 """
 
 
@@ -1072,14 +1091,38 @@ from t order by doc_id
 
 
 def _q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DataFrame implementation (operators/text.py): the exploded token
-    frame is checkpointed and feeds all three aggregates (tf, df, n_docs),
-    so documents is scanned/tokenized ONCE — the pure-SQL formulation
-    recomputes the token CTE per reference."""
+    """tf-idf top terms + corpus top tokens in one tagged union (r5 merge,
+    join_set_coverage precedent: frees a registry row for the
+    deterministic-sampling query within the driver's 50-row window while
+    keeping both text surfaces driver-oracled).
+
+    - ``tfidf`` rows run the DataFrame operator (operators/text.py): the
+      exploded token frame is checkpointed and feeds all three aggregates
+      (tf, df, n_docs), so documents is scanned/tokenized ONCE — the
+      pure-SQL formulation recomputes the token CTE per reference;
+    - ``top_token`` rows keep the former text_top_tokens aggregate (pure
+      Catalyst SQL), with ``tf`` carrying the corpus count and df/score
+      NULL.
+
+    The sort (part, token, coalesce(doc_id, -1)) is total without
+    depending on NULL ordering (see _q_simhash_near_pairs)."""
     from .operators.text import tfidf_top_terms
 
     docs = _t(spark, sf_dir, "documents")
-    return tfidf_top_terms(docs)
+    tfidf = tfidf_top_terms(docs).select(
+        F.lit("tfidf").alias("part"), "doc_id", "token", "tf", "df", "score"
+    )
+    load_views(spark, sf_dir)
+    top = spark.sql(_top_tokens_build(x.SPARK)).select(
+        F.lit("top_token").alias("part"),
+        F.lit(None).cast("long").alias("doc_id"),
+        "token",
+        F.col("cnt").alias("tf"),
+        F.lit(None).cast("long").alias("df"),
+        F.lit(None).cast("double").alias("score"),
+    )
+    return tfidf.unionByName(top).orderBy(
+        "part", "token", F.coalesce("doc_id", F.lit(-1)))
 
 
 def _tfidf_build(d: str) -> str:
@@ -1094,12 +1137,27 @@ def _tfidf_build(d: str) -> str:
 with tok as (select doc_id, {expl} as token from documents),
 tf as (select doc_id, token, count(*) as tf from tok group by doc_id, token),
 dfreq as (select token, count(distinct doc_id) as df from tok group by token),
-n as (select count(distinct doc_id) as n_docs from tok)
-select doc_id, token, tf, df,
-       cast(tf as double) * n_docs / df as score
-from tf join dfreq using (token) cross join n
-order by score desc, doc_id asc, token asc
-limit 20
+n as (select count(distinct doc_id) as n_docs from tok),
+tfidf as (
+  select doc_id, token, tf, df,
+         cast(tf as double) * n_docs / df as score
+  from tf join dfreq using (token) cross join n
+  order by score desc, doc_id asc, token asc
+  limit 20
+),
+top as (
+  select token, count(*) as cnt from tok
+  group by token order by cnt desc, token asc limit 10
+)
+select part, doc_id, token, tf, df, score from (
+  select 'tfidf' as part, doc_id, token, tf, df, score from tfidf
+  union all
+  select 'top_token' as part, cast(null as bigint) as doc_id, token,
+         cnt as tf, cast(null as bigint) as df,
+         cast(null as double) as score
+  from top
+) u
+order by part, token, coalesce(doc_id, -1)
 """
 
 
@@ -1585,8 +1643,12 @@ probes as (
   from skkeys cross join coeffs
 ),
 cms_est as (
-  select host, min(cell_count) as est_hits
-  from probes join counters using (cms_row, cms_bucket)
+  -- LEFT join + coalesce mirrors the Spark operator exactly: a probe
+  -- hitting an empty cell estimates 0 (here every probe is drawn from
+  -- the sketched data so no cell is empty, but the oracle must not
+  -- silently diverge if the probe set ever includes novel keys)
+  select host, min(coalesce(cell_count, 0)) as est_hits
+  from probes left join counters using (cms_row, cms_bucket)
   group by host
 ),
 skex as (select host, count(*) as exact_hits from skbase group by host)
@@ -1594,6 +1656,185 @@ select host, est_hits, exact_hits
 from cms_est join skex using (host)
 where est_hits >= {_CMS_THRESHOLD}
 order by host
+"""
+
+
+# fixed-bucket latency histogram (the third counter sketch): duration lives
+# in (0, 1) by corpus construction, so the known-range requirement holds
+_HIST_B = 256
+_HIST_QS = [0.5, 0.95, 0.99]
+
+
+def _q_pipeline_latency_hist(spark, sf_dir):
+    """Histogram-sketch latency quantiles per status bucket BESIDE their
+    exact ``percentile`` twins (the HLL/CMS presentation pattern): the
+    sketch state is <= 256 rows per bucket and mergeable where the exact
+    percentile is a holistic sort — at 100 TB you ship the histogram,
+    and this query driver-checks its bucket arithmetic AND its distance
+    from exact on every probe. The pin matters: the sketch build and the
+    exact twin both read the narrow (status_bucket, duration) frame —
+    unpinned, each consumer re-runs the full parse."""
+    from .operators.materialize import pin
+    from .operators.sketch import histogram_quantiles, histogram_table
+
+    base = pin(
+        _pipeline_valid(spark, sf_dir).select(
+            F.expr("cast(floor(status_code / 100) as bigint)")
+            .alias("status_bucket"),
+            "duration",
+        ),
+        "hist_base",
+    )
+    hist = histogram_table(base, "duration", 0.0, 1.0, _HIST_B,
+                           ["status_bucket"])
+    est = histogram_quantiles(hist, _HIST_QS, 0.0, 1.0, _HIST_B,
+                              ["status_bucket"])
+    exact = base.groupBy("status_bucket").agg(
+        F.expr("percentile(duration, 0.5D)").alias("e50"),
+        F.expr("percentile(duration, 0.95D)").alias("e95"),
+        F.expr("percentile(duration, 0.99D)").alias("e99"),
+    )
+    exact_long = exact.select(
+        "status_bucket",
+        F.expr("stack(3, 0.5D, e50, 0.95D, e95, 0.99D, e99) as (q, exact_q)"),
+    )
+    return (
+        # <= 5 buckets x 3 probes on the sketch side: broadcast, never SMJ
+        exact_long.join(F.broadcast(est), ["status_bucket", "q"])
+        .select("status_bucket", "q", "quantile_est", "exact_q",
+                # one IEEE subtraction over cross-engine-identical inputs
+                # is bit-exact; rounding it would not be (see _rel_err)
+                (F.col("quantile_est") - F.col("exact_q")).alias("err"))
+        .orderBy("status_bucket", "q")
+    )
+
+
+def _pipeline_latency_hist_oracle() -> str:
+    """Re-derives the histogram sketch's bucket arithmetic in DuckDB over
+    the same routed CTE (operators/sketch.py:histogram_table/_quantiles):
+    clamp-scale-floor into 256 cells, cumulative-sum crossing, linear
+    interpolation — every double constant emitted via the cast-string
+    pattern (memory: decimal literals parse with different scale rules
+    across engines) and every expression shaped exactly like the Spark
+    operator so each IEEE op sequence matches bit-for-bit. The exact twin
+    is quantile_cont, the proven parity partner of Spark ``percentile``
+    (see _ntile_build). DuckDB's window SUM returns HUGEINT where Spark
+    returns BIGINT — harmless: all counts < 2^53, double conversions
+    exact."""
+    W = f"cast('{(1.0 - 0.0) / _HIST_B:.17g}' as double)"
+    probes = ", ".join(f"(cast('{q:.17g}' as double))" for q in _HIST_QS)
+    exact_arms = " union all ".join(
+        f"select status_bucket, cast('{q:.17g}' as double) as q, "
+        f"quantile_cont(duration, {q}) as exact_q from base group by 1"
+        for q in _HIST_QS
+    )
+    return f"""{_pipeline_duck_cte()},
+base as (
+  select cast(floor(status_code / 100) as bigint) as status_bucket, duration
+  from routed where match_class in ('parsed', 'bot')
+),
+hist as (
+  select status_bucket,
+         cast(floor(least(cast('255' as double),
+                          greatest(cast('0' as double),
+                                   (duration - cast('0' as double)) / {W})))
+              as int) as hist_bucket,
+         count(*) as bucket_count
+  from base where duration is not null
+  group by 1, 2
+),
+cum as (
+  select *,
+         sum(bucket_count) over (partition by status_bucket
+                                 order by hist_bucket) as cum,
+         sum(bucket_count) over (partition by status_bucket) as total
+  from hist
+),
+probes(q) as (values {probes}),
+joined as (
+  select *, greatest(cast('1' as double), q * total) as trank
+  from cum cross join probes
+),
+hit as (
+  select status_bucket, q,
+         cast('0' as double)
+           + (hist_bucket + (trank - (cum - bucket_count)) / bucket_count)
+             * {W} as quantile_est
+  from joined
+  where cum >= trank and cum - bucket_count < trank
+),
+exact_long as ({exact_arms})
+select h.status_bucket, h.q, h.quantile_est, e.exact_q,
+       h.quantile_est - e.exact_q as err
+from hit h join exact_long e using (status_bucket, q)
+order by status_bucket, q
+"""
+
+
+# deterministic-sampling registry slot: per-language Bernoulli fractions +
+# an exactly-k-per-language quota, both keyed on the row (reproducible,
+# partitioning-invariant, nested) — operators/sample.py
+_SAMPLE_FRACTIONS = {"de": 0.5, "en": 0.1, "es": 0.25}
+_SAMPLE_DEFAULT = 0.02
+_SAMPLE_SALT = "r5-eval"
+_QUOTA_K = 20
+_QUOTA_SALT = "quota"
+
+
+def _q_docs_sample(spark, sf_dir):
+    """Deterministic sampling, driver-checked by EXACT ROW IDENTITY (not a
+    count tolerance): the stratified arm keeps iff avalanche-hash(key ||
+    salt) clears the per-language threshold (a pure map-side filter —
+    zero shuffle, plan-pinned in tests/test_sample.py), the quota arm
+    ranks each language's rows by an independent salt's hash and keeps
+    exactly k (the fixed-size-per-group draw a fraction can't express).
+    DuckDB selects the identical rows because the hash formulas are
+    dual-dialect (operators/sample.py:mixed_key)."""
+    from .operators.sample import stratified_hash_sample, top_k_by_hash
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    strat = stratified_hash_sample(
+        docs, "lang", "doc_id", _SAMPLE_FRACTIONS,
+        salt=_SAMPLE_SALT, default_fraction=_SAMPLE_DEFAULT)
+    quota = top_k_by_hash(docs, ["lang"], "doc_id", _QUOTA_K,
+                          salt=_QUOTA_SALT)
+    return (
+        strat.select(F.lit("stratified").alias("part"), "lang", "doc_id")
+        .unionByName(
+            quota.select(F.lit("quota").alias("part"), "lang", "doc_id"))
+        .orderBy("part", "lang", "doc_id")
+    )
+
+
+def _docs_sample_oracle() -> str:
+    """The same draws in DuckDB: thresholds are the identical Python ints
+    (int(fraction * P)), the CASE arms are built from the same sorted
+    dict, and the quota rank orders by (mixed hash, doc_id) — doc_id is
+    unique in documents, so the operator's xxhash64 duplicate-key
+    tiebreak (unavailable in DuckDB) is provably never consulted."""
+    from .operators.sample import mixed_key
+
+    d = x.DUCK
+    arms = " ".join(f"when {x.lit_str(s, d)} then {int(f * x.P)}"
+                    for s, f in sorted(_SAMPLE_FRACTIONS.items()))
+    thresh = f"(case lang {arms} else {int(_SAMPLE_DEFAULT * x.P)} end)"
+    return f"""
+with d as (select doc_id, lang from documents),
+strat as (select lang, doc_id from d
+          where {mixed_key('doc_id', _SAMPLE_SALT, d)} < {thresh}),
+ranked as (
+  select lang, doc_id,
+         row_number() over (partition by lang
+                            order by {mixed_key('doc_id', _QUOTA_SALT, d)},
+                                     doc_id) as rn
+  from d
+)
+select part, lang, doc_id from (
+  select 'stratified' as part, lang, doc_id from strat
+  union all
+  select 'quota' as part, lang, doc_id from ranked where rn <= {_QUOTA_K}
+) u
+order by part, lang, doc_id
 """
 
 
@@ -1861,7 +2102,8 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_minhash_lsh_pairs": QuerySpec(
         _q_minhash_jaccard_est, _minhash_jaccard_est_build(x.DUCK), headline=True
     ),
-    "dedup_simhash": QuerySpec(_q_dedup_simhash, _simhash_build(x.DUCK)),
+    # r5 merge: signatures + near-pairs in one tagged union (the former
+    # dedup_simhash slot freed for pipeline_latency_quantiles_hist)
     "dedup_simhash_near_pairs": QuerySpec(
         _q_simhash_near_pairs, _simhash_pairs_build(x.DUCK)
     ),
@@ -1877,9 +2119,11 @@ QUERIES: dict[str, QuerySpec] = {
     "ann_ivf_topk": _sql_pair(_ann_ivf_topk_build),
     "text_token_stats": _sql_pair(_token_stats_build),
     "text_langid_quality": _sql_pair(_langid_quality_build),
-    "text_top_tokens": _sql_pair(_top_tokens_build),
+    # r5 merge: tf-idf top terms + corpus top tokens in one tagged union
+    # (the former text_top_tokens slot freed for docs_sample_stratified)
     "text_tfidf_top_terms": QuerySpec(_q_tfidf, _tfidf_build(x.DUCK)),
     "docs_quality_filter": _sql_pair(_quality_filter_build),
+    "docs_sample_stratified": QuerySpec(_q_docs_sample, _docs_sample_oracle()),
     # pages pipeline (full-chain DuckDB oracle) + multimodal (rows-only)
     "pipeline_agg_by_host": QuerySpec(
         _q_pipeline_agg_by_host, _pipeline_agg_by_host_oracle(), headline=True
@@ -1901,6 +2145,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "pipeline_heavy_hitters_cms": QuerySpec(
         _q_pipeline_cms, _pipeline_cms_oracle()
+    ),
+    "pipeline_latency_quantiles_hist": QuerySpec(
+        _q_pipeline_latency_hist, _pipeline_latency_hist_oracle()
     ),
     "multimodal_stub_features": QuerySpec(
         _q_multimodal_features, _multimodal_features_oracle()

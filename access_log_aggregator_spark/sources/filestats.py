@@ -102,7 +102,19 @@ def _coerce(tag: str, v: object) -> Optional[object]:
 
 
 def stats_from_footer(path: str) -> dict:
-    """File-level stats from one parquet footer (no data pages read).
+    """File-level stats from one parquet footer (no data pages read) —
+    see :func:`stats_from_metadata` for the record shape. Writers that
+    still hold the footer (``pq.write_table(..., metadata_collector=)``)
+    should call :func:`stats_from_metadata` directly and skip even this
+    metadata read."""
+    return stats_from_metadata(pq.read_metadata(path))
+
+
+def stats_from_metadata(md) -> dict:
+    """File-level stats from a ``pyarrow.parquet.FileMetaData`` (the
+    object ``pq.read_metadata`` returns AND ``pq.write_table``'s
+    ``metadata_collector`` hands back at write time — one code path, so
+    write-time and read-time records are identical by construction).
 
     Returns ``{"rows": N, "cols": {name: {"type": tag, "min": v, "max": v}
     | {"all_null": True}}}``. A column appears only when EVERY row group
@@ -111,7 +123,6 @@ def stats_from_footer(path: str) -> dict:
     provably unmatched by any comparison predicate (SQL three-valued
     logic: ``NULL <op> v`` is never true).
     """
-    md = pq.read_metadata(path)
     schema = md.schema
     # top-level leaf columns only: a dotted path is a nested field, whose
     # bounds do not compose into a row-level predicate on the struct

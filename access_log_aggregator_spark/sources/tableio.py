@@ -23,6 +23,7 @@ snapshot id -> Iceberg snapshot id, marker -> WAP/commit property,
 
 from __future__ import annotations
 
+import copy
 import hashlib
 import json
 import os
@@ -564,7 +565,8 @@ class SnapshotTable:
     def compact(self, rows_per_file: int = 1_000_000,
                 marker: Optional[str] = None,
                 sort_by: Optional[Sequence[str]] = None,
-                zorder_by: Optional[Sequence[str]] = None) -> Optional[int]:
+                zorder_by: Optional[Sequence[str]] = None,
+                spark: Optional[SparkSession] = None) -> Optional[int]:
         """Small-file compaction (Iceberg ``rewrite_data_files`` analog):
         merge each directory's SMALL live files (< ``rows_per_file`` rows)
         into ~``rows_per_file``-row files and commit a ``replace`` snapshot.
@@ -605,6 +607,12 @@ class SnapshotTable:
         the manifest lock) that the snapshot it rewrote is still current and
         raises :class:`CommitConflict` otherwise — retry then.
 
+        ``spark``: when given and any live file lacks manifest stats
+        (pre-analyze ``append_spark`` output), those files are auto-swept
+        through the distributed :meth:`analyze` job first, so the
+        planning pass does ZERO driver footer reads; without a session,
+        each statless file pays one driver ``pq.read_metadata``.
+
         ``zorder_by`` (Iceberg's z-order rewrite strategy analog,
         mutually exclusive with ``sort_by``) clusters the rewritten rows
         along a Morton curve over 1-4 columns (sources/zorder.py; one
@@ -644,6 +652,16 @@ class SnapshotTable:
         base = self.current_snapshot_id()  # the state this rewrite is valid for
         live = self.data_files()
         known = self._file_stats()  # manifest stats: rows without footer IO
+        if spark is not None and any(f not in known for f in live):
+            # statless files (pre-analyze append_spark output) would each
+            # pay a DRIVER footer read in the planning pass below — at 10^5
+            # files that serializes on the driver. With a session available,
+            # enqueue them into the distributed analyze sweep instead (one
+            # task per slice of files; also builds any configured blooms),
+            # so planning reads rows from the refreshed manifest stats and
+            # the carried files keep stats for downstream pruning.
+            if self.analyze(spark):
+                known = self._file_stats()
         # the replace snapshot commits under the CURRENT schema (Iceberg
         # rewrites do the same): without a schema_id on the base, a
         # post-expire table — where the base is the only snapshot left —
@@ -732,10 +750,13 @@ class SnapshotTable:
                 for lo in range(0, max(merged.num_rows, 1), rows_per_file):
                     sl = merged.slice(lo, rows_per_file)
                     dest = d / f"compact-{uuid.uuid4().hex}.parquet"
-                    pq.write_table(sl, dest)
+                    # metadata_collector hands back the footer we just
+                    # wrote: the output's stats record costs zero reads
+                    mc: list = []
+                    pq.write_table(sl, dest, metadata_collector=mc)
                     out.append(dest)
                     staged.append(dest)
-                    rec = filestats.stats_from_footer(str(dest))
+                    rec = filestats.stats_from_metadata(mc[0])
                     if bcols:  # slice is in memory: blooms are free here
                         filestats.add_blooms(rec, sl, bcols)
                     stats[str(dest)] = rec
@@ -870,10 +891,11 @@ class SnapshotTable:
         st = _spark_schema_of_arrow(table.schema)
         self._precheck_schema(st, unconvertible=st is None)
         dest = self.root / "data" / f"part-{uuid.uuid4().hex}.parquet"
-        pq.write_table(table, dest)
-        # single freshly-written file: its footer is page-cache-hot and the
-        # stats read is O(KB) — the driver-side cost Iceberg writers pay too
-        rec = filestats.stats_from_footer(str(dest))
+        # metadata_collector returns the footer being written: the stats
+        # record is derived with zero follow-up reads
+        mc: list = []
+        pq.write_table(table, dest, metadata_collector=mc)
+        rec = filestats.stats_from_metadata(mc[0])
         bcols = self.bloom_cols()
         if bcols:  # values are in hand: blooms cost no extra IO here
             filestats.add_blooms(rec, table, bcols)
@@ -1088,8 +1110,13 @@ class SnapshotTable:
                             st.get(f), bcols):
                         # fresh footer stats + newly-considered blooms,
                         # carrying blooms the old record holds for
-                        # columns this sweep no longer asked about
-                        st[f] = filestats.carry_blooms(st.get(f), rel[f])
+                        # columns this sweep no longer asked about.
+                        # carry_blooms mutates its `new` argument, so give
+                        # each snapshot its OWN copy — sharing rel[f] would
+                        # alias one dict across snapshots and accumulate
+                        # bloom unions from earlier snapshots' old records
+                        st[f] = filestats.carry_blooms(
+                            st.get(f), copy.deepcopy(rel[f]))
                         merged = True
                 if merged:
                     s["stats"] = st

@@ -302,6 +302,18 @@ def main() -> int:
                 continue
             if os.environ.get("SPARK_GRAFT_BENCH_PIPELINE_ONLY"):  # iteration aid
                 continue
+            # r5: one UNTIMED warm trial per query before the timed ones.
+            # The global warm-up above covers the JVM/reader/worker spawn
+            # but not each query's own codegen+JIT: route_fanout's r3/r4
+            # "regression" vs r2 (0.929/0.835 vs 0.65) was its trials
+            # still DESCENDING toward the ~0.63 s steady state (job CPU
+            # fell 4.9 -> 1.8 -> 1.4 across the r4 trials at zero steal —
+            # compilation work, not plan work). Best-of-k now measures
+            # the plan at JIT steady state; the warm trial's wall is
+            # recorded in the evidence for transparency.
+            w0 = time.time()
+            _noop_run(spec.spark_fn(spark, sf_dir))
+            warm_sec = time.time() - w0
             walls, cpus_s, steal_pct = [], [], []
             for _ in range(QUERY_TRIALS):  # best-of-k: ambient noise is additive
                 s0, j0 = _cpu_times()
@@ -314,6 +326,7 @@ def main() -> int:
                 steal_pct.append(100.0 * (s1 - s0) / max(1, j1 - j0))
             timings[name] = round(min(walls), 3)
             query_evidence[name] = {
+                "warmup_sec": round(warm_sec, 3),
                 "trials_sec": [round(w, 3) for w in walls],
                 "median_sec": round(sorted(walls)[len(walls) // 2], 3),
                 "job_cpu_sec_per_trial": [round(c, 1) for c in cpus_s],

@@ -137,11 +137,16 @@ def _aqe_final_fact(df_aqe, static: dict) -> str:
     return "AQE-final join deltas: " + ", ".join(deltas)
 
 
-def _audit_all(spark, sf_dir: str) -> None:
+def _audit_all(spark, aqe, sf_dir: str) -> None:
     """Write PLANS-ALL.md + plans/shape_budgets.json over every registry
     query. Budgets are taken at sf0.001 with AQE off (deterministic static
     plans; node counts are structural, not data-sized); tests/test_plans.py
-    replays the same config."""
+    replays the same config. Each query is ADDITIONALLY executed on the
+    AQE-on session (the production config) and the finalized plan's join
+    shape recorded as aqe_bhj/aqe_smj/aqe_nl — the budget the CI AQE
+    replay asserts, so a runtime join demotion fails for ANY registry
+    entry, not just the flagships."""
+    from access_log_aggregator_spark.plans.audit import executed_facts
     from access_log_aggregator_spark.queries import QUERIES
 
     rows, budget = {}, {}
@@ -155,12 +160,19 @@ def _audit_all(spark, sf_dir: str) -> None:
         # report-only compile-size fact (kept out of shape_facts so CI's
         # budget replay does not pay ~50 Janino compiles per run)
         f["max_codegen"] = max_codegen_method_size(df)
+        af = executed_facts(spec.spark_fn(aqe, sf_dir))
+        f["aqe_bhj"], f["aqe_smj"], f["aqe_nl"] = \
+            af["bhj"], af["smj"], af["nl"]
         rows[name] = f
         budget[name] = f
         bad = violations(name, f, f)
         if bad:
             raise SystemExit("structural rule violated:\n" + "\n".join(bad))
-        print(f"all:{name}: ok", file=sys.stderr)
+        deltas = [f"{k} {f[k]} -> {af[k]}"
+                  for k in ("bhj", "smj", "nl") if af[k] != f[k]]
+        print(f"all:{name}: ok"
+              + (f" (AQE join deltas: {', '.join(deltas)})" if deltas else ""),
+              file=sys.stderr)
     BUDGET_PATH.write_text(json.dumps(
         {"generated": datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC"),
          "sf_dir": sf_dir, "aqe": False, "queries": budget}, indent=1))
@@ -173,21 +185,31 @@ def _audit_all(spark, sf_dir: str) -> None:
         "ceiling in `plans/shape_budgets.json`; `tests/test_plans.py` "
         "re-derives every row and fails on any count above it, and on any "
         "nested-loop/cartesian join or single-partition exchange outside "
-        "the reviewed constant-size-frame allowlist below.",
+        "the reviewed constant-size-frame allowlist below. The `AQE-final "
+        "joins` column EXECUTES the query under the production config "
+        "(AQE on) and reports the runtime-finalized join shape vs the "
+        "static plan; the finalized bhj/smj/nl counts are recorded as "
+        "`aqe_*` budgets and re-asserted by "
+        "`tests/test_plans.py::test_all_registry_plans_survive_aqe` — a "
+        "runtime broadcast demotion fails CI for any registry entry.",
         "",
         "| query | scans | hash ex | range ex | single ex | BHJ | SMJ | "
-        "NL/cart | py scalar | py grouped | codegen spans | max method B |",
-        "|---|---|---|---|---|---|---|---|---|---|---|---|",
+        "NL/cart | py scalar | py grouped | codegen spans | max method B | "
+        "AQE-final joins |",
+        "|---|---|---|---|---|---|---|---|---|---|---|---|---|",
     ]
     for name, f in rows.items():
         mark = " †" if name in CONSTANT_FRAME_OK else ""
         jit = (" ‡" if f["max_codegen"] >= 8000
                else " (unavailable)" if f["max_codegen"] < 0 else "")
+        deltas = [f"{k} {f[k]}→{f['aqe_' + k]}"
+                  for k in ("bhj", "smj", "nl") if f["aqe_" + k] != f[k]]
+        aqe_col = ", ".join(deltas) if deltas else "same shape"
         lines.append(
             f"| {name}{mark} | {f['scans']} | {f['ex_hash']} | {f['ex_range']} "
             f"| {f['ex_single']} | {f['bhj']} | {f['smj']} | {f['nl']} "
             f"| {f['py_scalar']} | {f['py_grouped']} | {f['wsc']} "
-            f"| {f['max_codegen']}{jit} |")
+            f"| {f['max_codegen']}{jit} | {aqe_col} |")
     lines += [
         "",
         "‡ max generated-method size is REPORT-ONLY (it drifts with Spark "
@@ -317,7 +339,7 @@ def main() -> int:
         if do_all:
             # budgets are always taken at sf0.001: the fixed corpus the
             # test suite replays (counts are structural, not data-sized)
-            _audit_all(spark, "/root/testdata/sf0.001")
+            _audit_all(spark, aqe, "/root/testdata/sf0.001")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         spark.stop()

@@ -241,7 +241,8 @@ def test_compact_reporting_retries_conflicts(capsys):
         def __init__(self, failures):
             self.failures, self.calls = failures, 0
 
-        def compact(self, rows_per_file, sort_by=None, zorder_by=None):
+        def compact(self, rows_per_file, sort_by=None, zorder_by=None,
+                    spark=None):
             self.calls += 1
             self.sort_by = sort_by
             if self.calls <= self.failures:
@@ -270,7 +271,8 @@ def test_compact_reporting_reports_caller_errors_clean(capsys):
     class Bad:
         calls = 0
 
-        def compact(self, rows_per_file, sort_by=None, zorder_by=None):
+        def compact(self, rows_per_file, sort_by=None, zorder_by=None,
+                    spark=None):
             self.calls += 1
             raise ValueError("compact sort_by column(s) ['warcts'] not in "
                              "the table schema")
@@ -294,7 +296,8 @@ def test_compact_reporting_retries_missing_files(capsys):
         def __init__(self, failures):
             self.failures, self.calls = failures, 0
 
-        def compact(self, rows_per_file, sort_by=None, zorder_by=None):
+        def compact(self, rows_per_file, sort_by=None, zorder_by=None,
+                    spark=None):
             self.calls += 1
             if self.calls <= self.failures:
                 raise FileNotFoundError("data/part-dead.parquet")
@@ -387,3 +390,59 @@ def test_drain_reraises_stream_failure(monkeypatch):
     with pytest.raises(RuntimeError, match="sink write failed"):
         cli._drain_live_query(q, timeout_s=60)
     assert q.stopped
+
+
+def test_sort_by_and_zorder_by_conflict_fails_fast():
+    """--compact-sort-by + --compact-zorder-by must die at argparse time
+    (rc 2, before a SparkSession exists): compact() raises ValueError for
+    the combination, but _compact_reporting downgrades maintenance errors
+    to a stderr 'skipped' note — the old behavior silently ran WITHOUT
+    compacting (ADVICE r4)."""
+    out = _run_cli("--generate", "10", "--data-dir", "/tmp/never-created",
+                   "--compact-pages", "--compact-sort-by", "warc_ts",
+                   "--compact-zorder-by", "host", expect_rc=2)
+    assert "mutually exclusive" in out.stderr
+    assert not Path("/tmp/never-created").exists()
+
+
+def test_routed_sink_carries_stats_and_blooms_by_default(tmp_path):
+    """The end-of-run distributed sweep (default on, r5) leaves every live
+    routed-sink file with manifest stats + host equality blooms, so a
+    downstream point lookup prunes with NO manual analyze — while the
+    write path itself stays zero-footer-read. --no-analyze-routed opts
+    out (statless files, fail-open reads)."""
+    import sys as _sys
+    from pathlib import Path as _P
+
+    _sys.path.insert(0, str(REPO))
+    from access_log_aggregator_spark.sources.tableio import SnapshotTable
+
+    data_dir = str(tmp_path / "data")
+    _run_cli("--generate", "600", "--data-dir", data_dir, "--from-start")
+    t = SnapshotTable(_P(data_dir) / "out" / "routed")
+    assert t.bloom_cols() == ["host"]
+    live = t.data_files()
+    stats = t._file_stats()
+    assert live and all(f in stats for f in live)
+    for rec in stats.values():
+        assert "host" in rec.get("bloomed", []), rec.get("bloomed")
+    # blooms prove absence where min/max bounds cannot: a host name that
+    # falls inside every file's lexical [min, max] but exists nowhere
+    # plans ZERO files (deterministic — no dependence on which hosts
+    # landed in which file)
+    assert t.data_files(where=[("host", "=", "host00.example.net")]) == []
+    # and a real host still reads correctly through the pruned path
+    import duckdb
+    con = duckdb.connect()
+    some_host = con.sql(
+        f"select min(host) from read_parquet('{t.root}/data/*/*.parquet')"
+    ).fetchone()[0]
+    planned = t.data_files(where=[("host", "=", some_host)])
+    assert 0 < len(planned) <= len(live)
+
+    # opt-out: a fresh layout run with --no-analyze-routed stays statless
+    data2 = str(tmp_path / "data2")
+    _run_cli("--generate", "600", "--data-dir", data2, "--from-start",
+             "--no-analyze-routed")
+    t2 = SnapshotTable(_P(data2) / "out" / "routed")
+    assert t2.data_files() and not t2._file_stats()

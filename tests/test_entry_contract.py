@@ -22,7 +22,7 @@ SUBSET = [
     "events_route_fanout",
     "q1_pricing_summary",
     "doc_fingerprints",
-    "dedup_simhash",
+    "dedup_simhash_near_pairs",
     "ann_cosine_topk",
     "text_langid_quality",
 ]

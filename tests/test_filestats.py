@@ -191,9 +191,10 @@ def test_type_mismatch_and_unknown_column_fail_open(tmp_path):
 
 def test_compaction_preserves_pruning(spark, tmp_path):
     """compact() recomputes bounds for merged outputs and carries stats on
-    full files; pruning stays correct across the rewrite — and the
-    planning pass reads ZERO footers when every live file has manifest
-    row counts."""
+    full files; pruning stays correct across the rewrite — and the whole
+    pass reads ZERO footers when every live file has manifest row counts
+    (r5: outputs derive their stats from write_table's metadata_collector,
+    so even the fresh files cost no read-back)."""
     t = _ranged_table(tmp_path)
     before = {tuple(r) for r in
               t.read(spark, where=[("n", ">=", 100)]).collect()}
@@ -205,13 +206,14 @@ def test_compaction_preserves_pruning(spark, tmp_path):
         return real_meta(path, *a, **kw)
 
     import unittest.mock as mock
-    with mock.patch.object(tio.pq, "read_metadata", side_effect=counting):
+    with mock.patch.object(tio.pq, "read_metadata", side_effect=counting), \
+            mock.patch.object(filestats.pq, "read_metadata",
+                              side_effect=counting):
         sid = t.compact(rows_per_file=1_000)
     assert sid is not None
-    # planning used manifest rows; the only footer read is the freshly
-    # written compact output's own stats record
-    compact_files = [f for f in t.data_files() if "compact-" in f]
-    assert set(calls) == set(compact_files)
+    # planning used manifest rows; outputs used the collected write-time
+    # footer — no metadata read anywhere in the rewrite
+    assert calls == []
     (snap,) = [s for s in t.snapshots() if s.id == sid]
     for f in snap.files:
         assert f in snap.stats, "compaction output/carry must keep stats"
@@ -405,3 +407,50 @@ def test_add_files_records_stats(tmp_path):
     (rec,) = snap.stats.values()
     assert rec == {"rows": 3, "schema_cols": ["n"],
                    "cols": {"n": {"type": "int", "min": 5, "max": 7}}}
+
+
+def test_statless_compaction_zero_driver_footer_reads(
+        spark, tmp_path, monkeypatch):
+    """compact(spark=...) on a table whose live files have NO manifest
+    stats (pre-analyze append_spark output) auto-enqueues them through the
+    distributed analyze sweep instead of paying a driver pq.read_metadata
+    per file in the planning pass (r4 verdict #5): with the driver's
+    read_metadata poisoned, the whole rewrite stays green, and the
+    rewritten table prunes."""
+    t = SnapshotTable.create(tmp_path / "t")
+    for i in range(4):
+        pdf = pd.DataFrame({"url": [f"u{i}-{j}" for j in range(5)],
+                            "warc_ts": pd.Series(
+                                [_ts(i)] * 5, dtype="datetime64[us, UTC]"),
+                            "n": list(range(i * 5, i * 5 + 5))})
+        t.append_spark(spark.createDataFrame(pdf), marker=f"s{i}")
+    assert all(s.stats is None for s in t.snapshots())
+    before = {tuple(r) for r in t.read(spark).collect()}
+
+    def boom(*a, **kw):  # driver-side footer read = test failure
+        raise AssertionError("driver-side pq.read_metadata during compact")
+
+    monkeypatch.setattr(tio.pq, "read_metadata", boom)
+    monkeypatch.setattr(filestats.pq, "read_metadata", boom)
+    sid = t.compact(rows_per_file=1_000, spark=spark)
+    monkeypatch.undo()
+    assert sid is not None
+    (snap,) = [s for s in t.snapshots() if s.id == sid]
+    # the auto-sweep also left the rewrite fully stats-covered: outputs
+    # from the write-time footer, any carried files from the sweep
+    assert all(f in snap.stats for f in snap.files)
+    assert {tuple(r) for r in t.read(spark).collect()} == before
+    assert len(t.data_files(where=[("n", ">=", 100)])) == 0  # prunable
+
+
+def test_statless_compaction_without_spark_still_works(spark, tmp_path):
+    """No session handle -> the documented fallback: one driver footer
+    read per statless file, same result."""
+    t = SnapshotTable.create(tmp_path / "t")
+    for i in range(2):
+        pdf = pd.DataFrame({"url": [f"u{i}"], "n": [i]})
+        t.append_spark(spark.createDataFrame(pdf), marker=f"s{i}")
+    before = {tuple(r) for r in t.read(spark).collect()}
+    sid = t.compact(rows_per_file=1_000)
+    assert sid is not None
+    assert {tuple(r) for r in t.read(spark).collect()} == before

@@ -402,27 +402,26 @@ def test_all_registry_plans_within_shape_budget(spark):
     assert not problems, "\n".join(problems)
 
 
-def test_flagship_plans_survive_aqe(spark):
-    """The audited static shapes hold under the PRODUCTION config: execute
-    flagship queries with AQE on and assert the runtime-finalized plan
-    kept every broadcast join and added no nested-loop or sort-merge join
-    over the static budget (AQE may only improve: e.g. SMJ -> BHJ)."""
-    from access_log_aggregator_spark.plans.audit import load_budgets, shape_facts
+def test_all_registry_plans_survive_aqe(spark):
+    """The audited shapes hold under the PRODUCTION config for EVERY
+    registry query (r5: extended from the 5 flagships): execute each with
+    AQE on and assert the runtime-finalized plan kept every broadcast
+    join and added no nested-loop or sort-merge join over the recorded
+    AQE budget (aqe_* in shape_budgets.json — AQE may only improve the
+    join shape, e.g. SMJ -> BHJ)."""
+    from access_log_aggregator_spark.plans.audit import (
+        DRIVER_MATERIALIZED,
+        aqe_violations,
+        executed_facts,
+        load_budgets,
+    )
     from access_log_aggregator_spark.queries import QUERIES
 
     budgets = load_budgets()
-    flagships = [
-        "events_enrich_broadcast", "pipeline_agg_by_host",
-        "dedup_embedding_cosine_pairs", "events_session_interval_join",
-        "text_tfidf_top_terms",
-    ]
-    for name in flagships:
-        df = QUERIES[name].spark_fn(spark, "/root/testdata/sf0.001")
-        df.collect()  # finalize the adaptive plan
-        plan = _plan(df)
-        assert "isFinalPlan=true" in plan, name
-        f = shape_facts(df)
-        b = budgets[name]
-        assert f["nl"] <= b["nl"], (name, f)
-        assert f["smj"] <= b["smj"], (name, f)
-        assert f["bhj"] >= b["bhj"], (name, f)
+    problems = []
+    for name, spec in QUERIES.items():
+        if name in DRIVER_MATERIALIZED:
+            continue
+        f = executed_facts(spec.spark_fn(spark, "/root/testdata/sf0.001"))
+        problems += aqe_violations(name, f, budgets[name])
+    assert not problems, "\n".join(problems)

@@ -462,17 +462,20 @@ def test_losing_compact_conflict_keeps_carried_files_readable(tmp_path):
     t.append_pandas(_pdf(5, 50))    # merged by A
     t.append_pandas(_pdf(5, 55))    # merged by A
 
-    real_meta = pq.read_metadata
+    # interject at the merge's content read (r5: the planning pass no
+    # longer reads footers at all — counts come from manifest stats, and
+    # outputs derive theirs from the write-time metadata_collector)
+    real_read = pq.read_table
     state = {"raced": False}
 
-    def racing_meta(f, *a, **kw):
+    def racing_read(f, *a, **kw):
         if not state["raced"]:
             state["raced"] = True
             # B commits its replace between A's base capture and A's CAS
             SnapshotTable(tmp_path / "t").compact(rows_per_file=100)
-        return real_meta(f, *a, **kw)
+        return real_read(f, *a, **kw)
 
-    with mock.patch.object(pq, "read_metadata", side_effect=racing_meta):
+    with mock.patch.object(pq, "read_table", side_effect=racing_read):
         with pytest.raises(CommitConflict):
             t.compact(rows_per_file=10)
 

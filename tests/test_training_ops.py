@@ -173,8 +173,13 @@ def test_simhash_pairs_blocked_equals_brute(spark, docs):
     blocked = dedup.simhash_near_pairs(docs)
     brute = dedup.simhash_near_pairs(docs, blocked=False)
     _same(blocked, brute)
-    sql = QUERIES["dedup_simhash_near_pairs"].spark_fn(spark, SF)
-    _same(blocked.select(sql.columns), sql)
+    # the operator == the 'pair' arm of the merged registry union (r5:
+    # dedup_simhash folded into this slot; the sig arm is checked against
+    # with_simhash by test_simhash_matches_sql + the DuckDB oracle)
+    merged = QUERIES["dedup_simhash_near_pairs"].spark_fn(spark, SF)
+    pairs = (merged.where("part = 'pair'")
+             .select("doc_a", "doc_b", F.col("val").alias("hamming")))
+    _same(blocked.withColumn("hamming", F.col("hamming").cast("long")), pairs)
 
 
 def test_simhash_discriminates(spark):
@@ -371,11 +376,19 @@ def test_whitespace_class_parity_on_vertical_tab(spark):
 
 
 def test_tfidf_matches_sql(spark, docs):
+    """The operator == the 'tfidf' arm of the merged registry union (r5:
+    text_top_tokens folded into this slot; the top_token arm is pure SQL
+    checked by the DuckDB oracle directly)."""
     api = text.tfidf_top_terms(docs)
-    sql = QUERIES["text_tfidf_top_terms"].spark_fn(spark, SF)
+    merged = QUERIES["text_tfidf_top_terms"].spark_fn(spark, SF)
+    sql = (merged.where("part = 'tfidf'")
+           .select("doc_id", "token", "tf", "df", "score"))
     _same(api, sql)
-    # global top-k is fully ordered (score desc, doc_id, token): exact rows
-    assert [tuple(r) for r in api.collect()] == [tuple(r) for r in sql.collect()]
+    # the merged union re-sorts by (part, token, doc_id): exact-row compare
+    # on that order against the operator's own top-k re-sorted the same way
+    api_sorted = api.orderBy("token", "doc_id")
+    assert [tuple(r) for r in api_sorted.collect()] == \
+        [tuple(r) for r in sql.orderBy("token", "doc_id").collect()]
 
 
 def test_bpe_token_stats_match_sql(spark, docs):
