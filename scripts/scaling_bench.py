@@ -52,7 +52,7 @@ sys.path.insert(0, {repo!r})
 from access_log_aggregator_spark.session import get_spark
 from access_log_aggregator_spark.sources.pages import generate_host_lookup
 from access_log_aggregator_spark.plans.pipeline import build_routed
-from bench import bench_scan_conf, _cpu_times
+from bench import bench_scan_conf, _cpu_times, _tree_jiffies, HZ
 
 conf = bench_scan_conf(Path(pages_path), cores)
 heap = conf.get("spark.driver.memory", "16g")
@@ -72,14 +72,18 @@ def run():
 # ~7-run JIT plateau was measured on); default 2 preserved for 4M.
 for _ in range(int(os.environ.get("SPARK_GRAFT_SCALE_WARMUPS", "2"))):
     run()
-trials, steals = [], []
+trials, steals, cpus = [], [], []
 for _ in range(int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "5"))):
-    s0, j0 = _cpu_times(); t0 = time.time()
+    s0, j0 = _cpu_times(); c0 = _tree_jiffies()["total"]; t0 = time.time()
     run()
     el = time.time() - t0; s1, j1 = _cpu_times()
     trials.append(round(el, 3))
     steals.append(round(100.0 * (s1 - s0) / max(1, j1 - j0), 1))
-print(json.dumps({{"cores": cores, "trials": trials, "steal_pct": steals}}))
+    # job-tree CPU per trial: a slow trial with ~equal CPU is the host
+    # (or a scheduling gap); more CPU is the job itself (GC burst, JIT)
+    cpus.append(round((_tree_jiffies()["total"] - c0) / HZ, 1))
+print(json.dumps({{"cores": cores, "trials": trials, "steal_pct": steals,
+                   "job_cpu_sec": cpus}}))
 spark.stop()
 """
 
@@ -105,29 +109,52 @@ def main() -> int:
 
     levels = {n_level: [], 4 * n_level: []}
     steals = {n_level: [], 4 * n_level: []}
+    job_cpus = {n_level: [], 4 * n_level: []}
     for s in range(sessions):
         for cores in (n_level, 4 * n_level):  # alternate: noise hits both
             print(f"session {s + 1}/{sessions}: {cores} CPUs ...", file=sys.stderr)
             res = run_session(cores, pages_path)
-            print(f"  -> {res['trials']} steal% {res.get('steal_pct')}",
-                  file=sys.stderr)
+            print(f"  -> {res['trials']} steal% {res.get('steal_pct')} "
+                  f"job-cpu {res.get('job_cpu_sec')}", file=sys.stderr)
             levels[cores].extend(res["trials"])
             steals[cores].extend(res.get("steal_pct", []))
+            job_cpus[cores].extend(res.get("job_cpu_sec", []))
 
     def stats(cores):
         t = levels[cores]
+        # CLEAN median: median over equal-work trials only (job-tree CPU
+        # <= 1.15x the level's minimum) — the same attribution filter
+        # bench.py applies to pipeline spread. Principled because the
+        # known co-tenant mode (category (d) in BENCH/BASELINE.md)
+        # multiplies the job's OWN cycles-per-page at zero steal, and it
+        # hits the 4N level ~4x harder (4x the bandwidth demand): a raw
+        # median therefore blends host-contaminated trials
+        # asymmetrically between levels. Every excluded trial stays in
+        # the JSON with its CPU evidence.
+        cpus = job_cpus[cores]
+        if cpus and len(cpus) == len(t):
+            floor_cpu = min(cpus)
+            clean = [w for w, c in zip(t, cpus) if c <= 1.15 * floor_cpu]
+        else:  # old-format session output: no CPU evidence
+            clean = t
         return {
             "cores": cores,
             "trials": t,
             "best_sec": min(t),
             "median_sec": round(statistics.median(t), 3),
+            "clean_median_sec": round(statistics.median(clean), 3),
+            "n_clean": len(clean),
             "pages_per_sec_best": round(n_pages / min(t), 1),
             "pages_per_sec_median": round(n_pages / statistics.median(t), 1),
+            "pages_per_sec_clean_median":
+                round(n_pages / statistics.median(clean), 1),
         }
 
     lo, hi = stats(n_level), stats(4 * n_level)
     eff_best = (hi["pages_per_sec_best"] / lo["pages_per_sec_best"]) / 4.0
     eff_median = (hi["pages_per_sec_median"] / lo["pages_per_sec_median"]) / 4.0
+    eff_clean_median = (hi["pages_per_sec_clean_median"]
+                        / lo["pages_per_sec_clean_median"]) / 4.0
 
     if os.environ.get("SPARK_GRAFT_SCALE_SUPPLEMENT"):
         # supplementary pair (e.g. a larger corpus): report JSON only,
@@ -140,8 +167,10 @@ def main() -> int:
             "T_4N_pages_per_sec": hi["pages_per_sec_best"],
             "scaling_efficiency": round(eff_best, 3),
             "scaling_efficiency_median": round(eff_median, 3),
+            "scaling_efficiency_clean_median": round(eff_clean_median, 3),
             "trials": {str(k): v for k, v in levels.items()},
             "steal_pct": {str(k): v for k, v in steals.items()},
+            "job_cpu_sec": {str(k): v for k, v in job_cpus.items()},
         }))
         return 0
 
@@ -173,22 +202,32 @@ def main() -> int:
         "speedup_best": round(hi["pages_per_sec_best"] / lo["pages_per_sec_best"], 3),
         "scaling_efficiency": round(eff_best, 3),
         "scaling_efficiency_median": round(eff_median, 3),
+        "scaling_efficiency_clean_median": round(eff_clean_median, 3),
+        "n_clean": {str(lo["cores"]): lo["n_clean"],
+                    str(hi["cores"]): hi["n_clean"]},
+        "trials": {str(k): v for k, v in levels.items()},
         "steal_pct": {str(k): v for k, v in steals.items()},
+        "job_cpu_sec": {str(k): v for k, v in job_cpus.items()},
         "machine_calibration": cal,
         "gate": ">= 0.8",
         "pass": eff_best >= 0.8,
     }
 
     block = f"""<!-- primary-scaling:begin -->
-Measured {datetime.now(timezone.utc).strftime('%Y-%m-%d %H:%M UTC')}.
+Measured {datetime.now(timezone.utc).strftime('%Y-%m-%d %H:%M UTC')}
+({len(lo['trials'])} trials/level over alternating pinned sessions;
+per-trial job-tree CPU + steal recorded).
 
-| level | cores (pinned) | best sec | median sec | pages/sec (best) |
-|---|---|---|---|---|
-| N  | {lo['cores']} | {lo['best_sec']} | {lo['median_sec']} | {lo['pages_per_sec_best']:,} |
-| 4N | {hi['cores']} | {hi['best_sec']} | {hi['median_sec']} | {hi['pages_per_sec_best']:,} |
+| level | cores (pinned) | best sec | median sec | clean median sec | pages/sec (best) |
+|---|---|---|---|---|---|
+| N  | {lo['cores']} | {lo['best_sec']} | {lo['median_sec']} | {lo['clean_median_sec']} ({lo['n_clean']}/{len(lo['trials'])} clean) | {lo['pages_per_sec_best']:,} |
+| 4N | {hi['cores']} | {hi['best_sec']} | {hi['median_sec']} | {hi['clean_median_sec']} ({hi['n_clean']}/{len(hi['trials'])} clean) | {hi['pages_per_sec_best']:,} |
 
 **Scaling efficiency = (T_4N / T_N) / 4 = {result['scaling_efficiency']}**
-(median-based: {result['scaling_efficiency_median']}; gate >= 0.8:
+(raw-median-based: {result['scaling_efficiency_median']};
+clean-median-based: {result['scaling_efficiency_clean_median']} —
+median over equal-work trials only, job CPU <= 1.15x the level minimum,
+the same attribution filter the pipeline spread uses; gate >= 0.8:
 {"PASS" if result['pass'] else "FAIL"})
 
 Same-window machine calibration ({n_level} -> {4 * n_level} processes,
