@@ -161,14 +161,19 @@ class KLL:
 
     # -- DataFrame row transport ------------------------------------------
     def to_row(self) -> tuple:
-        return (int(self.n),
+        # k rides the row: a stored sketch table must rebuild under ITS
+        # capacity schedule — re-compacting k=50 levels inside a default
+        # KLL(200) silently voids the built sketch's error bound (and
+        # the in-memory API's k-mismatch ValueError could never fire
+        # across the DataFrame boundary without it) — found in review
+        return (int(self.k), int(self.n),
                 float(self.minv) if self.n else None,
                 float(self.maxv) if self.n else None,
                 [buf.tolist() for buf in self.levels])
 
     @classmethod
-    def from_row(cls, n, minv, maxv, levels, k: int = DEFAULT_K) -> "KLL":
-        s = cls(k)
+    def from_row(cls, k, n, minv, maxv, levels) -> "KLL":
+        s = cls(int(k))
         s.n = int(n)
         s.minv = math.inf if minv is None else float(minv)
         s.maxv = -math.inf if maxv is None else float(maxv)
@@ -178,11 +183,13 @@ class KLL:
 
 
 _SKETCH_FIELDS = [
+    StructField("kll_k", LongType()),
     StructField("kll_n", LongType()),
     StructField("kll_min", DoubleType()),
     StructField("kll_max", DoubleType()),
     StructField("kll_levels", ArrayType(ArrayType(DoubleType()))),
 ]
+_SKETCH_COLS = [f.name for f in _SKETCH_FIELDS]
 
 
 def _group_fields(df: DataFrame, group_cols: list[str]) -> list[StructField]:
@@ -191,6 +198,33 @@ def _group_fields(df: DataFrame, group_cols: list[str]) -> list[StructField]:
     if missing:
         raise ValueError(f"group column(s) {missing} not in {list(by_name)}")
     return [by_name[c] for c in group_cols]
+
+
+def _merge_group(pdf) -> KLL:
+    """Fold one group's sketch rows into one sketch, in a TOTAL content
+    order. Sorting by kll_n alone is not enough: evenly-split partitions
+    produce all-tied n, a stable sort then preserves shuffle-arrival
+    order, and KLL merge is order-dependent — two replays of identical
+    input would yield different sketch bits (found in review, verified
+    by merging three equal-n sketches in two orders). The key covers the
+    full content (n, min, max, the level buffers), so any two rows that
+    compare equal are bit-identical sketches, for which merge order
+    cannot matter."""
+    def key(r):
+        return (r.kll_n, r.kll_min, r.kll_max,
+                tuple(tuple(b) for b in r.kll_levels))
+
+    rows = sorted(pdf.itertuples(index=False), key=key)
+    ks = {int(r.kll_k) for r in rows}
+    if len(ks) > 1:
+        raise ValueError(
+            f"cannot merge sketch rows with different k: {sorted(ks)}")
+    merged: Optional[KLL] = None
+    for r in rows:
+        s = KLL.from_row(r.kll_k, r.kll_n, r.kll_min, r.kll_max,
+                         r.kll_levels)
+        merged = s if merged is None else merged.merge(s)
+    return merged
 
 
 def kll_sketch_table(df: DataFrame, value_col: str,
@@ -221,20 +255,18 @@ def kll_sketch_table(df: DataFrame, value_col: str,
                 sketches.setdefault((), KLL(k)) \
                     .update_batch(pdf["_v"].to_numpy())
         rows = [(*key, *s.to_row()) for key, s in sketches.items()]
-        yield pd.DataFrame(rows, columns=[*group_cols, "kll_n", "kll_min",
-                                          "kll_max", "kll_levels"])
+        yield pd.DataFrame(rows, columns=[*group_cols, *_SKETCH_COLS])
 
     partial = narrow.mapInPandas(build, partial_schema)
-    return kll_merge(partial, group_cols, k)
+    return kll_merge(partial, group_cols)
 
 
 def kll_merge(sketch_df: DataFrame,
-              group_cols: Optional[list[str]] = None,
-              k: int = DEFAULT_K) -> DataFrame:
+              group_cols: Optional[list[str]] = None) -> DataFrame:
     """Merge a table of sketch rows (one or many per group) into one row
     per group — cell-for-cell the same algebra the build path uses, so a
     raw union of per-shard sketch tables is as valid an input as a
-    merged one."""
+    merged one. Each row carries its own k (mixed-k unions raise)."""
     group_cols = group_cols or []
     gfields = [f for f in sketch_df.schema.fields if f.name in group_cols]
     out_schema = StructType(gfields + _SKETCH_FIELDS)
@@ -242,16 +274,10 @@ def kll_merge(sketch_df: DataFrame,
     def merge(pdf):
         import pandas as pd
 
-        merged: Optional[KLL] = None
-        # stable order so replays merge identically
-        pdf = pdf.sort_values("kll_n", kind="stable", ignore_index=True)
-        for r in pdf.itertuples(index=False):
-            s = KLL.from_row(r.kll_n, r.kll_min, r.kll_max, r.kll_levels, k)
-            merged = s if merged is None else merged.merge(s)
-        key = [getattr(r, c) for c in group_cols]
+        merged = _merge_group(pdf)
+        key = [pdf.iloc[0][c] for c in group_cols]
         return pd.DataFrame([(*key, *merged.to_row())],
-                            columns=[*group_cols, "kll_n", "kll_min",
-                                     "kll_max", "kll_levels"])
+                            columns=[*group_cols, *_SKETCH_COLS])
 
     if group_cols:
         return sketch_df.groupBy(*group_cols).applyInPandas(merge, out_schema)
@@ -259,8 +285,7 @@ def kll_merge(sketch_df: DataFrame,
 
 
 def kll_quantiles(sketch_df: DataFrame, qs: list[float],
-                  group_cols: Optional[list[str]] = None,
-                  k: int = DEFAULT_K) -> DataFrame:
+                  group_cols: Optional[list[str]] = None) -> DataFrame:
     """Quantile estimates from a sketch table: (group..., q,
     quantile_est), one row per group per probe. Accepts merged OR raw
     unioned sketch rows (re-merged first, like histogram_quantiles)."""
@@ -279,12 +304,8 @@ def kll_quantiles(sketch_df: DataFrame, qs: list[float],
     def query(pdf):
         import pandas as pd
 
-        merged: Optional[KLL] = None
-        pdf = pdf.sort_values("kll_n", kind="stable", ignore_index=True)
-        for r in pdf.itertuples(index=False):
-            s = KLL.from_row(r.kll_n, r.kll_min, r.kll_max, r.kll_levels, k)
-            merged = s if merged is None else merged.merge(s)
-        key = [getattr(r, c) for c in group_cols]
+        merged = _merge_group(pdf)
+        key = [pdf.iloc[0][c] for c in group_cols]
         return pd.DataFrame(
             [(*key, q, merged.quantile(q)) for q in probes],
             columns=[*group_cols, "q", "quantile_est"])

@@ -43,9 +43,32 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fingerprint", _e(x.polyhash(text_col, x.SPARK)))
 
 
-def tfidf_top_terms(df: DataFrame, k: int = 20, text_col: str = "text",
+def exploded_tokens(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id",
                     materializer: Materializer | None = None) -> DataFrame:
+    """The pinned (id, token) frame — ONE tokenize pass of the corpus,
+    shareable by every token-level aggregate (tf-idf's three aggregates,
+    corpus top-tokens, vocabulary stats). Exposed so composite queries
+    don't re-tokenize per consumer (review: the merged registry query's
+    top_token arm ran its own full tokenize beside the tf-idf arm's)."""
+    toks = _e(x.tokens(text_col, x.SPARK))
+    return pin(df.select(id_col, F.explode(toks).alias("token")),
+               "tfidf_tokens", materializer)
+
+
+def top_tokens(tok: DataFrame, k: int = 10) -> DataFrame:
+    """Corpus top-k tokens by count over an :func:`exploded_tokens`
+    frame (total tiebreak order, same semantics as the SQL registry
+    formulation)."""
+    return (tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("token").asc())
+            .limit(k))
+
+
+def tfidf_top_terms(df: DataFrame, k: int = 20, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    materializer: Materializer | None = None,
+                    tokens: DataFrame | None = None) -> DataFrame:
     """Global top-k (doc, token) pairs by a deterministic tf-idf variant.
 
     score = tf * N / df — the idf uses the raw N/df ratio rather than a
@@ -61,13 +84,14 @@ def tfidf_top_terms(df: DataFrame, k: int = 20, text_col: str = "text",
     with >= 1 token — identical in the DuckDB oracle), broadcast as a 1-row
     frame: the corpus is scanned exactly once, at tokenization.
     """
-    toks = _e(x.tokens(text_col, x.SPARK))
     # pin the exploded token frame: all three aggregates (tf, df, n_docs)
     # read it, and Catalyst would otherwise inline + re-tokenize the corpus
     # once per consumer (the dedup modules' shared-subtree lesson); the
-    # materializer seam picks localCheckpoint vs durable table
-    tok = pin(df.select(id_col, F.explode(toks).alias("token")),
-              "tfidf_tokens", materializer)
+    # materializer seam picks localCheckpoint vs durable table. ``tokens``
+    # lets a caller pass an already-pinned exploded_tokens frame shared
+    # with other aggregates.
+    tok = tokens if tokens is not None else \
+        exploded_tokens(df, text_col, id_col, materializer)
     tf = tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tok.groupBy("token").agg(F.countDistinct(id_col).alias("df"))
     nd = tok.agg(F.countDistinct(id_col).alias("n_docs"))

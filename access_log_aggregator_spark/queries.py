@@ -1100,20 +1100,21 @@ def _q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
       exploded token frame is checkpointed and feeds all three aggregates
       (tf, df, n_docs), so documents is scanned/tokenized ONCE — the
       pure-SQL formulation recomputes the token CTE per reference;
-    - ``top_token`` rows keep the former text_top_tokens aggregate (pure
-      Catalyst SQL), with ``tf`` carrying the corpus count and df/score
-      NULL.
+    - ``top_token`` rows keep the former text_top_tokens aggregate, fed
+      from the SAME pinned token frame as the tf-idf arm (review: the
+      first merge ran a second full tokenize pass for this arm), with
+      ``tf`` carrying the corpus count and df/score NULL.
 
     The sort (part, token, coalesce(doc_id, -1)) is total without
     depending on NULL ordering (see _q_simhash_near_pairs)."""
-    from .operators.text import tfidf_top_terms
+    from .operators.text import exploded_tokens, tfidf_top_terms, top_tokens
 
     docs = _t(spark, sf_dir, "documents")
-    tfidf = tfidf_top_terms(docs).select(
+    tok = exploded_tokens(docs)  # ONE tokenize pass feeds both arms
+    tfidf = tfidf_top_terms(docs, tokens=tok).select(
         F.lit("tfidf").alias("part"), "doc_id", "token", "tf", "df", "score"
     )
-    load_views(spark, sf_dir)
-    top = spark.sql(_top_tokens_build(x.SPARK)).select(
+    top = top_tokens(tok).select(
         F.lit("top_token").alias("part"),
         F.lit(None).cast("long").alias("doc_id"),
         "token",
@@ -1161,16 +1162,6 @@ order by part, token, coalesce(doc_id, -1)
 """
 
 
-def _top_tokens_build(d: str) -> str:
-    toks = x.tokens("text", d)
-    expl = f"explode({toks})" if d == x.SPARK else f"unnest({toks})"
-    return f"""
-select token, count(*) as cnt
-from (select {expl} as token from documents) t
-group by token
-order by cnt desc, token asc
-limit 10
-"""
 
 
 # ---------------------------------------------------------------------------
@@ -1790,9 +1781,13 @@ def _q_docs_sample(spark, sf_dir):
     exactly k (the fixed-size-per-group draw a fraction can't express).
     DuckDB selects the identical rows because the hash formulas are
     dual-dialect (operators/sample.py:mixed_key)."""
+    from .operators.materialize import pin
     from .operators.sample import stratified_hash_sample, top_k_by_hash
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    # pin: BOTH arms read the same narrow (doc_id, lang) frame — unpinned,
+    # the self-union plans two parquet scans of documents (review)
+    docs = pin(_t(spark, sf_dir, "documents").select("doc_id", "lang"),
+               "sample_base")
     strat = stratified_hash_sample(
         docs, "lang", "doc_id", _SAMPLE_FRACTIONS,
         salt=_SAMPLE_SALT, default_fraction=_SAMPLE_DEFAULT)
@@ -1802,7 +1797,12 @@ def _q_docs_sample(spark, sf_dir):
         strat.select(F.lit("stratified").alias("part"), "lang", "doc_id")
         .unionByName(
             quota.select(F.lit("quota").alias("part"), "lang", "doc_id"))
-        .orderBy("part", "lang", "doc_id")
+        # NULL-safe sort key: the samplers legally emit NULL-lang rows
+        # (mixed_key's 'n' marker, the CASE's default arm) and Spark
+        # sorts NULLS FIRST where DuckDB sorts NULLS LAST — the same
+        # divergence coalesce(doc_b, -1) guards in the simhash merge;
+        # doc_id is unique so the ''-collision cannot leave a tie
+        .orderBy("part", F.coalesce("lang", F.lit("")), "doc_id")
     )
 
 
@@ -1834,7 +1834,7 @@ select part, lang, doc_id from (
   union all
   select 'quota' as part, lang, doc_id from ranked where rn <= {_QUOTA_K}
 ) u
-order by part, lang, doc_id
+order by part, coalesce(lang, ''), doc_id
 """
 
 

@@ -150,7 +150,14 @@ def main(argv: list[str] | None = None) -> int:
         # write time — scratch inside --out would be deleted mid-job
         mat = TableMaterializer(f"{args.out.rstrip('/')}_materialized")
     elif args.materializer.startswith("table:"):
-        mat = TableMaterializer(args.materializer.split(":", 1)[1])
+        mat_dir = args.materializer.split(":", 1)[1]
+        if not mat_dir:
+            # 'table:' would hand TableMaterializer('') = Path('.') and
+            # scatter scratch tables into the CWD — fail like other typos
+            ap.error("--materializer table: needs a directory "
+                     "(table:DIR), or use bare 'table' for auto-managed "
+                     "scratch")
+        mat = TableMaterializer(mat_dir)
         keep_tables = True  # caller-owned dir: reusable signature tables
     else:
         ap.error(f"--materializer must be local, table, or table:DIR "
@@ -166,12 +173,17 @@ def main(argv: list[str] | None = None) -> int:
                 df = df.repartition(args.write_partitions)
             df.write.mode("overwrite").parquet(args.out)
         n = spark.read.parquet(args.out).count()
-        if not keep_tables:
-            mat.close()
         print(json.dumps({"op": args.op, "rows": n, "out": args.out,
                           "materializer": args.materializer}))
         return 0
     finally:
+        if not keep_tables:
+            # in a finally: a failed write/count must not leak auto-managed
+            # scratch (the documented contract removes it; retries would
+            # otherwise accrete tables per attempt). Caller-owned table:DIR
+            # is kept either way — partial signature tables there are
+            # reusable state, and reclaiming them is the caller's call.
+            mat.close()
         spark.stop()
 
 

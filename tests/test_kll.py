@@ -54,7 +54,7 @@ def test_rank_error_ceiling_per_group(spark, latencies):
                     for g in latencies.select("host").distinct().collect())}
     sk = kll_sketch_table(latencies, "duration", ["host"], k=200)
     est = {(r.host, r.q): r.quantile_est
-           for r in kll_quantiles(sk, QS, ["host"], k=200).collect()}
+           for r in kll_quantiles(sk, QS, ["host"]).collect()}
     worst = max(_rank_error(per_host[h], q, est[(h, q)])
                 for h in per_host for q in QS)
     # k=200 targets ~O(1/k) rank error; 1.5% is a 3x slack ceiling that
@@ -174,3 +174,42 @@ def test_plan_shape_sketch_rows_only_shuffle(spark, latencies):
     assert f["ex_hash"] <= 2 and f["ex_single"] == 0
     assert f["smj"] == 0 and f["nl"] == 0
     assert f["py_grouped"] >= 1
+
+
+def test_tied_n_partials_merge_order_independent():
+    """Regression (review): sorting partials by kll_n alone left ties in
+    shuffle-arrival order, and KLL merge IS order-dependent — equal-n
+    partials from evenly-split partitions made replays nondeterministic.
+    _merge_group's total content order must fold any arrival order of
+    the same rows into the same sketch bits."""
+    import pandas as pd
+
+    from access_log_aggregator_spark.operators.kll import _merge_group
+
+    parts = []
+    for i in range(3):
+        s = KLL(k=64)
+        s.update_batch(np.arange(10_000.0) * (1 + 0.1 * i))
+        parts.append(s.to_row())  # all kll_n == 10_000: total tie on n
+    cols = ["kll_k", "kll_n", "kll_min", "kll_max", "kll_levels"]
+    a = _merge_group(pd.DataFrame(parts, columns=cols))
+    b = _merge_group(pd.DataFrame([parts[2], parts[0], parts[1]],
+                                  columns=cols))
+    assert a.n == b.n == 30_000
+    assert [x.tolist() for x in a.levels] == [x.tolist() for x in b.levels]
+    assert a.quantile(0.5) == b.quantile(0.5)
+
+
+def test_mixed_k_union_raises_through_dataframe_api(spark):
+    """k rides the sketch row (review: without it, kll_quantiles silently
+    re-compacted k=50 levels under a default-k capacity schedule, voiding
+    the built sketch's error bound with no error)."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(float(i),) for i in range(1000)], "v double")
+    a = kll_sketch_table(df, "v", k=64)
+    b = kll_sketch_table(df, "v", k=128)
+    [ra] = a.collect()
+    assert ra.kll_k == 64  # k persisted in the row
+    with _pytest.raises(Exception, match="different k"):
+        kll_merge(a.unionByName(b)).collect()

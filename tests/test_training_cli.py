@@ -76,3 +76,17 @@ def test_bad_materializer_mode_fails_fast(tmp_path):
     )
     assert out.returncode == 2
     assert "--materializer must be" in out.stderr
+
+
+def test_empty_table_dir_fails_fast(tmp_path):
+    """'table:' (empty DIR) would hand TableMaterializer('') = Path('.')
+    and scatter scratch tables into the CWD (review) — it must die at
+    argparse time like any other bad mode."""
+    out = subprocess.run(
+        [sys.executable, "-m", "access_log_aggregator_spark.training_cli",
+         "tfidf", "--documents", DOCS, "--out", str(tmp_path / "x"),
+         "--materializer", "table:"],
+        capture_output=True, text=True, timeout=120, cwd=str(REPO),
+    )
+    assert out.returncode == 2
+    assert "needs a directory" in out.stderr
